@@ -1,0 +1,67 @@
+"""Query registry: every implemented operator from SURVEY §2 (plus the
+training-data-pipeline operators) registers here as a named query with
+an optional DuckDB oracle.
+
+The driver contract (``__spark_entry__.py``) is a thin wrapper over
+this registry: ``queries()`` returns the builders, ``oracle_sql()``
+the oracle strings.
+
+Cross-engine determinism rules (every query obeys these so the
+order-insensitive value-hash matches bit-for-bit):
+
+- Money/double sums go through ``decimal(18,2)`` at the leaf and are
+  cast back to double after aggregation — decimal addition is exact
+  and associative, so Spark's partial-aggregation order can't change
+  the result, while a plain double sum differs from DuckDB's in the
+  low bits (and up to ~1e-3 at 600k rows).
+- Averages are written sum/count with the same decimal trick, never
+  engine-native AVG over doubles.
+- Every computed column is aliased identically in the Spark builder
+  and the oracle SQL.
+- Oracle aggregates are cast explicitly (DuckDB SUM(int)→HUGEINT,
+  year()→BIGINT would otherwise diverge from Spark's long/int).
+- Timestamps are UTC on both sides; no locale-dependent formats
+  beyond English month abbreviations (identical in both engines).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    builder: QueryFn
+    oracle: str | None
+    survey: str  # SURVEY §2 operator ids this query covers, e.g. "A2 J4 O1"
+    tags: tuple[str, ...] = field(default=())
+
+
+_REGISTRY: dict[str, Query] = {}
+
+
+def query(name: str, *, oracle: str | None = None, survey: str = "",
+          tags: tuple[str, ...] = ()) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register ``fn(spark, sf_dir) -> DataFrame``."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        _REGISTRY[name] = Query(name, fn, oracle, survey, tuple(tags))
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, Query]:
+    """Import all query modules and return the full registry."""
+    from . import core, llmops, reports, star  # noqa: F401  (side-effect: registration)
+    from ..streaming import events_batch  # noqa: F401
+
+    return dict(sorted(_REGISTRY.items()))

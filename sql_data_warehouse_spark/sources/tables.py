@@ -1,0 +1,37 @@
+"""Testdata table loaders (parquet; see TESTDATA.md).
+
+All loads are plain ``spark.read.parquet`` so Catalyst gets full
+pushdown/pruning into the scan. At cluster scale these would be
+catalog tables (Delta/Iceberg) partitioned as noted per table; the
+loader keeps the same interface either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Table → recommended physical layout at 100 TB scale (documented
+# here, applied by the writers in warehouse/; local testdata is one
+# parquet file per table).
+TESTDATA_TABLES: dict[str, str] = {
+    "region": "tiny dim — broadcast",
+    "nation": "tiny dim — broadcast",
+    "customer": "dim — broadcast below ~1 GB, else bucket by c_custkey",
+    "supplier": "tiny dim — broadcast",
+    "part": "dim — broadcast below ~1 GB, else bucket by p_partkey",
+    "orders": "fact — partition by month(o_orderdate), bucket o_orderkey",
+    "lineitem": "fact — partition by month(l_shipdate), bucket l_orderkey",
+    "events": "append-only stream — partition by date(ts)",
+    "documents": "corpus — size-balanced files, no hot keys",
+    "embeddings": "corpus — size-balanced files",
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    if not names:
+        names = tuple(TESTDATA_TABLES)
+    return {n: load_table(spark, sf_dir, n) for n in names}
