@@ -28,22 +28,7 @@ from pyspark.sql import functions as F
 
 from ..sources import load_table
 from .registry import query
-
-# Oracle-side macro for the cents scheme (format with the money expr).
-CENTS_SQL = "CAST(floor(({expr}) * 100.0 + 0.5) AS BIGINT)"
-MONEY_SUM_SQL = "CAST(SUM(CAST(floor(({expr}) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0"
-
-
-def _cents(col: Column) -> Column:
-    """Money value → integer cents, bit-identical in Spark and DuckDB
-    (see module docstring)."""
-    return F.floor(col * F.lit(100.0) + F.lit(0.5)).cast("long")
-
-
-def _money_sum(col: Column) -> Column:
-    """Deterministic cross-engine money sum: exact int64 cents sum,
-    one final division."""
-    return F.sum(_cents(col)).cast("double") / F.lit(100.0)
+from .xengine import CENTS_SQL, MONEY_SUM_SQL, cents as _cents, money_sum as _money_sum
 
 
 def _revenue() -> Column:

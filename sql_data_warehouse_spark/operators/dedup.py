@@ -1,0 +1,376 @@
+"""Deduplication operators for large-scale corpus pipelines.
+
+Four families, all expressed as DataFrame transforms (no driver-side
+loops, no Python UDFs — everything folds into Catalyst):
+
+- **exact**: hash-groupBy on the raw text digest.
+- **fingerprint**: hash-groupBy on the normalized-text digest
+  (case/punctuation/whitespace-insensitive exact dedup).
+- **MinHash + LSH**: shingle → per-permutation min-hash → banded
+  signatures → bucket join for candidate pairs → exact Jaccard
+  verification. The banding keeps the join linear in corpus size
+  (only rows sharing a band hash ever meet), which is what makes
+  near-dedup feasible at 100 TB: no all-pairs product.
+- **SimHash**: per-token hash bit votes → compact integer signature;
+  near-dups differ in few bits (hamming). Signature generation here;
+  banded hamming join follows the same LSH pattern.
+
+Hash choice: md5 (hex string) rather than xxhash64 because the
+DuckDB oracle must reproduce every value bit-for-bit; md5 exists and
+agrees in both engines. At production scale you'd swap
+``F.xxhash64`` via the ``hash_fn`` hook for ~4× hash throughput —
+the pipeline shape is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import NORMALIZE_SQL, char_shingles, normalize_text
+
+# ------------------------------------------------------------------ exact
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact-duplicate groups: one row per distinct text digest with
+    the keeper (min id) and copy count. ``filter(n_copies > 1)`` gives
+    the dup report; anti-joining ids back drops the dups. One shuffle
+    on the digest."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+EXACT_DUP_SQL = """
+    SELECT md5(text) AS text_hash,
+           MIN(doc_id) AS keeper_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+"""
+
+
+def fingerprint_dup_groups(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Normalized-fingerprint duplicate groups (rolling-hash-style
+    canonical digest: lowercase, strip punctuation, collapse
+    whitespace — catches trivially-edited copies)."""
+    return (
+        df.groupBy(F.md5(normalize_text(F.col(text_col))).alias("fingerprint"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+FINGERPRINT_DUP_SQL = f"""
+    SELECT md5({NORMALIZE_SQL.format(col="text")}) AS fingerprint,
+           MIN(doc_id) AS keeper_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------- MinHash
+
+N_PERMUTATIONS = 16
+BAND_SIZE = 4  # → 4 bands of 4 hashes
+SHINGLE_K = 8
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       n_perm: int = N_PERMUTATIONS,
+                       k: int = SHINGLE_K) -> DataFrame:
+    """Per-document MinHash signature: array of n_perm min-hashes over
+    character k-shingles. Linear scan, no shuffle (all per-row).
+
+    The i-th 'permutation' is md5 salted with the permutation index;
+    min over shingles of a salted hash ≈ an independent MinHash.
+
+    The signature is one nested SQL ``transform`` expression rather
+    than N Python-lambda ``F.transform`` calls: PySpark 4.x's
+    Python-lambda conversion produces colliding lambda variables when
+    the same array column feeds several higher-order functions in one
+    projection, silently corrupting the mins (verified empirically —
+    SQL-text lambdas are immune)."""
+    sig = F.expr(
+        f"transform(sequence(0, {n_perm - 1}), p -> "
+        f"array_min(transform(__shingles, s -> "
+        f"md5(concat(cast(p as string), '|', s)))))"
+    )
+    return (
+        df.withColumn("__shingles", char_shingles(F.col(text_col), k))
+        .select(F.col(id_col).alias("doc_id"), sig.alias("signature"))
+    )
+
+
+def minhash_band_hashes(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        n_perm: int = N_PERMUTATIONS,
+                        band_size: int = BAND_SIZE,
+                        k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, band_idx, band_hash) — the LSH bucketing relation.
+    Documents sharing any band hash are near-dup candidates."""
+    sigs = minhash_signatures(df, text_col, id_col, n_perm, k)
+    n_bands = n_perm // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col("signature")[b * band_size + j]
+                               for j in range(band_size)]
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return (
+        sigs.select("doc_id", F.explode(bands).alias("band"))
+        .select("doc_id", "band.band_idx", "band.band_hash")
+    )
+
+
+def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing ≥1 LSH band bucket.
+    The self-join is on (band_idx, band_hash) — shuffle is keyed by
+    bucket, so cost is Σ bucket² (bounded by collision rate), never
+    the full n² product."""
+    bands = minhash_band_hashes(df, text_col, id_col)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def _minhash_sig_sql(n_perm: int = N_PERMUTATIONS, k: int = SHINGLE_K) -> str:
+    norm = NORMALIZE_SQL.format(col="text")
+    shingles = (
+        f"list_transform(generate_series(1, greatest(length({norm}) - {k - 1}, 1)),"
+        f" i -> substr({norm}, CAST(i AS INTEGER), {k}))"
+    )
+    mins = ", ".join(
+        f"list_min(list_transform(shingles, s -> md5('{i}|' || s)))"
+        for i in range(n_perm)
+    )
+    return f"""
+        WITH sh AS (
+          SELECT doc_id, {shingles} AS shingles FROM documents
+        )
+        SELECT doc_id, [{mins}] AS signature FROM sh
+    """
+
+
+MINHASH_SIG_SQL = _minhash_sig_sql()
+
+
+def _minhash_bands_sql(n_perm: int = N_PERMUTATIONS,
+                       band_size: int = BAND_SIZE) -> str:
+    n_bands = n_perm // band_size
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, md5({concat}) AS band_hash FROM sigs".format(
+            b=b,
+            concat=" || '|' || ".join(
+                f"signature[{b * band_size + j + 1}]" for j in range(band_size)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"WITH sigs AS ({_minhash_sig_sql()}) {band_rows}"
+
+
+MINHASH_PAIRS_SQL = f"""
+    WITH bands AS ({_minhash_bands_sql()})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+"""
+
+
+# ------------------------------------------------------------- n-gram Jaccard
+
+def jaccard_pairs(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", k: int = SHINGLE_K,
+                  min_jaccard: float = 0.0) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs that share ≥1
+    shingle, via an inverted shingle index (explode → self-join on
+    shingle → per-pair intersection counts). Exact but quadratic in
+    the worst case — at scale, run it only on
+    :func:`minhash_candidate_pairs` output; standalone it's the
+    oracle-checkable exact baseline."""
+    sh = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(char_shingles(F.col(text_col), k))).alias(
+                "shingle"
+            ),
+        )
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b")
+    )
+    jac = (
+        F.col("n_common").cast("double")
+        / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast("double")
+    )
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def jaccard_pairs_sql(doc_filter: str = "TRUE", k: int = SHINGLE_K,
+                      min_jaccard: float = 0.0) -> str:
+    norm = NORMALIZE_SQL.format(col="text")
+    return f"""
+        WITH sh AS (
+          SELECT doc_id, DISTINCT_SHINGLE AS shingle
+          FROM (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                     generate_series(1, greatest(length({norm}) - {k - 1}, 1)),
+                     i -> substr({norm}, CAST(i AS INTEGER), {k})))) AS DISTINCT_SHINGLE
+            FROM documents WHERE {doc_filter}
+          )
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT c.doc_a, c.doc_b, c.n_common,
+               CAST(c.n_common AS DOUBLE)
+                 / CAST(sa.n_shingles + sb.n_shingles - c.n_common AS DOUBLE)
+                 AS jaccard
+        FROM common c
+        JOIN sizes sa ON c.doc_a = sa.doc_id
+        JOIN sizes sb ON c.doc_b = sb.doc_id
+        WHERE CAST(c.n_common AS DOUBLE)
+                / CAST(sa.n_shingles + sb.n_shingles - c.n_common AS DOUBLE)
+              >= {min_jaccard}
+    """
+
+
+# ----------------------------------------------------------------- SimHash
+
+SIMHASH_BITS = 16
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       n_bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash signature from token-hash bit votes: each token's md5
+    contributes ±1 per bit position (top bit of each hex nibble);
+    positive vote sum ⇒ bit set. Two aggregations, both keyed by
+    doc_id — scales linearly. (Production swaps the bit loop into a
+    pandas_udf; this formulation is the oracle-checkable one.)"""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(
+                F.trim(
+                    F.regexp_replace(
+                        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "),
+                        " +",
+                        " ",
+                    )
+                ),
+                " ",
+            )
+        ).alias("tok"),
+    )
+    toks = toks.withColumn("h", F.md5("tok"))
+    votes = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("bit"),
+        "h",
+    ).select(
+        "doc_id",
+        "bit",
+        F.when(
+            F.instr(
+                F.lit("89abcdef"),
+                F.col("h").substr(F.col("bit") + F.lit(1), F.lit(1)),
+            )
+            > 0,
+            1,
+        )
+        .otherwise(-1)
+        .alias("vote"),
+    )
+    bitsums = votes.groupBy("doc_id", "bit").agg(F.sum("vote").alias("s"))
+    return (
+        bitsums.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("s") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("long")
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+    )
+
+
+SIMHASH_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, md5(unnest(string_split({NORMALIZE_SQL.format(col="text")}, ' '))) AS h
+      FROM documents
+    ),
+    votes AS (
+      SELECT doc_id, bit,
+             CASE WHEN instr('89abcdef', substr(h, CAST(bit + 1 AS INTEGER), 1)) > 0
+                  THEN 1 ELSE -1 END AS vote
+      FROM toks, (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS bit)
+    ),
+    bitsums AS (
+      SELECT doc_id, bit, SUM(vote) AS s FROM votes GROUP BY doc_id, bit
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << CAST(bit AS INTEGER)
+                         ELSE 0 END) AS BIGINT) AS simhash
+    FROM bitsums GROUP BY doc_id
+"""

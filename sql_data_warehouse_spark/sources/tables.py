@@ -28,6 +28,17 @@ TESTDATA_TABLES: dict[str, str] = {
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS) which the vectorized
+        # Spark reader rejects; read nanos as long and truncate to
+        # microseconds (identical to DuckDB's ns→us truncation).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -1,5 +1,174 @@
-"""Batch-equivalent event analytics (tumbling windows, sessionization)
-— the SQL-checkable twins of the Structured Streaming jobs in
-``streaming/jobs.py``. Populated incrementally."""
+"""Batch-equivalent event analytics — the SQL-checkable twins of the
+Structured Streaming jobs in ``streaming/jobs.py``. Same
+transformations, same results; the streaming versions add watermarks
+and incremental state.
+
+Beyond-reference surface (the reference is batch-only): tumbling
+windows, gap-based sessionization, JSON property extraction.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..analytics.registry import query
+from ..analytics.xengine import MICRO_SUM_SQL, micro_sum
+from ..sources import load_table
+
+SESSION_GAP_MIN = 30
+
+
+@query(
+    "events_tumbling_hourly",
+    survey="ext-stream A4",
+    tags=("streaming",),
+    oracle=f"""
+        SELECT date_trunc('hour', ts) AS window_start,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               {MICRO_SUM_SQL.format(expr="value")} AS total_value,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation — the batch twin of the
+    streaming job (F.window == date_trunc for tumbling windows).
+    MIN/MAX on raw doubles are exact (no arithmetic); SUM uses the
+    scaled-int64 scheme."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            micro_sum(F.col("value")).alias("total_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "events_sessionized",
+    survey="ext-stream W5 W6 A7",
+    tags=("streaming",),
+    oracle=f"""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id, event_type, value,
+                 CASE WHEN epoch_us(ts) - epoch_us(
+                          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                        > {SESSION_GAP_MIN} * 60 * 1000000
+                      OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+        ),
+        sessions AS (
+          SELECT *,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_seq
+          FROM flagged
+        )
+        SELECT user_id,
+               CAST(session_seq AS BIGINT) AS session_seq,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end,
+               CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS DOUBLE) / 1000000.0
+                 AS duration_sec,
+               {MICRO_SUM_SQL.format(expr="value")} AS total_value
+        FROM sessions
+        GROUP BY user_id, session_seq
+    """,
+)
+def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): LAG to flag
+    session starts, running SUM to number sessions, then per-session
+    rollup. All windows partition by user_id — one shuffle, then
+    in-partition work; this is the canonical scalable sessionization
+    shape (the streaming twin uses session windows /
+    applyInPandasWithState)."""
+    e = load_table(spark, sf_dir, "events")
+    order = [F.col("ts"), F.col("event_id")]
+    w_lag = Window.partitionBy("user_id").orderBy(*order)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w_lag))
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.when(
+            (gap_us > SESSION_GAP_MIN * 60 * 1_000_000)
+            | F.lag("ts").over(w_lag).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = flagged.withColumn(
+        "session_seq", F.sum("new_session").over(w_run).cast("long")
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_event_types"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).cast("double")
+            / F.lit(1000000.0)
+        ).alias("duration_sec"),
+        micro_sum(F.col("value")).alias("total_value"),
+    )
+
+
+@query(
+    "events_json_props",
+    survey="ext-json P8 A2",
+    tags=("streaming",),
+    oracle="""
+        SELECT CAST(json_extract(props, '$.k') AS INTEGER) // 10 AS k_decile,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events
+        WHERE CAST(json_extract(props, '$.k') AS INTEGER) IS NOT NULL
+        GROUP BY 1
+        ORDER BY 1
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured property extraction: parse a JSON column,
+    bucket by an extracted field. JVM-side get_json_object — no UDF."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.filter(k.isNotNull())
+        .groupBy(
+            (
+                (k.cast("decimal(38,0)") / F.lit(10).cast("decimal(38,0)"))
+                .cast("long")
+                .cast("int")
+            ).alias("k_decile")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("k_decile")
+    )
