@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup, similarity, text_analysis
+from ..operators import dedup, multimodal, similarity, text_analysis
 from ..sources import load_table
 from .registry import query
 
@@ -144,6 +144,33 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_near_dup",
+    survey="ext-dedup J-self A8",
+    tags=("llmops",),
+    oracle=similarity.near_dup_pairs_sql(threshold=0.35),
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact baseline; the
+    LSH-bucketed twin below is the 100 TB path)."""
+    return similarity.embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+
+
+@query(
+    "embedding_near_dup_lsh",
+    survey="ext-dedup",
+    tags=("llmops",),
+    oracle=None,  # approximate by design (bucketed recall); rows-only
+)
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed near-dup pairs: Σ bucket² work instead of n²."""
+    return similarity.embedding_near_dup_pairs_lsh(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+
+
+@query(
     "label_centroid_similarity",
     survey="ext-sim A7",
     tags=("llmops",),
@@ -154,4 +181,68 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantization building block)."""
     return similarity.label_centroid_similarity(
         load_table(spark, sf_dir, "embeddings")
+    )
+
+
+# -------------------------------------------------------------- multimodal
+
+@query(
+    "media_decode_stats",
+    survey="ext-media mapInPandas",
+    tags=("llmops", "multimodal"),
+    oracle="""
+        WITH media AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS media_type,
+                   octet_length(encode(text)) AS n_bytes,
+                   md5(text) AS checksum
+            FROM documents
+        )
+        SELECT media_type,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+               CAST(COUNT(DISTINCT checksum) AS BIGINT) AS distinct_payloads,
+               CAST(MAX(n_bytes % 640) AS BIGINT) AS max_width,
+               CAST(MAX((n_bytes * 7) % 480) AS BIGINT) AS max_height
+        FROM media GROUP BY media_type
+    """,
+)
+def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns decoded via Arrow-batched mapInPandas
+    (deterministic fake codec — see operators/multimodal.py), then a
+    plain JVM-side rollup. The oracle replays the fake decode
+    arithmetically, which hash-gates the whole Python batch path:
+    schema, batch shape, and every byte read."""
+    media = multimodal.attach_fake_media(load_table(spark, sf_dir, "documents"))
+    decoded = multimodal.decode_media(media)
+    return decoded.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.countDistinct("checksum").alias("distinct_payloads"),
+        F.max("width").alias("max_width"),
+        F.max("height").alias("max_height"),
+    )
+
+
+@query(
+    "media_frame_samples",
+    survey="ext-media mapInPandas-explode",
+    tags=("llmops", "multimodal"),
+    oracle="""
+        SELECT doc_id,
+               CAST(LEAST(GREATEST(((doc_id * 37) % 30000) // 1000, 1), 8)
+                    AS BIGINT) AS n_frames
+        FROM documents WHERE doc_id % 3 = 2
+    """,
+)
+def media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (row-exploding mapInPandas): per-doc
+    sampled-frame counts, hash-gated against the arithmetic the stub
+    decoder implements (~1 fps capped at 8)."""
+    media = multimodal.attach_fake_media(load_table(spark, sf_dir, "documents"))
+    frames = multimodal.sample_frames(media)
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames")
     )

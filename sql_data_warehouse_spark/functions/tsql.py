@@ -46,7 +46,7 @@ def yyyymmdd_to_date(col: Column) -> Column:
     s = col.cast("string")
     return F.when(
         col.isNull() | (col <= 0) | (F.length(s) != 8), F.lit(None).cast("date")
-    ).otherwise(F.try_to_date(s, F.lit("yyyyMMdd")))
+    ).otherwise(F.try_to_date(s, "yyyyMMdd"))
 
 
 def nullif(col: Column, value) -> Column:

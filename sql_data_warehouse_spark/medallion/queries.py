@@ -1,0 +1,100 @@
+"""Registry entries for the medallion pipeline itself: the six silver
+ETL transforms (reference proc_load_silver.sql:41-225, T1-T6) and the
+three gold star views (load_gold.sql:22-88, V1-V3), each gated by a
+DuckDB oracle that replays the identical transform from the raw CSVs.
+
+These run on the reference's own datasets (``/root/reference/datasets``)
+— the ``sf_dir`` argument is part of the driver contract but unused
+here; the medallion sources are fixed-size dirty-data fixtures, which
+is the point: every cleansing rule is exercised by real dirt.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..analytics.registry import query
+from .gold import gold_df, gold_sql
+from .silver import SILVER_SQL, silver_df
+
+# Silver DATE columns surface as TIMESTAMP in oracle-gated output
+# (pandas dtype parity; see analytics.xengine docstring).
+_DATE_COLS: dict[str, tuple[str, ...]] = {
+    "crm_cust_info": ("cst_create_date",),
+    "crm_prd_info": ("prd_start_dt", "prd_end_dt"),
+    "crm_sales_details": ("sls_order_dt", "sls_ship_dt", "sls_due_dt"),
+    "erp_cust_az12": ("bdate",),
+    "erp_loc_a101": (),
+    "erp_px_cat_g1v2": (),
+}
+
+
+def _silver_ts(spark: SparkSession, table: str) -> DataFrame:
+    df = silver_df(spark, table)
+    for c in _DATE_COLS[table]:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
+def _silver_oracle(table: str) -> str:
+    dates = _DATE_COLS[table]
+    if not dates:
+        return SILVER_SQL[table]
+    repl = ", ".join(f"CAST({c} AS TIMESTAMP) AS {c}" for c in dates)
+    return f"SELECT * REPLACE ({repl}) FROM ({SILVER_SQL[table]})"
+
+
+_SILVER_SURVEY = {
+    "crm_cust_info": "T1 W1 P2 P3 S7",
+    "crm_prd_info": "T2 W4 S7",
+    "crm_sales_details": "T3 A9 S7",
+    "erp_cust_az12": "T4 P5 S7",
+    "erp_loc_a101": "T5 P7 S7",
+    "erp_px_cat_g1v2": "T6 S7",
+}
+
+for _t in SILVER_SQL:
+    def _mk(table: str):
+        def builder(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return _silver_ts(spark, table)
+
+        builder.__name__ = f"etl_silver_{table}"
+        builder.__doc__ = (
+            f"Silver ETL for {table} (reference proc_load_silver.sql; "
+            "bronze typed-CSV ingest + cleansing transform)."
+        )
+        return builder
+
+    query(
+        f"etl_silver_{_t}",
+        oracle=_silver_oracle(_t),
+        survey=_SILVER_SURVEY[_t],
+        tags=("medallion", "silver"),
+    )(_mk(_t))
+
+
+_GOLD_SURVEY = {
+    "dim_customers": "V1 J1 W2 P1 S5",
+    "dim_products": "V2 J2 W2 P4 S5",
+    "fact_sales": "V3 J3 P1 S5",
+}
+
+for _v in _GOLD_SURVEY:
+    def _mkg(view: str):
+        def builder(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return gold_df(spark, view)
+
+        builder.__name__ = f"gold_{view}"
+        builder.__doc__ = (
+            f"gold.{view} star view (reference load_gold.sql), canonical "
+            "column names per SURVEY §1.5."
+        )
+        return builder
+
+    query(
+        f"gold_{_v}",
+        oracle=gold_sql(_v),
+        survey=_GOLD_SURVEY[_v],
+        tags=("medallion", "gold"),
+    )(_mkg(_v))

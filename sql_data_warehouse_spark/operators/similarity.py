@@ -137,6 +137,73 @@ def lsh_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
+def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — exact baseline: all
+    ordered pairs (a < b) with cosine ≥ threshold. O(n²·dim): fine for
+    a verification pass or a small slice, NOT the 100 TB path — that's
+    :func:`embedding_near_dup_pairs_lsh`."""
+    a = embeddings.select(
+        F.col(id_col).alias("vec_id_a"), F.col(vec_col).alias("vec_a")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("vec_id_b"), F.col(vec_col).alias("vec_b")
+    )
+    return (
+        a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def near_dup_pairs_sql(threshold: float = 0.9) -> str:
+    """DuckDB twin of :func:`embedding_near_dup_pairs`."""
+    return f"""
+        SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+               {cosine_sql("a.embedding", "b.embedding")} AS cosine_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {cosine_sql("a.embedding", "b.embedding")} >= {threshold}
+    """
+
+
+def embedding_near_dup_pairs_lsh(embeddings: DataFrame,
+                                 threshold: float = 0.9,
+                                 n_bits: int = SIM_LSH_BITS,
+                                 id_col: str = "vec_id",
+                                 vec_col: str = "embedding") -> DataFrame:
+    """Near-dup pairs, scale path: only vectors sharing an LSH bucket
+    are scored — the self-join shuffles on the bucket key, so cost is
+    Σ bucket_size² instead of n². High-cosine pairs land in the same
+    bucket with probability (1 - θ/π)^n_bits; multiple independent
+    band tables (as in MinHash-LSH) push recall up when needed."""
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        lsh_bucket(F.col(vec_col), n_bits).alias("bucket"),
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_id_a"), F.col("vec").alias("vec_a"), "bucket"
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_id_b"), F.col("vec").alias("vec_b"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def label_centroid_similarity(embeddings: DataFrame,
                               id_col: str = "vec_id",
                               vec_col: str = "embedding") -> DataFrame:

@@ -1,0 +1,143 @@
+"""Structured Streaming == batch equivalence on the same events data.
+
+Append-mode windowed aggregations only emit windows once the
+watermark passes them, so each test runs two availableNow drains
+against one checkpoint: (1) the real events, (2) a single far-future
+"flush" event that advances the watermark past every real window —
+the standard way to finalize an append-mode backlog. The parquet sink
+persists across the two runs (exactly-once via the checkpoint)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from sql_data_warehouse_spark.sources import load_table
+from sql_data_warehouse_spark.streaming import jobs
+
+from .conftest import SF_SMOKE
+
+FLUSH_USER = -1
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Re-encode events.parquet (nanos timestamps) as a multi-file
+    microsecond-timestamp source directory, simulating a stream
+    landing zone of small files."""
+    path = str(tmp_path_factory.mktemp("events_src"))
+    (
+        load_table(spark, SF_SMOKE, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    yield path
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def _drain_with_flush(spark, events_dir, transform, out, ckpt):
+    """availableNow drain, then write a watermark-advancing flush
+    event and drain again; returns the parquet sink contents."""
+    jobs.run_to_parquet(
+        transform(jobs.read_events_stream(spark, events_dir)), out, ckpt
+    )
+    max_ts = spark.read.parquet(events_dir).agg(F.max("ts")).collect()[0][0]
+    flush = spark.createDataFrame(
+        [
+            (
+                10**12,
+                max_ts + dt.timedelta(days=10),
+                FLUSH_USER,
+                "flush",
+                0.0,
+                None,
+            )
+        ],
+        jobs.EVENTS_SCHEMA,
+    )
+    flush.coalesce(1).write.mode("append").parquet(events_dir)
+    jobs.run_to_parquet(
+        transform(jobs.read_events_stream(spark, events_dir)), out, ckpt
+    )
+    return spark.read.parquet(out)
+
+
+def test_stream_tumbling_matches_batch(spark, events_dir, tmp_path):
+    got_df = _drain_with_flush(
+        spark, events_dir, jobs.tumbling_hourly,
+        str(tmp_path / "out1"), str(tmp_path / "ckpt1"),
+    ).filter(F.col("event_type") != "flush")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in got_df.collect()
+    }
+    batch = (
+        spark.read.parquet(events_dir)
+        .filter(F.col("user_id") != FLUSH_USER)
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(
+                    F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+                ).cast("double")
+                / F.lit(1000000.0)
+            ).alias("total_value"),
+        )
+    )
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_stream_sessions_match_batch(spark, events_dir, tmp_path):
+    got = _drain_with_flush(
+        spark, events_dir, jobs.sessionized,
+        str(tmp_path / "out2"), str(tmp_path / "ckpt2"),
+    ).filter(F.col("user_id") != FLUSH_USER)
+    from sql_data_warehouse_spark.streaming.events_batch import events_sessionized
+
+    batch = events_sessionized(spark, SF_SMOKE)
+    assert got.count() == batch.count()
+    g = got.agg(
+        F.sum("n_events").alias("e"),
+        F.floor(F.sum("total_value") * 100).alias("v"),
+    ).collect()[0]
+    b = batch.agg(
+        F.sum("n_events").alias("e"),
+        F.floor(F.sum("total_value") * 100).alias("v"),
+    ).collect()[0]
+    assert (g["e"], g["v"]) == (b["e"], b["v"])
+
+
+def test_stream_stateful_running_totals(spark, events_dir, tmp_path):
+    stream = jobs.user_running_totals(jobs.read_events_stream(spark, events_dir))
+    jobs.run_to_memory(
+        stream, "t_user_totals", str(tmp_path / "ckpt3"), output_mode="update"
+    )
+    # Update-mode emits one row per user per micro-batch; the final
+    # state per user must equal the batch totals.
+    latest = (
+        spark.table("t_user_totals")
+        .filter(F.col("user_id") != FLUSH_USER)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+    batch = (
+        spark.read.parquet(events_dir)
+        .filter(F.col("user_id") != FLUSH_USER)
+        .groupBy("user_id").count()
+        .withColumnRenamed("count", "n_events")
+    )
+    diff = latest.join(batch, "user_id").filter(
+        latest["n_events"] != batch["n_events"]
+    )
+    assert diff.isEmpty()
+    assert latest.count() == batch.count()
