@@ -147,14 +147,15 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_near_dup",
     survey="ext-dedup J-self A8",
     tags=("llmops",),
-    oracle=similarity.near_dup_pairs_sql(threshold=0.35),
+    oracle=similarity.near_dup_pairs_sql(threshold=0.35, vec_filter="vec_id < 500"),
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact baseline; the
-    LSH-bucketed twin below is the 100 TB path)."""
-    return similarity.embedding_near_dup_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.35
-    )
+    """Embedding-cosine near-duplicate pairs — the exact O(n²·dim)
+    verifier, bounded to a 500-vector slice (the role it plays
+    downstream of LSH candidate generation at scale; unbounded n² is
+    never the production path — that's the LSH twin below)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    return similarity.embedding_near_dup_pairs(emb, threshold=0.35)
 
 
 @query(

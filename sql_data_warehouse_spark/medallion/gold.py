@@ -29,7 +29,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from collections.abc import Callable
+
 from .silver import SILVER_SQL, silver_df
+
+# Pluggable silver source: the default recomputes from the raw CSVs
+# (view semantics, like the reference gold views over silver tables);
+# the loader passes a reader over materialized silver parquet.
+SilverSource = Callable[[SparkSession, str], DataFrame]
 
 # WITH-clause prelude replaying the six silver transforms in DuckDB.
 SILVER_CTES = ",\n".join(f"s_{t} AS ({sql})" for t, sql in SILVER_SQL.items())
@@ -37,13 +44,13 @@ SILVER_CTES = ",\n".join(f"s_{t} AS ({sql})" for t, sql in SILVER_SQL.items())
 
 # ------------------------------------------------------- dim_customers (V1)
 
-def gold_dim_customers(spark: SparkSession) -> DataFrame:
+def gold_dim_customers(spark: SparkSession, silver: SilverSource = silver_df) -> DataFrame:
     """gold.dim_customers (load_gold.sql:22-42): 3-way left join on
     the CRM natural key, CRM-master gender fallback to ERP, global
     ROW_NUMBER surrogate key ordered by the unique ``cst_id``."""
-    ci = silver_df(spark, "crm_cust_info")
-    ca = silver_df(spark, "erp_cust_az12")
-    la = silver_df(spark, "erp_loc_a101")
+    ci = silver(spark, "crm_cust_info")
+    ca = silver(spark, "erp_cust_az12")
+    la = silver(spark, "erp_loc_a101")
     w = Window.orderBy("cst_id")
     return (
         ci.join(F.broadcast(ca), ci.cst_key == ca.cid, "left")
@@ -85,13 +92,13 @@ DIM_CUSTOMERS_BODY = """
 
 # -------------------------------------------------------- dim_products (V2)
 
-def gold_dim_products(spark: SparkSession) -> DataFrame:
+def gold_dim_products(spark: SparkSession, silver: SilverSource = silver_df) -> DataFrame:
     """gold.dim_products (load_gold.sql:49-66): keep current rows
     (``prd_end_dt IS NULL``), broadcast-join the 36-row category
     lookup, surrogate key ordered by (start_date, product_number) —
     unique because SCD end-dating leaves one current row per key."""
-    pr = silver_df(spark, "crm_prd_info").filter(F.col("prd_end_dt").isNull())
-    pcg = silver_df(spark, "erp_px_cat_g1v2")
+    pr = silver(spark, "crm_prd_info").filter(F.col("prd_end_dt").isNull())
+    pcg = silver(spark, "erp_px_cat_g1v2")
     w = Window.orderBy("prd_start_dt", "prd_key")
     return (
         pr.join(F.broadcast(pcg), pr.cat_id == pcg.id, "left")
@@ -131,13 +138,13 @@ DIM_PRODUCTS_BODY = """
 
 # ---------------------------------------------------------- fact_sales (V3)
 
-def gold_fact_sales(spark: SparkSession) -> DataFrame:
+def gold_fact_sales(spark: SparkSession, silver: SilverSource = silver_df) -> DataFrame:
     """gold.fact_sales (load_gold.sql:73-88): surrogate-key lookup by
     left-joining both dims on natural keys. Dims broadcast — the fact
     scan stays shuffle-free (map-side joins only)."""
-    sd = silver_df(spark, "crm_sales_details")
-    dc = gold_dim_customers(spark).select("customer_key", "customer_id")
-    dp = gold_dim_products(spark).select("product_key", "product_number")
+    sd = silver(spark, "crm_sales_details")
+    dc = gold_dim_customers(spark, silver).select("customer_key", "customer_id")
+    dp = gold_dim_products(spark, silver).select("product_key", "product_number")
     return (
         sd.join(F.broadcast(dc), sd.sls_cust_id == dc.customer_id, "left")
         .join(F.broadcast(dp), sd.sls_prd_key == dp.product_number, "left")

@@ -1,0 +1,142 @@
+"""Operational ETL entry points — the reference's stored-procedure
+layer (scripts/bronze/load_bronze.sql:22-143 ``EXEC bronze.load_bronze``
+and scripts/silver/proc_load_silver.sql:23-244 ``EXEC silver.load_silver``)
+as plain Python functions with the same shape: full-refresh per-table
+loads, per-step wall-clock timing, one try/except per batch.
+
+Differences that are the point of the Spark rewrite:
+
+- ``TRUNCATE + BULK INSERT / INSERT...SELECT`` becomes an atomic
+  ``mode("overwrite")`` parquet write (no partially-loaded states).
+- Loads are parallel across partitions instead of single-threaded
+  bulk inserts; per-table duration logs replace PRINT.
+- Gold stays *virtual* by default (views over silver — identical to
+  the reference's CREATE VIEW) and can be materialized with
+  ``materialize_gold=True`` for scale (equivalent results: loads are
+  full-refresh batch).
+
+Layout written under ``warehouse_dir``::
+
+    bronze/<table>/   silver/<table>/   gold/<view>/   (parquet dirs)
+
+plus session-catalog views ``wh_silver_*`` / ``wh_gold_*`` so ad-hoc
+``spark.sql`` works against the warehouse like the reference's
+``silver.*`` / ``gold.*`` names.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .gold import gold_dim_customers, gold_dim_products, gold_fact_sales
+from .schemas import BRONZE_TABLES
+from .silver import _TRANSFORMS, bronze_df
+
+log = logging.getLogger("sql_data_warehouse_spark.load")
+
+GOLD_VIEWS = ("dim_customers", "dim_products", "fact_sales")
+
+
+def _timed(step: str, fn):
+    start = time.monotonic()
+    out = fn()
+    log.info("%s: %.2fs", step, time.monotonic() - start)
+    return out
+
+
+def load_bronze(spark: SparkSession, warehouse_dir: str) -> dict[str, int]:
+    """Typed CSV → bronze parquet, one overwrite per table (S1-S3).
+    Returns per-table row counts (the reference PRINTs durations; we
+    log durations and return counts for assertions)."""
+    counts: dict[str, int] = {}
+    for table in BRONZE_TABLES:
+        path = f"{warehouse_dir}/bronze/{table}"
+
+        def run(table=table, path=path):
+            bronze_df(spark, table).write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path).count()
+
+        counts[table] = _timed(f"bronze.{table}", run)
+    return counts
+
+
+def load_silver(spark: SparkSession, warehouse_dir: str) -> dict[str, int]:
+    """bronze parquet → cleansing transform → silver parquet, with the
+    reference's ``dwh_create_date`` audit column (S4, ddl_silver.sql
+    DEFAULT GETDATE())."""
+    counts: dict[str, int] = {}
+    for table, transform in _TRANSFORMS.items():
+        src = f"{warehouse_dir}/bronze/{table}"
+        dst = f"{warehouse_dir}/silver/{table}"
+
+        def run(table=table, transform=transform, src=src, dst=dst):
+            out = transform(spark.read.parquet(src)).withColumn(
+                "dwh_create_date", F.current_timestamp()
+            )
+            out.write.mode("overwrite").parquet(dst)
+            spark.read.parquet(dst).createOrReplaceTempView(f"wh_silver_{table}")
+            return spark.read.parquet(dst).count()
+
+        counts[table] = _timed(f"silver.{table}", run)
+    return counts
+
+
+def _silver_reader(warehouse_dir: str):
+    def read(spark: SparkSession, table: str) -> DataFrame:
+        # Drop the audit column so gold sees the reference silver shape.
+        return spark.read.parquet(f"{warehouse_dir}/silver/{table}").drop(
+            "dwh_create_date"
+        )
+
+    return read
+
+
+def load_gold(spark: SparkSession, warehouse_dir: str,
+              materialize: bool = False) -> dict[str, int]:
+    """Silver → gold star views (S5). Virtual by default (catalog
+    views, Catalyst inlines them into consumers exactly like SQL
+    Server view expansion); ``materialize=True`` writes parquet and
+    points the views at it instead."""
+    silver = _silver_reader(warehouse_dir)
+    builders = {
+        "dim_customers": gold_dim_customers,
+        "dim_products": gold_dim_products,
+        "fact_sales": gold_fact_sales,
+    }
+    counts: dict[str, int] = {}
+    for view, build in builders.items():
+
+        def run(view=view, build=build):
+            df = build(spark, silver)
+            if materialize:
+                path = f"{warehouse_dir}/gold/{view}"
+                df.write.mode("overwrite").parquet(path)
+                df = spark.read.parquet(path)
+            df.createOrReplaceTempView(f"wh_gold_{view}")
+            return df.count()
+
+        counts[view] = _timed(f"gold.{view}", run)
+    return counts
+
+
+def load_all(spark: SparkSession, warehouse_dir: str,
+             materialize_gold: bool = False) -> dict[str, dict[str, int]]:
+    """The full ``EXEC``-chain analog: bronze → silver → gold with
+    batch-level timing and a single error boundary (reference
+    TRY/CATCH at load_bronze.sql:133-141)."""
+    start = time.monotonic()
+    try:
+        out = {
+            "bronze": load_bronze(spark, warehouse_dir),
+            "silver": load_silver(spark, warehouse_dir),
+            "gold": load_gold(spark, warehouse_dir, materialize_gold),
+        }
+    except Exception:
+        log.exception("warehouse load failed")
+        raise
+    log.info("load_all: %.2fs", time.monotonic() - start)
+    return out

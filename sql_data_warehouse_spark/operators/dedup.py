@@ -85,30 +85,63 @@ BAND_SIZE = 4  # → 4 bands of 4 hashes
 SHINGLE_K = 8
 
 
+_EMPTY_BIN = "g"  # sorts above every hex digest; shared empty-bin filler
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
                        n_perm: int = N_PERMUTATIONS,
                        k: int = SHINGLE_K) -> DataFrame:
-    """Per-document MinHash signature: array of n_perm min-hashes over
-    character k-shingles. Linear scan, no shuffle (all per-row).
+    """Per-document MinHash signature via **one-permutation hashing**
+    (Li, Owen, Zhang 2012): hash every k-shingle ONCE, route it to one
+    of ``n_perm`` bins by its first hex nibble, take the min digest
+    per bin. Same LSH banding properties as n independent
+    permutations at 1/n the hash cost.
 
-    The i-th 'permutation' is md5 salted with the permutation index;
-    min over shingles of a salted hash ≈ an independent MinHash.
-
-    The signature is one nested SQL ``transform`` expression rather
-    than N Python-lambda ``F.transform`` calls: PySpark 4.x's
-    Python-lambda conversion produces colliding lambda variables when
-    the same array column feeds several higher-order functions in one
-    projection, silently corrupting the mins (verified empirically —
-    SQL-text lambdas are immune)."""
-    sig = F.expr(
-        f"transform(sequence(0, {n_perm - 1}), p -> "
-        f"array_min(transform(__shingles, s -> "
-        f"md5(concat(cast(p as string), '|', s)))))"
+    Shape: explode shingles → md5 → groupBy(doc) with n_perm
+    conditional MIN aggregations. The explode evaluates the
+    normalize+shingle expression once per document (an earlier
+    nested-HOF formulation let Catalyst inline the regex
+    normalization into every lambda element — O(n_perm × |shingles|)
+    regex evaluations per row, ~100× slower at sf0.1); the aggregation
+    is whole-stage-codegen'd with map-side partial mins, so the
+    shuffle carries one n_perm-wide row per doc."""
+    assert n_perm <= 16, "nibble binning supports up to 16 bins"
+    # Explode shingle POSITIONS (cheap int sequence), not shingle
+    # strings: Generate evaluates its child row once, so the regex
+    # normalization runs once per document, and the per-shingle work
+    # (substring + md5) stays inside whole-stage codegen. Building a
+    # string-array first lets Catalyst inline the normalize expression
+    # into the lambda — once per element, ~100× slower.
+    # Small corpora arrive as one parquet partition; spread the
+    # hash-heavy map side across the cluster first (tiny shuffle).
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    norm = df.repartition(n_part).select(
+        F.col(id_col).alias("doc_id"),
+        normalize_text(F.col(text_col)).alias("norm"),
     )
+    sh = norm.select(
+        "doc_id",
+        "norm",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("norm") - (k - 1), F.lit(1)))
+        ).alias("i"),
+    )
+    h = sh.select("doc_id", F.md5(F.expr(f"substring(norm, i, {k})")).alias("h"))
+    bin_idx = F.instr(F.lit("0123456789abcdef"), F.substring("h", 1, 1)) - 1
+    mins = [
+        F.coalesce(
+            F.min(F.when(bin_idx == p, F.col("h"))), F.lit(_EMPTY_BIN)
+        ).alias(f"m{p}")
+        for p in range(n_perm)
+    ]
     return (
-        df.withColumn("__shingles", char_shingles(F.col(text_col), k))
-        .select(F.col(id_col).alias("doc_id"), sig.alias("signature"))
+        h.groupBy("doc_id")
+        .agg(*mins)
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"m{p}") for p in range(n_perm)]).alias("signature"),
+        )
     )
 
 
@@ -166,20 +199,23 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
 
 
 def _minhash_sig_sql(n_perm: int = N_PERMUTATIONS, k: int = SHINGLE_K) -> str:
+    """DuckDB twin of the one-permutation-hashing signature."""
     norm = NORMALIZE_SQL.format(col="text")
     shingles = (
         f"list_transform(generate_series(1, greatest(length({norm}) - {k - 1}, 1)),"
         f" i -> substr({norm}, CAST(i AS INTEGER), {k}))"
     )
     mins = ", ".join(
-        f"list_min(list_transform(shingles, s -> md5('{i}|' || s)))"
-        for i in range(n_perm)
+        f"COALESCE(MIN(CASE WHEN instr('0123456789abcdef', substring(h, 1, 1)) - 1"
+        f" = {p} THEN h END), '{_EMPTY_BIN}')"
+        for p in range(n_perm)
     )
     return f"""
         WITH sh AS (
-          SELECT doc_id, {shingles} AS shingles FROM documents
-        )
-        SELECT doc_id, [{mins}] AS signature FROM sh
+          SELECT doc_id, unnest({shingles}) AS s FROM documents
+        ),
+        hashed AS (SELECT doc_id, md5(s) AS h FROM sh)
+        SELECT doc_id, [{mins}] AS signature FROM hashed GROUP BY doc_id
     """
 
 

@@ -161,12 +161,14 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
     )
 
 
-def near_dup_pairs_sql(threshold: float = 0.9) -> str:
+def near_dup_pairs_sql(threshold: float = 0.9,
+                       vec_filter: str = "TRUE") -> str:
     """DuckDB twin of :func:`embedding_near_dup_pairs`."""
     return f"""
+        WITH e AS (SELECT * FROM embeddings WHERE {vec_filter})
         SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
                {cosine_sql("a.embedding", "b.embedding")} AS cosine_sim
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE {cosine_sql("a.embedding", "b.embedding")} >= {threshold}
     """
 

@@ -85,3 +85,21 @@ def test_gold_row_counts(gold):
     assert gold["fact_sales"].count() == 60398
     n_prod = gold["dim_products"].count()
     assert 0 < n_prod <= 397
+
+
+def test_load_all_materializes_warehouse(spark, tmp_path):
+    from sql_data_warehouse_spark.medallion.load import load_all
+
+    counts = load_all(spark, str(tmp_path / "wh"), materialize_gold=True)
+    assert counts["bronze"]["crm_sales_details"] == 60398
+    assert counts["silver"]["crm_cust_info"] == 18484
+    assert counts["gold"]["fact_sales"] == 60398
+    # Gold views land in the catalog; ad-hoc SQL works like the
+    # reference's gold.* names, and materialized == virtual results.
+    n = spark.sql(
+        "SELECT COUNT(*) AS n FROM wh_gold_dim_customers WHERE country = 'Germany'"
+    ).collect()[0]["n"]
+    virtual = (
+        gold_dim_customers(spark).filter(F.col("country") == "Germany").count()
+    )
+    assert n == virtual
