@@ -1,0 +1,269 @@
+"""Beyond-reference relational operators the engine supports natively
+(SURVEY §2.4 notes them absent from the reference; Spark has them
+built in): ROLLUP/grouping sets, PIVOT, as-of joins, BPE-ish token
+statistics — each with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import BPE_TOKENS_SQL, bpe_ish_tokens
+from ..operators.asof import asof_join_backward
+from ..sources import load_table
+from .registry import query
+from .xengine import MONEY_SUM_SQL, money_sum
+
+# ------------------------------------------------------------------ rollup
+
+@query(
+    "revenue_rollup",
+    survey="ext-rollup A2 J1",
+    oracle=f"""
+        SELECT r.r_name AS region, n.n_name AS nation,
+               CAST(GROUPING(r.r_name) * 2 + GROUPING(n.n_name) AS INTEGER)
+                   AS grouping_level,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               {MONEY_SUM_SQL.format(expr="o.o_totalprice")} AS total_revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP (region → nation → grand
+    total) in one pass — Catalyst expands to a single aggregation
+    over grouping sets, one shuffle, instead of three separate
+    aggregations unioned."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            "o_totalprice",
+        )
+    )
+    return joined.rollup("region", "nation").agg(
+        F.grouping_id().cast("int").alias("grouping_level"),
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum(F.col("o_totalprice")).alias("total_revenue"),
+    )
+
+
+# ------------------------------------------------------------------- pivot
+
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+@query(
+    "nation_segment_pivot",
+    survey="ext-pivot A2",
+    oracle=f"""
+        SELECT n.n_name AS nation,
+               {", ".join(
+                   MONEY_SUM_SQL.format(
+                       expr=f"CASE WHEN c.c_mktsegment = '{s}'"
+                            f" THEN o.o_totalprice END"
+                   ) + f' AS "{s}"'
+                   for s in _SEGMENTS
+               )}
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+)
+def nation_segment_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: revenue by nation × market segment as a wide table.
+    The segment list is explicit — with it, Spark skips the extra
+    distinct-values job and plans a single aggregation."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"), "c_mktsegment", "o_totalprice"
+        )
+    )
+    return (
+        joined.groupBy("nation")
+        .pivot("c_mktsegment", _SEGMENTS)
+        .agg(money_sum(F.col("o_totalprice")))
+    )
+
+
+# ------------------------------------------------------------- as-of join
+
+@query(
+    "events_asof_attribution",
+    survey="ext-asof W1",
+    oracle="""
+        WITH clicks AS (
+            SELECT user_id, ts,
+                   CAST(max(event_id) AS BIGINT) AS click_id
+            FROM events WHERE event_type = 'click'
+            GROUP BY user_id, ts
+        ),
+        purchases AS (
+            SELECT user_id, ts, event_id, value
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.user_id,
+               CAST(p.event_id AS BIGINT) AS purchase_id,
+               p.ts AS purchase_ts,
+               p.value AS purchase_value,
+               c.click_id AS matched_click_id,
+               c.ts AS matched_ts,
+               CAST(CASE WHEN c.ts IS NULL THEN NULL
+                         ELSE epoch_us(p.ts) - epoch_us(c.ts) END AS BIGINT)
+                   AS gap_us
+        FROM purchases p
+        ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+)
+def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution as-of join: each purchase matched to the user's
+    latest prior click (operators/asof.py — union + one keyed window;
+    DuckDB's native ASOF JOIN is the oracle twin). Clicks pre-dedupe
+    to one row per (user, ts) for tie determinism."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = asof_join_backward(purchases, clicks, key="user_id")
+    return joined.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+        F.col("matched_click_id"),
+        F.col("matched_ts"),
+        F.when(
+            F.col("matched_ts").isNull(), F.lit(None)
+        )
+        .otherwise(F.unix_micros("ts") - F.unix_micros("matched_ts"))
+        .cast("long")
+        .alias("gap_us"),
+    )
+
+
+# ------------------------------------------------------------ set operations
+
+@query(
+    "customer_set_ops",
+    survey="ext-setops P9",
+    oracle="""
+        WITH buyers AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+        all_cust AS (SELECT c_custkey AS custkey FROM customer)
+        SELECT 'never_ordered' AS cohort,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT custkey FROM all_cust EXCEPT SELECT custkey FROM buyers)
+        UNION ALL
+        SELECT 'ordered', CAST(COUNT(*) AS BIGINT)
+        FROM (SELECT custkey FROM all_cust INTERSECT SELECT custkey FROM buyers)
+    """,
+)
+def customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT / INTERSECT (absent from the reference, native in
+    Spark): customer cohorts vs the buyer set. Catalyst plans both as
+    (broadcastable) left-anti / left-semi joins — same shapes as J6."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    buyers = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    never = (
+        c.subtract(buyers)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.lit("never_ordered").alias("cohort"), "n")
+    )
+    ordered = (
+        c.intersect(buyers)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.lit("ordered").alias("cohort"), "n")
+    )
+    return never.unionAll(ordered)
+
+
+# ------------------------------------------------------------ skew handling
+
+@query(
+    "salted_hot_key_counts",
+    survey="ext-skew A2",
+    oracle="""
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+    """,
+)
+def salted_hot_key_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation on a low-cardinality (hot) key —
+    operators/skew.py. The oracle is the plain groupBy: identical
+    results, skew-proof shuffle (hot keys spread over 16 reducers
+    before the tiny final merge)."""
+    from ..operators.skew import salted_count_by_key
+
+    e = load_table(spark, sf_dir, "events")
+    return salted_count_by_key(e, "event_type", salt_from="event_id").select(
+        "event_type", "n"
+    )
+
+
+# ---------------------------------------------------------- BPE token stats
+
+@query(
+    "bpe_token_stats",
+    survey="ext-text P1 A2",
+    tags=("llmops",),
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   {BPE_TOKENS_SQL.format(col="text")} AS toks,
+                   length(text) AS n_chars
+            FROM documents
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+               CAST(SUM(len(list_distinct(toks))) AS BIGINT) AS total_distinct_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM t GROUP BY lang
+    """,
+)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ish token accounting per language: BPE-style pre-tokenizer
+    counts (regex, JVM-side) — the cost model a training-data pipeline
+    budgets with. Pure projection + one small aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = bpe_ish_tokens(F.col("text"))
+    per_doc = docs.select(
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.length("text").alias("n_chars"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_distinct").alias("total_distinct_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )

@@ -62,6 +62,25 @@ def char_shingles(col: Column, k: int = 8) -> Column:
     return F.transform(idx, lambda i: norm.substr(i, F.lit(k)))
 
 
+# GPT-2-style pre-tokenizer pattern (simplified, RE2/Java compatible):
+# contraction suffixes, letter runs, digit runs, punctuation runs —
+# the shape BPE vocabularies segment on.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+
+
+def bpe_ish_tokens(col: Column) -> Column:
+    """BPE-ish pre-tokenization → array<string> (JVM regex, no UDF).
+    Counting these approximates LLM token counts far better than
+    whitespace splitting (punctuation and digit runs count)."""
+    return F.regexp_extract_all(col, F.lit(BPE_PATTERN), 0)
+
+
+BPE_TOKENS_SQL = (
+    "regexp_extract_all({col}, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+|"
+    " ?[^A-Za-z0-9\\s'']+')"
+)
+
+
 def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text
     (md5 is available and identical in Spark and DuckDB)."""

@@ -1,0 +1,70 @@
+"""Unit tests for operator-library functions that aren't (fully)
+covered by the registry's oracle gate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sql_data_warehouse_spark.operators import multimodal
+from sql_data_warehouse_spark.operators.asof import asof_join_backward
+from sql_data_warehouse_spark.operators.skew import salted_join
+from sql_data_warehouse_spark.sources import load_table
+
+from .conftest import SF_SMOKE
+
+
+def test_salted_join_matches_plain_join(spark):
+    o = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    plain = o.join(c, "o_custkey")
+    salted = salted_join(o, c, "o_custkey", salt_from="o_orderkey", n_salts=4)
+    assert salted.count() == plain.count()
+    assert salted.select(F.sum("o_orderkey")).collect() == plain.select(
+        F.sum("o_orderkey")
+    ).collect()
+
+
+def test_asof_join_edges(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "l1"), (1, 20, "l2"), (2, 5, "l3")],
+        "k long, t long, lv string",
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "lv")
+    right = spark.createDataFrame(
+        [(1, 10, "r_eq"), (1, 15, "r_mid"), (3, 1, "r_other")],
+        "k long, t long, rv string",
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "rv")
+    out = {
+        r["lv"]: r["matched_rv"]
+        for r in asof_join_backward(left, right, key="k").collect()
+    }
+    # Equal timestamps match (inclusive); later right rows win;
+    # keys with no prior right row get NULL.
+    assert out == {"l1": "r_eq", "l2": "r_mid", "l3": None}
+
+
+def test_multimodal_resize_and_real_decode(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(30)
+    media = multimodal.attach_fake_media(docs)
+    resized = multimodal.resize_images(media, max_side=128)
+    rows = resized.collect()
+    assert rows and all(r["resized_to"] == 128 for r in rows)
+    n_images = media.filter(F.col("media_type") == "image").count()
+    assert len(rows) == n_images
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_real(b"x", "image", "png")
+
+
+def test_fake_decode_batch_shape():
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2], "payload": [b"abc", b"defgh"], "media_type": ["image", "audio"]}
+    )
+    out = multimodal.fake_decode_batch(pdf)
+    assert list(out.columns) == [
+        "doc_id", "media_type", "n_bytes", "checksum", "width", "height"
+    ]
+    assert out["n_bytes"].tolist() == [3, 5]
