@@ -164,6 +164,57 @@ def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- multi-way join (TPC-H Q5)
+
+@query(
+    "local_supplier_revenue",
+    survey="ext-multijoin A2 J4 J5",
+    oracle=f"""
+        SELECT n.n_name AS nation,
+               {MONEY_SUM_SQL.format(
+                   expr="l.l_extendedprice * (1.0 - l.l_discount)"
+               )} AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lineitems
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                       AND s.s_nationkey = c.c_nationkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+)
+def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way join (lineitem⋈orders⋈customer⋈supplier⋈
+    nation) with the local-supplier predicate s_nationkey = c_nationkey.
+    The two facts join on their shared key (sort-merge / shuffle once,
+    or zero-shuffle when bucketed per sources/layout.py); all dims
+    broadcast. Catalyst+AQE pick the join order — nothing
+    hand-scheduled. Revenue = extendedprice*(1-discount), summed via
+    exact integer cents."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            money_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
 # ------------------------------------------------------------ set operations
 
 @query(

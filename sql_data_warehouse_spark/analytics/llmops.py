@@ -11,9 +11,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.text import lang_guess_sql
 from ..operators import dedup, multimodal, similarity, text_analysis
 from ..sources import load_table
 from .registry import query
+
+lang_guess_sql_text = lang_guess_sql("text")
 
 # ------------------------------------------------------------ text analysis
 
@@ -175,14 +178,97 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "label_centroid_similarity",
     survey="ext-sim A7",
     tags=("llmops",),
-    oracle=None,  # IVF-style coarse scoring; rows-only this round
+    oracle=similarity.LABEL_CENTROID_SQL,
 )
 def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine of each vector to its label centroid (IVF coarse
-    quantization building block)."""
+    quantization building block). Centroid means use scaled-int64
+    accumulation so both engines agree bit-for-bit."""
     return similarity.label_centroid_similarity(
         load_table(spark, sf_dir, "embeddings")
     )
+
+
+@query(
+    "ivf_ann_topk",
+    survey="ext-sim A7 W3",
+    tags=("llmops",),
+    oracle=similarity.ivf_topk_sql(query_filter="vec_id < 5", k=10, nprobe=2),
+)
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: probe the 2 nearest label-centroids per query, exact
+    cosine inside the probed clusters only (operators/similarity.py).
+    Fully deterministic, so — unlike the random-hyperplane LSH twin —
+    the whole approximate pipeline is hash-gated."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(emb, queries, k=10, nprobe=2)
+
+
+# ------------------------------------------------------- selection funnel
+
+@query(
+    "corpus_filter_funnel",
+    survey="ext-text ext-dedup A1 W1",
+    tags=("llmops",),
+    oracle=f"""
+        WITH flags AS (
+            SELECT doc_id,
+                   {text_analysis.TOKEN_COUNT_SQL.format(col="text")} >= 10
+                     AND {text_analysis.ALPHA_RATIO_SQL.format(col="text")} >= 0.5
+                     AS q_ok,
+                   {lang_guess_sql_text} != 'und' AS lang_ok,
+                   doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_keeper
+            FROM documents
+        )
+        SELECT 'total' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs FROM flags
+        UNION ALL
+        SELECT 'quality_pass', CAST(COALESCE(SUM(CASE WHEN q_ok THEN 1 END), 0) AS BIGINT) FROM flags
+        UNION ALL
+        SELECT 'lang_identified',
+               CAST(COALESCE(SUM(CASE WHEN q_ok AND lang_ok THEN 1 END), 0) AS BIGINT) FROM flags
+        UNION ALL
+        SELECT 'deduplicated',
+               CAST(COALESCE(SUM(CASE WHEN q_ok AND lang_ok AND is_keeper THEN 1 END), 0) AS BIGINT) FROM flags
+    """,
+)
+def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data selection funnel: quality filter → language
+    filter → exact dedup, reported as per-stage survivor counts. One
+    projection pass + one window shuffle (dedup keeper flag) + a tiny
+    final aggregate — the canonical shape of a corpus selection job
+    at 100 TB."""
+    from pyspark.sql import Window
+
+    from ..functions.text import alpha_ratio, lang_guess, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text"))
+    flags = docs.select(
+        ((token_count(F.col("text")) >= 10) & (alpha_ratio(F.col("text")) >= 0.5))
+        .alias("q_ok"),
+        (lang_guess(F.col("text")) != "und").alias("lang_ok"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_keeper"),
+    )
+
+    def stage(name: str, cond) -> DataFrame:
+        return flags.agg(
+            F.coalesce(F.sum(F.when(cond, F.lit(1))), F.lit(0))
+            .cast("long")
+            .alias("n_docs")
+        ).select(F.lit(name).alias("stage"), "n_docs")
+
+    out = flags.agg(F.count(F.lit(1)).cast("long").alias("n_docs")).select(
+        F.lit("total").alias("stage"), "n_docs"
+    )
+    out = out.unionAll(stage("quality_pass", F.col("q_ok")))
+    out = out.unionAll(stage("lang_identified", F.col("q_ok") & F.col("lang_ok")))
+    out = out.unionAll(
+        stage("deduplicated", F.col("q_ok") & F.col("lang_ok") & F.col("is_keeper"))
+    )
+    return out
 
 
 # -------------------------------------------------------------- multimodal

@@ -26,8 +26,20 @@ from pyspark.sql import functions as F
 
 from ..analytics.registry import query
 from ..functions.tsql import datediff_month, datediff_year, int_div
-from .gold import GOLD_CTES, gold_dim_customers, gold_dim_products, gold_fact_sales
+from .gold import GOLD_CTES, gold_df
 from .silver import AS_OF
+
+
+def _fact(spark: SparkSession) -> DataFrame:
+    return gold_df(spark, "fact_sales")
+
+
+def _dimc(spark: SparkSession) -> DataFrame:
+    return gold_df(spark, "dim_customers")
+
+
+def _dimp(spark: SparkSession) -> DataFrame:
+    return gold_df(spark, "dim_products")
 
 _W = f"WITH {GOLD_CTES}"
 
@@ -61,9 +73,9 @@ def register_warehouse_views(spark: SparkSession) -> None:
     """Catalog registration (reference scripts/gold/load_gold.sql view
     DDL): gold views land in the session catalog so ad-hoc SQL can hit
     them by name, exactly like the reference's `gold.*` views."""
-    gold_dim_customers(spark).createOrReplaceTempView("wh_gold_dim_customers")
-    gold_dim_products(spark).createOrReplaceTempView("wh_gold_dim_products")
-    gold_fact_sales(spark).createOrReplaceTempView("wh_gold_fact_sales")
+    _dimc(spark).createOrReplaceTempView("wh_gold_dim_customers")
+    _dimp(spark).createOrReplaceTempView("wh_gold_dim_products")
+    _fact(spark).createOrReplaceTempView("wh_gold_fact_sales")
 
 
 @query(
@@ -106,7 +118,7 @@ def wh_q01_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bigint": "BIGINT", "int": "INTEGER", "string": "VARCHAR",
         "timestamp": "TIMESTAMP", "date": "DATE", "double": "DOUBLE",
     }
-    df = gold_dim_customers(spark)
+    df = _dimc(spark)
     rows = [(f.name, type_names[f.dataType.simpleString()]) for f in df.schema.fields]
     return spark.createDataFrame(rows, "column_name string, data_type string")
 
@@ -120,7 +132,7 @@ def wh_q01_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def wh_q02_countries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """02_dimensions_exploration.sql:16-19."""
-    return gold_dim_customers(spark).select("country").distinct().orderBy("country")
+    return _dimc(spark).select("country").distinct().orderBy("country")
 
 
 @query(
@@ -134,7 +146,7 @@ def wh_q02_countries(spark: SparkSession, sf_dir: str) -> DataFrame:
 def wh_q02_product_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """02_dimensions_exploration.sql:22-27."""
     return (
-        gold_dim_products(spark)
+        _dimp(spark)
         .select("category", "subcategory", "product_name")
         .distinct()
         .orderBy("category", "subcategory", "product_name")
@@ -156,7 +168,7 @@ def wh_q02_product_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def wh_q03_order_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """03_date_range_exploration.sql:15-19."""
-    return gold_fact_sales(spark).agg(
+    return _fact(spark).agg(
         F.min("order_date").alias("first_order_date"),
         F.max("order_date").alias("last_order_date"),
         datediff_month(F.min("order_date"), F.max("order_date"))
@@ -178,7 +190,7 @@ def wh_q03_order_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 def wh_q03_birthdate_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """03_date_range_exploration.sql:22-27 (GETDATE → AS_OF)."""
     as_of = F.lit(AS_OF).cast("timestamp")
-    return gold_dim_customers(spark).agg(
+    return _dimc(spark).agg(
         F.min("birthdate").alias("oldest_birthdate"),
         datediff_year(F.min("birthdate"), as_of).alias("oldest_age"),
         F.max("birthdate").alias("youngest_birthdate"),
@@ -207,7 +219,7 @@ def wh_q03_birthdate_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 def wh_q04_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """04_measures_exploration.sql:15-34 — the seven scalar measures
     as one row (T-SQL AVG(INT) truncates → SUM div COUNT)."""
-    f = gold_fact_sales(spark)
+    f = _fact(spark)
     fact = f.agg(
         F.sum("sales_amount").alias("total_sales"),
         F.sum("quantity").alias("total_quantity"),
@@ -216,8 +228,8 @@ def wh_q04_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("order_number").alias("total_orders"),
         F.countDistinct("customer_key").alias("customers_with_orders"),
     )
-    prods = gold_dim_products(spark).agg(F.count("product_name").alias("total_products"))
-    custs = gold_dim_customers(spark).agg(F.count("customer_key").alias("total_customers"))
+    prods = _dimp(spark).agg(F.count("product_name").alias("total_products"))
+    custs = _dimc(spark).agg(F.count("customer_key").alias("total_customers"))
     return fact.crossJoin(prods).crossJoin(custs).select(
         "total_sales", "total_quantity", "avg_price", "total_order_rows",
         "total_orders", "total_products", "total_customers", "customers_with_orders",
@@ -245,7 +257,7 @@ def wh_q04_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def wh_q04_metrics_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """04_measures_exploration.sql:37-47 — UNION ALL metrics report."""
-    f = gold_fact_sales(spark)
+    f = _fact(spark)
 
     def metric(name: str, df: DataFrame, expr) -> DataFrame:
         return df.agg(expr.cast("long").alias("measure_value")).select(
@@ -257,8 +269,8 @@ def wh_q04_metrics_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         metric("Total Quantity", f, F.sum("quantity")),
         metric("Average Price", f, int_div(F.sum("price"), F.count("price"))),
         metric("Total Orders", f, F.countDistinct("order_number")),
-        metric("Total Products", gold_dim_products(spark), F.countDistinct("product_name")),
-        metric("Total Customers", gold_dim_customers(spark), F.count("customer_key")),
+        metric("Total Products", _dimp(spark), F.countDistinct("product_name")),
+        metric("Total Customers", _dimc(spark), F.count("customer_key")),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -279,7 +291,7 @@ def wh_q04_metrics_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def wh_q05_customers_by_country(spark: SparkSession, sf_dir: str) -> DataFrame:
     """05_magnitude_analysis.sql:16-21."""
     return (
-        gold_dim_customers(spark)
+        _dimc(spark)
         .groupBy("country")
         .agg(F.count("customer_key").alias("total_customers"))
         .orderBy(F.desc("total_customers"))
@@ -297,7 +309,7 @@ def wh_q05_customers_by_country(spark: SparkSession, sf_dir: str) -> DataFrame:
 def wh_q05_customers_by_gender(spark: SparkSession, sf_dir: str) -> DataFrame:
     """05_magnitude_analysis.sql:24-29."""
     return (
-        gold_dim_customers(spark)
+        _dimc(spark)
         .groupBy("gender")
         .agg(F.count("customer_key").alias("total_customers"))
         .orderBy(F.desc("total_customers"))
@@ -315,7 +327,7 @@ def wh_q05_customers_by_gender(spark: SparkSession, sf_dir: str) -> DataFrame:
 def wh_q05_products_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
     """05_magnitude_analysis.sql:32-37."""
     return (
-        gold_dim_products(spark)
+        _dimp(spark)
         .groupBy("category")
         .agg(F.count("product_key").alias("total_products"))
         .orderBy(F.desc("total_products"))
@@ -333,7 +345,7 @@ def wh_q05_products_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
 def wh_q05_avg_cost_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
     """05_magnitude_analysis.sql:40-45 (T-SQL AVG(INT) truncation)."""
     return (
-        gold_dim_products(spark)
+        _dimp(spark)
         .groupBy("category")
         .agg(int_div(F.sum("cost"), F.count("cost")).alias("avg_cost"))
         .orderBy(F.desc("avg_cost"))
@@ -352,8 +364,8 @@ def wh_q05_avg_cost_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def wh_q05_revenue_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
     """05_magnitude_analysis.sql:48-55 — fact × broadcast dim."""
-    f = gold_fact_sales(spark)
-    p = gold_dim_products(spark)
+    f = _fact(spark)
+    p = _dimp(spark)
     return (
         f.join(F.broadcast(p), f.product_key == p.product_key, "left")
         .groupBy("category")
@@ -376,8 +388,8 @@ def wh_q05_revenue_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def wh_q05_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """05_magnitude_analysis.sql:59-71 — multi-key groupBy."""
-    f = gold_fact_sales(spark)
-    c = gold_dim_customers(spark)
+    f = _fact(spark)
+    c = _dimc(spark)
     return (
         f.join(F.broadcast(c), f.customer_key == c.customer_key, "left")
         .groupBy(c.customer_key, "first_name", "last_name")
@@ -398,8 +410,8 @@ def wh_q05_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def wh_q05_items_by_country(spark: SparkSession, sf_dir: str) -> DataFrame:
     """05_magnitude_analysis.sql:74-81."""
-    f = gold_fact_sales(spark)
-    c = gold_dim_customers(spark)
+    f = _fact(spark)
+    c = _dimc(spark)
     return (
         f.join(F.broadcast(c), f.customer_key == c.customer_key, "left")
         .groupBy("country")
@@ -411,8 +423,8 @@ def wh_q05_items_by_country(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -------------------------------------------------------------- Q06 ranking
 
 def _product_revenue(spark: SparkSession) -> DataFrame:
-    f = gold_fact_sales(spark)
-    p = gold_dim_products(spark)
+    f = _fact(spark)
+    p = _dimp(spark)
     return (
         f.join(F.broadcast(p), f.product_key == p.product_key, "left")
         .groupBy("product_name")
@@ -495,8 +507,8 @@ def wh_q06_worst5_products(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def wh_q06_top10_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """06_ranking_analysis.sql:51-63."""
-    f = gold_fact_sales(spark)
-    c = gold_dim_customers(spark)
+    f = _fact(spark)
+    c = _dimc(spark)
     return (
         f.join(F.broadcast(c), f.customer_key == c.customer_key, "left")
         .groupBy(c.customer_key, "first_name", "last_name")
@@ -521,8 +533,8 @@ def wh_q06_top10_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def wh_q06_bottom3_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """06_ranking_analysis.sql:66-78 (ties on total_orders are dense —
     customer_key tiebreaker is load-bearing here)."""
-    f = gold_fact_sales(spark)
-    c = gold_dim_customers(spark)
+    f = _fact(spark)
+    c = _dimc(spark)
     return (
         f.join(F.broadcast(c), f.customer_key == c.customer_key, "left")
         .groupBy(c.customer_key, "first_name", "last_name")
@@ -550,7 +562,7 @@ def wh_q06_bottom3_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def wh_q07_monthly_ym(spark: SparkSession, sf_dir: str) -> DataFrame:
     """07_change_over_time_analysis.sql:18-27 (YEAR/MONTH keys)."""
     return (
-        gold_fact_sales(spark)
+        _fact(spark)
         .filter(F.col("order_date").isNotNull())
         .groupBy(
             F.year("order_date").alias("order_year"),
@@ -580,7 +592,7 @@ def wh_q07_monthly_ym(spark: SparkSession, sf_dir: str) -> DataFrame:
 def wh_q07_monthly_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """07_change_over_time_analysis.sql:30-38 (DATETRUNC keys)."""
     return (
-        gold_fact_sales(spark)
+        _fact(spark)
         .filter(F.col("order_date").isNotNull())
         .groupBy(F.date_trunc("month", "order_date").alias("order_month_start"))
         .agg(
@@ -608,7 +620,7 @@ def wh_q07_monthly_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """07_change_over_time_analysis.sql:41-49 (FORMAT 'yyyy-MMM' keys —
     English month abbreviations agree across both engines)."""
     return (
-        gold_fact_sales(spark)
+        _fact(spark)
         .filter(F.col("order_date").isNotNull())
         .groupBy(F.date_format("order_date", "yyyy-MMM").alias("order_month_label"))
         .agg(
@@ -647,7 +659,7 @@ def wh_q08_cumulative_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
     SUM/AVG windows (default RANGE UNBOUNDED..CURRENT frame matches
     in both engines; T-SQL AVG(INT) → running SUM div COUNT)."""
     yearly = (
-        gold_fact_sales(spark)
+        _fact(spark)
         .filter(F.col("order_date").isNotNull())
         .groupBy(F.date_trunc("year", "order_date").alias("order_year_start"))
         .agg(
@@ -714,8 +726,8 @@ def wh_q09_yoy_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     """09_performance_analysis.sql:19-52 — YoY via LAG (W5) + vs own
     average via whole-partition window (W8). T-SQL AVG(INT) truncates
     → SUM div COUNT on both sides."""
-    f = gold_fact_sales(spark)
-    p = gold_dim_products(spark)
+    f = _fact(spark)
+    p = _dimp(spark)
     yearly = (
         f.join(F.broadcast(p), f.product_key == p.product_key, "left")
         .filter(F.col("order_date").isNotNull())
@@ -771,7 +783,7 @@ def wh_q09_yoy_products(spark: SparkSession, sf_dir: str) -> DataFrame:
 def wh_q10_cost_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10_data_segmentation.sql:17-35 — CASE bucket + re-aggregate."""
     return (
-        gold_dim_products(spark)
+        _dimp(spark)
         .select(
             "product_key",
             F.when(F.col("cost") < 100, "Below 100")
@@ -811,8 +823,8 @@ def wh_q10_cost_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def wh_q10_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10_data_segmentation.sql:43-69 — agg CTE → CASE → re-agg."""
-    f = gold_fact_sales(spark)
-    c = gold_dim_customers(spark)
+    f = _fact(spark)
+    c = _dimc(spark)
     spending = (
         f.join(F.broadcast(c), f.customer_key == c.customer_key, "left")
         .groupBy(c.customer_key)
@@ -860,8 +872,8 @@ def wh_q11_category_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     category), so the single-partition window is safe at any fact
     scale; the division is pure IEEE double on exact int sums —
     bit-identical across engines."""
-    f = gold_fact_sales(spark)
-    p = gold_dim_products(spark)
+    f = _fact(spark)
+    p = _dimp(spark)
     cat = (
         f.join(F.broadcast(p), f.product_key == p.product_key, "left")
         .groupBy("category")
@@ -935,8 +947,8 @@ def wh_q12_report_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     intent — total_products and lifespan are separate columns
     (SURVEY §1.5). T-SQL INT/INT division preserved via ``div``."""
     as_of = F.lit(AS_OF).cast("timestamp")
-    f = gold_fact_sales(spark)
-    c = gold_dim_customers(spark)
+    f = _fact(spark)
+    c = _dimc(spark)
     base = (
         f.join(F.broadcast(c), f.customer_key == c.customer_key, "left")
         .filter(F.col("order_date").isNotNull())
@@ -1041,8 +1053,8 @@ def wh_q13_report_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     module docstring); ROUND(x,1) → floor(x*10+0.5)/10 on both sides.
     """
     as_of = F.lit(AS_OF).cast("timestamp")
-    f = gold_fact_sales(spark)
-    p = gold_dim_products(spark)
+    f = _fact(spark)
+    p = _dimp(spark)
     ratio = F.col("sales_amount").cast("double") / F.when(
         F.col("quantity") == 0, F.lit(None)
     ).otherwise(F.col("quantity"))

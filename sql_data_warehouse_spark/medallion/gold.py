@@ -195,7 +195,17 @@ _GOLD = {
 
 
 def gold_df(spark: SparkSession, view: str) -> DataFrame:
-    return _GOLD[view](spark)
+    """Cached gold view (default silver source only): the 13 analysis
+    queries all start from these three relations — cache the small
+    star once per session rather than re-running joins+windows per
+    query."""
+    cache = getattr(spark, "_wh_gold_cache", None)
+    if cache is None:
+        cache = {}
+        spark._wh_gold_cache = cache
+    if view not in cache:
+        cache[view] = _GOLD[view](spark).cache()
+    return cache[view]
 
 
 def gold_sql(view: str) -> str:

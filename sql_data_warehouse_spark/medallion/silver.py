@@ -275,5 +275,15 @@ _TRANSFORMS = {
 
 
 def silver_df(spark: SparkSession, table: str) -> DataFrame:
-    """bronze ingest + silver transform for one table."""
-    return _TRANSFORMS[table](bronze_df(spark, table))
+    """bronze ingest + silver transform for one table, cached per
+    session: dozens of registered queries derive from these six small
+    tables, so the first touch materializes each into the block cache
+    (Spark ``.cache()``) instead of re-parsing CSV per query. Results
+    are identical — InMemoryRelation is a physical-plan substitution."""
+    cache = getattr(spark, "_wh_silver_cache", None)
+    if cache is None:
+        cache = {}
+        spark._wh_silver_cache = cache
+    if table not in cache:
+        cache[table] = _TRANSFORMS[table](bronze_df(spark, table)).cache()
+    return cache[table]

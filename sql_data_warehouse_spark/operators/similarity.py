@@ -206,6 +206,31 @@ def embedding_near_dup_pairs_lsh(embeddings: DataFrame,
     )
 
 
+CENTROID_CTES_SQL = """
+    dim AS (
+      SELECT label, unnest(embedding) AS x,
+             unnest(range(1, len(embedding)+1)) AS pos
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, pos,
+             CAST(SUM(CAST(floor(CAST(x AS DOUBLE)*1000000.0+0.5) AS BIGINT))
+                  AS DOUBLE) / 1000000.0 / COUNT(*) AS c
+      FROM dim GROUP BY label, pos
+    ),
+    cent_arr AS (
+      SELECT label, list(c ORDER BY pos) AS centroid FROM cent GROUP BY label
+    )
+"""
+
+LABEL_CENTROID_SQL = f"""
+    WITH {CENTROID_CTES_SQL}
+    SELECT e.vec_id, e.label,
+           {{cos}} AS centroid_sim
+    FROM embeddings e JOIN cent_arr c USING (label)
+""".format(cos=cosine_sql("e.embedding", "c.centroid"))
+
+
 def label_centroid_similarity(embeddings: DataFrame,
                               id_col: str = "vec_id",
                               vec_col: str = "embedding") -> DataFrame:
@@ -243,3 +268,100 @@ def label_centroid_similarity(embeddings: DataFrame,
             cosine(F.col(vec_col), F.col("centroid")).alias("centroid_sim"),
         )
     )
+
+
+def _centroids(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-label centroids (deterministic scaled-int64 means) —
+    the IVF coarse quantizer. Small by construction: one row per
+    label/cluster."""
+    dim = embeddings.select(
+        "label", F.posexplode(vec_col).alias("pos", "x")
+    )
+    return (
+        dim.groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("x").cast("double") * 1000000.0 + 0.5).cast("long")
+                ).cast("double")
+                / 1000000.0
+                / F.count(F.lit(1)).cast("double")
+            ).alias("c")
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            "label", F.transform("pc", lambda s: s.getField("c")).alias("centroid")
+        )
+    )
+
+
+def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+             nprobe: int = 2, id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             query_id_col: str = "query_id") -> DataFrame:
+    """IVF-style ANN: rank the (tiny) centroid table per query, probe
+    the top ``nprobe`` clusters, brute-force cosine only inside them.
+
+    Scale shape: the corpus is scanned once with a broadcast
+    (query × probed-label) filter — at 100 TB with the corpus
+    partitioned/clustered by label, the probe prunes the scan to
+    nprobe/n_labels of the data before any I/O. Recall is bounded by
+    the quantizer (here: the label structure); this is the standard
+    IVF trade."""
+    cent = _centroids(embeddings, vec_col)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("cent_sim"), F.asc("label")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id", "q_vec", "label",
+            cosine(F.col("q_vec"), F.col("centroid")).alias("cent_sim"),
+        )
+        .withColumn("probe_rank", F.row_number().over(w_probe))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select("query_id", "q_vec", "label")
+    )
+    scored = embeddings.join(F.broadcast(probes), "label").select(
+        "query_id",
+        F.col(id_col).alias("vec_id"),
+        cosine(F.col("q_vec"), F.col(vec_col)).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_topk_sql(query_filter: str, k: int = 10, nprobe: int = 2) -> str:
+    """DuckDB twin of :func:`ivf_topk`."""
+    return f"""
+        WITH {CENTROID_CTES_SQL},
+        q AS (SELECT vec_id AS query_id, embedding AS q_vec
+              FROM embeddings WHERE {query_filter}),
+        probes AS (
+          SELECT query_id, q_vec, label FROM (
+            SELECT q.query_id, q.q_vec, c.label,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY {cosine_sql("q.q_vec", "c.centroid")} DESC, c.label ASC
+                   ) AS probe_rank
+            FROM q CROSS JOIN cent_arr c
+          ) WHERE probe_rank <= {nprobe}
+        ),
+        scored AS (
+          SELECT p.query_id, e.vec_id,
+                 {cosine_sql("p.q_vec", "e.embedding")} AS cosine_sim
+          FROM embeddings e JOIN probes p USING (label)
+        )
+        SELECT query_id, vec_id, cosine_sim, rank FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cosine_sim DESC, vec_id ASC) AS INTEGER) AS rank
+          FROM scored
+        ) WHERE rank <= {k}
+    """

@@ -139,6 +139,80 @@ def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_user_totals",
+    survey="ext-stream A2",
+    tags=("streaming",),
+    oracle=f"""
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {MICRO_SUM_SQL.format(expr="value")} AS total_value
+        FROM events GROUP BY user_id
+    """,
+)
+def events_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals — the batch twin of the
+    applyInPandasWithState stateful stream (streaming/jobs.py
+    user_running_totals); tests/test_streaming.py proves the stream's
+    final state equals this aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        micro_sum(F.col("value")).alias("total_value"),
+    )
+
+
+@query(
+    "events_minutely_gapfill",
+    survey="ext-timeseries A4 W-none",
+    tags=("streaming",),
+    oracle="""
+        WITH bounds AS (
+          SELECT date_trunc('hour', MIN(ts)) AS t0,
+                 date_trunc('hour', MAX(ts)) AS t1
+          FROM events
+        ),
+        grid AS (
+          SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS hour_start
+          FROM bounds
+        ),
+        agg AS (
+          SELECT date_trunc('hour', ts) AS hour_start,
+                 CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM events GROUP BY 1
+        )
+        SELECT g.hour_start,
+               CAST(COALESCE(a.n_events, 0) AS BIGINT) AS n_events,
+               COALESCE(a.n_events, 0) = 0 AS is_gap
+        FROM grid g LEFT JOIN agg a USING (hour_start)
+    """,
+)
+def events_minutely_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill (hypertable-style dense rollup): generate
+    the full hourly grid between min and max event time with
+    ``sequence`` + explode, left-join the real rollup, zero-fill
+    gaps. The grid generation is O(span) rows on ONE aggregated row —
+    no per-event cost — and the join shuffles only the tiny rollup."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_start")
+    )
+    agg = e.groupBy(F.date_trunc("hour", "ts").alias("hour_start")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return grid.join(agg, "hour_start", "left").select(
+        "hour_start",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        (F.coalesce("n_events", F.lit(0)) == 0).alias("is_gap"),
+    )
+
+
+@query(
     "events_json_props",
     survey="ext-json P8 A2",
     tags=("streaming",),
