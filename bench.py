@@ -46,6 +46,8 @@ def main() -> None:
         df = q.builder(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - start, 3)
+        # Per-query progress to stderr (stdout stays one JSON line).
+        print(f"{timings[name]:8.2f}  {name}", file=sys.stderr, flush=True)
 
     out = {
         "metric": "total_query_wall_sec",

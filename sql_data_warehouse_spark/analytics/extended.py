@@ -279,6 +279,60 @@ def salted_hot_key_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------- percentiles
+
+@query(
+    "order_value_percentiles",
+    survey="ext-percentile A2",
+    oracle="""
+        SELECT o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               quantile_disc(o_totalprice, 0.50) AS p50,
+               quantile_disc(o_totalprice, 0.90) AS p90,
+               quantile_disc(o_totalprice, 0.99) AS p99
+        FROM orders GROUP BY o_orderpriority
+    """,
+)
+def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles per group (``percentile_disc``
+    semantics agree across engines on exact input values — no
+    interpolation, so doubles pass through untouched). The exact
+    twin of the sketch below."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice)").alias("p50"),
+        F.expr("percentile_disc(0.90) WITHIN GROUP (ORDER BY o_totalprice)").alias("p90"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY o_totalprice)").alias("p99"),
+    )
+
+
+@query(
+    "approx_distinct_users",
+    survey="ext-approx A1",
+    oracle=None,  # HLL sketch values are engine-specific; error bound
+    #               asserted in tests/test_operators.py instead
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct counting (HyperLogLog++) next to the
+    exact count — at 100 TB the sketch replaces a full shuffle of
+    every distinct key with fixed-size mergeable state. Output
+    includes the relative error so the calibration is visible."""
+    e = load_table(spark, sf_dir, "events")
+    agg = e.agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    )
+    return agg.select(
+        "exact_users",
+        "approx_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users")).cast("double")
+            / F.col("exact_users").cast("double")
+        ).alias("rel_error"),
+    )
+
+
 # ---------------------------------------------------------- BPE token stats
 
 @query(

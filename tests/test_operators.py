@@ -68,3 +68,12 @@ def test_fake_decode_batch_shape():
         "doc_id", "media_type", "n_bytes", "checksum", "width", "height"
     ]
     assert out["n_bytes"].tolist() == [3, 5]
+
+
+def test_approx_distinct_error_bound(spark):
+    from sql_data_warehouse_spark.analytics.extended import approx_distinct_users
+
+    row = approx_distinct_users(spark, SF_SMOKE).collect()[0]
+    assert row["exact_users"] > 0
+    # rsd=0.02 → stay well inside 5× the nominal bound.
+    assert row["rel_error"] < 0.10
