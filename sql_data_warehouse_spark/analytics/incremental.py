@@ -1,0 +1,281 @@
+"""Incremental-load and dataset-curation operators.
+
+The reference is full-refresh only (README.md:50 "historization of
+data is not required"; every load is TRUNCATE+reload,
+scripts/bronze/load_bronze.sql:35). These operators add the
+incremental counterparts a warehouse needs once full refresh stops
+being affordable — SCD2 historization (the reference's LEAD-based
+end-dating at scripts/silver/proc_load_silver.sql:104-106 is the
+degenerate single-snapshot case), MERGE-style upsert — plus the
+deterministic dataset-split / stratified-sampling operators a
+training-data pipeline runs over the document corpus.
+
+Scale notes per operator are in the docstrings; the common theme is
+that everything shuffles on the entity key exactly once (window
+partitionBy or the merge key), so the plans hold at 100 TB with keys
+hash-distributed across executors — no global windows, no
+driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import query
+from .xengine import cents, CENTS_SQL
+
+# ------------------------------------------------------------------- SCD2
+
+@query(
+    "scd2_user_history",
+    survey="ext-scd2 W1 W4 P8",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type, ts, event_id,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+        ),
+        changes AS (
+            SELECT * FROM ordered
+            WHERE prev_type IS DISTINCT FROM event_type
+        )
+        SELECT user_id,
+               event_type AS attr_value,
+               CAST(ts AS TIMESTAMP) AS valid_from,
+               lead(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS valid_to,
+               CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS INTEGER) AS version
+        FROM changes
+    """,
+)
+def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension historization: compress the
+    event stream into effective-dated attribute versions (one row per
+    *run* of equal ``event_type`` per user; ``valid_to IS NULL`` marks
+    the current version). Generalizes the reference's LEAD end-dating
+    (scripts/silver/proc_load_silver.sql:104-106) from one snapshot to
+    a full change history.
+
+    Scale: both windows partition by ``user_id`` — one hash shuffle of
+    the events table, each user's history sorted locally within its
+    partition. No global ordering anywhere, so the plan is identical
+    at 100 TB; skewed users are bounded by per-user event counts, not
+    table size.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(~F.col("prev_type").eqNullSafe(F.col("event_type")))
+    )
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("attr_value"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.row_number().over(w).cast("int").alias("version"),
+    )
+
+
+# ----------------------------------------------------------- MERGE upsert
+
+@query(
+    "incremental_merge_orders",
+    survey="ext-merge S2 W1 U1",
+    oracle=f"""
+        WITH updates AS (
+            SELECT o_orderkey, o_orderstatus,
+                   o_totalprice * 1.10 AS o_totalprice,
+                   'RE-PRICED' AS o_orderpriority,
+                   1 AS _src
+            FROM orders WHERE o_orderkey % 7 = 0
+        ),
+        unioned AS (
+            SELECT * FROM updates
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, o_totalprice,
+                   o_orderpriority, 0 AS _src
+            FROM orders
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY o_orderkey ORDER BY _src DESC
+                   ) AS rn
+            FROM unioned
+        )
+        SELECT o_orderkey, o_orderstatus, o_orderpriority,
+               {CENTS_SQL.format(expr="o_totalprice")} AS price_cents
+        FROM ranked WHERE rn = 1
+    """,
+)
+def incremental_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style upsert without a transactional table format: a
+    deterministic update batch (every 7th order re-priced +10%) is
+    merged into the target latest-wins per key — union + one window
+    on the merge key, the standard parquet-era incremental-load plan
+    (what Delta/Iceberg MERGE INTO compiles to under the hood).
+
+    Scale: one hash shuffle on ``o_orderkey``; update and base rows
+    for the same key co-locate, each group resolves locally. When the
+    update batch is small relative to the target, the better physical
+    plan is a broadcast anti-join (target LEFT ANTI updates, then
+    union) — zero shuffle of the big side; this query keeps the
+    general-case plan that works at any update:target ratio.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    updates = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") * F.lit(1.10)).alias("o_totalprice"),
+        F.lit("RE-PRICED").alias("o_orderpriority"),
+        F.lit(1).alias("_src"),
+    )
+    base = o.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority",
+        F.lit(0).alias("_src"),
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("_src"))
+    return (
+        updates.unionByName(base)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderkey", "o_orderstatus", "o_orderpriority",
+            cents(F.col("o_totalprice")).alias("price_cents"),
+        )
+    )
+
+
+# ---------------------------------------------- deterministic data splits
+
+# Lowercase two-char hex prefixes sort identically to their numeric
+# value in both engines, so a lexicographic threshold on md5(key) is a
+# portable, content-addressed bucket assignment: 'cd' = 205/256 ≈ 80%,
+# 'e6' = 230/256 ≈ 90%.
+_SPLIT_CASE_SQL = """
+    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+         ELSE 'test' END
+"""
+
+
+@query(
+    "dataset_split_assignment",
+    survey="ext-split A2 A5",
+    oracle=f"""
+        SELECT {_SPLIT_CASE_SQL} AS split,
+               lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY 1, 2
+    """,
+)
+def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content-addressed
+    hash: ``md5(doc_id)`` prefix thresholds give a stable ~80/10/10
+    split that never moves a document between splits as the corpus
+    grows — the property a training pipeline needs to avoid test-set
+    leakage across dataset versions. Grouped by language to make the
+    stratification visible.
+
+    Scale: embarrassingly parallel map (hash + 2-way compare per row)
+    feeding a partial aggregation — no shuffle until the tiny
+    (split × lang) group-by. Works unchanged at any corpus size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(prefix < "cd", "train")
+        .when(prefix < "e6", "val")
+        .otherwise("test")
+    )
+    return d.groupBy(split.alias("split"), "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@query(
+    "stratified_sample_by_lang",
+    survey="ext-sample W3 A2",
+    oracle="""
+        WITH ranked AS (
+            SELECT doc_id, lang, source,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rn,
+                   COUNT(*) OVER (PARTITION BY lang) AS group_n
+            FROM documents
+        )
+        SELECT doc_id, lang, source,
+               CAST(rn AS BIGINT) AS sample_rank
+        FROM ranked
+        WHERE rn <= CAST(ceil(group_n * 0.10) AS BIGINT)
+    """,
+)
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified 10%-per-language sample with deterministic
+    membership: rank documents inside each language by ``md5(doc_id)``
+    (a content-addressed uniform ordering, identical across engines
+    and runs) and keep the top ceil(10%) per group. This is the
+    mixture-curation primitive — swap the constant for a per-group
+    target to rebalance a corpus toward a desired language mix.
+
+    Scale: one hash shuffle on ``lang``. Low-cardinality strata make
+    whole languages hot partitions at 100 TB; the scale path is
+    two-phase — per-partition top-k on a salted key, then re-rank the
+    k·salt survivors — same contract, bounded partition memory.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select(
+            "doc_id", "lang", "source",
+            F.row_number().over(w).cast("long").alias("sample_rank"),
+            F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("group_n"),
+        )
+        .filter(
+            F.col("sample_rank")
+            <= F.ceil(F.col("group_n") * F.lit(0.10)).cast("long")
+        )
+        .drop("group_n")
+    )
+
+
+# ------------------------------------------------- percentile sketch twin
+
+@query(
+    "approx_order_value_percentiles",
+    survey="ext-approx A2",
+    oracle=None,  # sketch values are engine-specific; accuracy vs the
+    #               exact twin asserted in tests/test_operators.py
+)
+def approx_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch twin of ``order_value_percentiles``: KLL-style
+    ``approx_percentile`` with mergeable fixed-size state. At 100 TB
+    the exact quantile needs a full sort per group; the sketch is one
+    map-side pass plus a tiny merge, with the accuracy knob explicit.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr(
+            "approx_percentile(o_totalprice, array(0.50, 0.90, 0.99), 10000)"
+        ).alias("approx_p"),
+    ).select(
+        "priority", "n_orders",
+        F.col("approx_p")[0].alias("p50"),
+        F.col("approx_p")[1].alias("p90"),
+        F.col("approx_p")[2].alias("p99"),
+    )

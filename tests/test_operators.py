@@ -77,3 +77,21 @@ def test_approx_distinct_error_bound(spark):
     assert row["exact_users"] > 0
     # rsd=0.02 → stay well inside 5× the nominal bound.
     assert row["rel_error"] < 0.10
+
+
+def test_approx_percentiles_track_exact(spark):
+    from sql_data_warehouse_spark.analytics.extended import order_value_percentiles
+    from sql_data_warehouse_spark.analytics.incremental import (
+        approx_order_value_percentiles,
+    )
+
+    exact = {r["priority"]: r for r in order_value_percentiles(spark, SF_SMOKE).collect()}
+    approx = {
+        r["priority"]: r
+        for r in approx_order_value_percentiles(spark, SF_SMOKE).collect()
+    }
+    assert set(exact) == set(approx)
+    for prio, e in exact.items():
+        a = approx[prio]
+        for q in ("p50", "p90", "p99"):
+            assert abs(a[q] - e[q]) / e[q] < 0.05, (prio, q, a[q], e[q])
