@@ -13,7 +13,7 @@ from ..functions.text import BPE_TOKENS_SQL, bpe_ish_tokens
 from ..operators.asof import asof_join_backward
 from ..sources import load_table
 from .registry import query
-from .xengine import MONEY_SUM_SQL, money_sum
+from .xengine import CENTS_SQL, MONEY_SUM_SQL, cents, money_sum
 
 # ------------------------------------------------------------------ rollup
 
@@ -371,4 +371,174 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.sum("n_distinct").alias("total_distinct_tokens"),
         F.sum("n_chars").alias("total_chars"),
+    )
+
+
+# ------------------------------------- correlated-subquery classics
+# The reference's query set (scripts/analysis/*.sql) stops at window
+# functions; these add the three canonical correlated-subquery shapes
+# (TPC-H Q17/Q18/Q22) that any warehouse engine must plan well —
+# each decorrelated into the join+aggregate form Catalyst executes.
+
+@query(
+    "small_quantity_revenue",
+    survey="ext-subquery A2 A8 J4 P8",
+    oracle=f"""
+        WITH t AS (
+            SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_thresh
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT p.p_brand,
+               CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+               {MONEY_SUM_SQL.format(expr="l.l_extendedprice")} AS total_price
+        FROM lineitem l
+        JOIN t ON l.l_partkey = t.l_partkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_quantity < t.qty_thresh
+        GROUP BY p.p_brand
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated aggregate decorrelated: per-part
+    average quantity, then each lineitem compared against 20% of its
+    own part's average. (Exact: integral quantities sum exactly in
+    doubles, so both engines derive the identical threshold.)
+
+    Scale: the per-part average and the lineitem↔threshold join share
+    ``l_partkey`` — one hash shuffle serves both (Catalyst reuses the
+    exchange); the part dim joins broadcast. This is the plan shape
+    that survives 100 TB: no row explosion, partial aggregation
+    map-side, one wide exchange total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    thresh = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * F.lit(0.2)).alias("qty_thresh")
+    )
+    return (
+        li.join(thresh, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_small_lines"),
+            money_sum(F.col("l_extendedprice")).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "large_orders",
+    survey="ext-subquery A2 A6 J3 J5",
+    oracle=f"""
+        WITH big AS (
+            SELECT l_orderkey, SUM(l_quantity) AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING SUM(l_quantity) > 250
+        )
+        SELECT c.c_name, o.o_orderkey,
+               CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+               {CENTS_SQL.format(expr="o.o_totalprice")} AS price_cents,
+               big.total_qty
+        FROM big
+        JOIN orders o ON o.o_orderkey = big.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — HAVING over a grouped fact feeding joins:
+    orders whose lineitems total >250 units, with their customer.
+
+    Scale: the HAVING prunes before any join (a few rows per million
+    survive), so the expensive side collapses first; the surviving
+    keys join ``orders`` on the shuffle key and the customer dim
+    joins broadcast-or-shuffled by size. Aggregate-then-join is the
+    order that matters at 100 TB — join-then-aggregate would shuffle
+    the full fact twice."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+            cents(F.col("o_totalprice")).alias("price_cents"),
+            "total_qty",
+        )
+    )
+
+
+@query(
+    "big_balance_lapsed",
+    survey="ext-subquery A1 A2 J6 P8",
+    oracle=f"""
+        WITH cutoff AS (
+            SELECT MAX(o_orderdate) - INTERVAL 365 DAY AS t FROM orders
+        ),
+        thresh AS (
+            SELECT CAST(SUM({CENTS_SQL.format(expr="c_acctbal")}) AS DOUBLE)
+                   / COUNT(*) AS avg_cents
+            FROM customer WHERE c_acctbal > 0.0
+        )
+        SELECT c.c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               {MONEY_SUM_SQL.format(expr="c.c_acctbal")} AS total_acctbal
+        FROM customer c, thresh
+        WHERE {CENTS_SQL.format(expr="c.c_acctbal")} > thresh.avg_cents
+          AND NOT EXISTS (
+              SELECT 1 FROM orders o, cutoff
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= cutoff.t
+          )
+        GROUP BY c.c_mktsegment
+    """,
+)
+def big_balance_lapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — scalar subquery + NOT EXISTS: customers with
+    above-average positive balance and no order in the final year of
+    the data (lapsed big spenders — the reactivation list). The
+    average is computed on integer cents so both engines derive a
+    bit-identical threshold (float-sum order can never flip a
+    borderline customer).
+
+    Scale: both scalar subqueries (cutoff date, average balance) are
+    one-row broadcasts; the NOT EXISTS decorrelates to a left-anti
+    hash join on ``custkey`` against only the last year of orders —
+    the date filter prunes the fact scan (partition pruning on a
+    date-partitioned table) before the anti join shuffles anything.
+    No per-row subquery execution anywhere."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = orders.agg(
+        F.date_sub(F.max("o_orderdate").cast("date"), 365)
+        .cast("timestamp")
+        .alias("t")
+    )
+    recent = orders.crossJoin(F.broadcast(cutoff)).filter(
+        F.col("o_orderdate") >= F.col("t")
+    )
+    avg_cents = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(cents(F.col("c_acctbal"))).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_cents")
+        )
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_cents))
+        .filter(cents(F.col("c_acctbal")) > F.col("avg_cents"))
+        .join(recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            money_sum(F.col("c_acctbal")).alias("total_acctbal"),
+        )
     )

@@ -61,7 +61,7 @@ def query(name: str, *, oracle: str | None = None, survey: str = "",
 
 def all_queries() -> dict[str, Query]:
     """Import all query modules and return the full registry."""
-    from . import core, extended, incremental, llmops, reports, star  # noqa: F401  (side-effect: registration)
+    from . import core, extended, incremental, llmops, reports, star, streaming_live  # noqa: F401  (side-effect: registration)
     from ..medallion import analysis as _medallion_analysis  # noqa: F401
     from ..medallion import quality as _medallion_quality  # noqa: F401
     from ..medallion import queries as _medallion  # noqa: F401

@@ -1,0 +1,154 @@
+"""Live Structured Streaming queries on the driver surface.
+
+The batch twins in ``streaming/events_batch.py`` are the hash-gated
+correctness anchors; these entries run the REAL streams — file source
+→ ``trigger(availableNow=True)`` → memory sink — and return the
+drained result as a batch DataFrame, so the driver gates actual
+streaming execution (state store, incremental micro-batches,
+``applyInPandasWithState``) against the same DuckDB oracles.
+
+Beyond-reference surface: the reference is batch-only (README.md:50,
+full TRUNCATE+reload loads at scripts/bronze/load_bronze.sql:35).
+
+Mechanics (each entry, self-contained per call):
+
+1. Re-encode ``events.parquet`` (TIMESTAMP_NANOS, which the streaming
+   parquet source rejects) into a temp µs-timestamp landing zone of
+   several files — the local stand-in for a Kafka topic / cloud
+   landing bucket.
+2. Drain it with ``availableNow`` into a uniquely-named memory sink.
+   Tumbling windows use **complete** output mode (no watermark gate,
+   deterministic on a static backlog); the stateful per-user totals
+   use **update** mode and finalize by taking each user's last update.
+3. Return the sink contents with oracle-aligned column names.
+
+Scale: ``availableNow`` + checkpoint is exactly the production shape
+— swap the source for Kafka and the sink for Delta and the transform
+is unchanged. State is bounded: O(open windows) for the window agg,
+O(|users|) fixed-size rows for the stateful op. Complete mode is the
+one local-only concession (its result table grows with window count);
+the production append-mode path with watermarks is exercised in
+tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from ..streaming import jobs
+from .registry import query
+from .xengine import MICRO_SUM_SQL
+
+_N_SOURCE_FILES = 4
+
+
+def _landing_zone(spark: SparkSession, sf_dir: str) -> str:
+    """Re-encode events as a multi-file µs-timestamp stream source."""
+    path = tempfile.mkdtemp(prefix="events_stream_src_")
+    (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .repartition(_N_SOURCE_FILES)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
+def _drain(df: DataFrame, output_mode: str) -> DataFrame:
+    """availableNow-drain a streaming DataFrame into a uniquely named
+    memory table; return it as a batch DataFrame."""
+    name = f"stream_sink_{uuid.uuid4().hex}"
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+@query(
+    "stream_tumbling_hourly",
+    survey="ext-stream A4",
+    tags=("streaming", "live"),
+    oracle=f"""
+        SELECT date_trunc('hour', ts) AS window_start,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {MICRO_SUM_SQL.format(expr="value")} AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming tumbling-window aggregation, gated against the
+    batch oracle: file source → 1-hour ``F.window`` groups → complete-
+    mode memory sink. ``window.start == date_trunc('hour')`` for
+    tumbling windows, and the scaled-int64 value sum is order-
+    independent, so the drained stream hash-matches the batch SQL
+    exactly. (COUNT(DISTINCT) is intentionally absent — distinct
+    aggregates aren't incrementally computable in a streaming group-by;
+    the batch twin ``events_tumbling_hourly`` carries that column.)
+    """
+    src = _landing_zone(spark, sf_dir)
+    stream = (
+        jobs.read_events_stream(spark, src)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+            ).alias("value_micros"),
+        )
+    )
+    return _drain(stream, "complete").select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        (F.col("value_micros").cast("double") / F.lit(1000000.0)).alias(
+            "total_value"
+        ),
+    )
+
+
+@query(
+    "stream_user_totals_final",
+    survey="ext-stream A2",
+    tags=("streaming", "live"),
+    oracle=f"""
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {MICRO_SUM_SQL.format(expr="value")} AS total_value
+        FROM events GROUP BY user_id
+    """,
+)
+def stream_user_totals_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL custom-stateful streaming (``applyInPandasWithState``
+    running per-user totals, update mode), gated against the batch
+    oracle: drain the backlog, then keep each user's LAST update —
+    ``max_by`` on the strictly-increasing event count — which must
+    equal the full batch aggregation. Exercises the state store and
+    Arrow state-function round-trip under the driver's default
+    session."""
+    src = _landing_zone(spark, sf_dir)
+    updates = _drain(
+        jobs.user_running_totals(jobs.read_events_stream(spark, src)),
+        "update",
+    )
+    return updates.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        (
+            F.max_by("value_micros", "n_events").cast("double")
+            / F.lit(1000000.0)
+        ).alias("total_value"),
+    )

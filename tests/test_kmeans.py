@@ -1,0 +1,61 @@
+"""Learned-quantizer IVF: determinism and recall vs the exact
+brute-force baseline (the correctness contract an approximate index
+can actually make)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sql_data_warehouse_spark.operators import kmeans, similarity
+from sql_data_warehouse_spark.sources import load_table
+
+from .conftest import SF_ORACLE, SF_SMOKE
+
+K_CLUSTERS = 8
+N_ITER = 4
+
+
+def _emb(spark):
+    return load_table(spark, SF_SMOKE, "embeddings")
+
+
+def test_kmeans_fit_deterministic(spark):
+    emb = _emb(spark)
+    a = kmeans.kmeans_fit(emb, k=K_CLUSTERS, n_iter=N_ITER)
+    b = kmeans.kmeans_fit(emb.repartition(7), k=K_CLUSTERS, n_iter=N_ITER)
+    assert a == b  # bit-identical across runs and partitionings
+
+
+def test_kmeans_assign_covers_all_rows(spark):
+    emb = _emb(spark)
+    cents = kmeans.kmeans_fit(emb, k=K_CLUSTERS, n_iter=N_ITER)
+    assigned = kmeans.kmeans_assign(emb, cents)
+    stats = assigned.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("cluster_id").alias("k_used"),
+        F.min("cluster_id").alias("lo"),
+        F.max("cluster_id").alias("hi"),
+    ).collect()[0]
+    assert stats["n"] == emb.count()
+    assert stats["lo"] >= 0 and stats["hi"] < K_CLUSTERS
+    assert stats["k_used"] >= 2  # the quantizer actually partitions
+
+
+def test_ivf_kmeans_recall_vs_exact(spark):
+    # sf0.01 (500 vectors): at sf0.001 the corpus is ~50 rows, so
+    # top-10 spans most clusters by construction and recall is
+    # meaningless for any IVF index.
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(emb, queries, k=10)
+    cents = kmeans.kmeans_fit(emb, k=K_CLUSTERS, n_iter=N_ITER)
+    approx = kmeans.ivf_kmeans_topk(emb, queries, cents, k=10, nprobe=3)
+
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    assert len(e) == 50
+    recall = len(e & a) / len(e)
+    # nprobe=3 of 8 learned clusters: measured 0.74 at sf0.01.
+    assert recall >= 0.6, recall
