@@ -216,13 +216,14 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     #               tests/test_kmeans.py
 )
 def ivf_kmeans_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN over a LEARNED coarse quantizer: 4 Lloyd iterations of
+    """IVF ANN over a LEARNED coarse quantizer: 2 Lloyd iterations of
     deterministic k-means (operators/kmeans.py) learn 8 clusters, then
     probe the 3 nearest per query and score exact cosine inside them —
-    the no-label counterpart of ``ivf_ann_topk`` (recall@10 ≈ 0.74 vs
-    the exact baseline at sf0.01; tests/test_kmeans.py)."""
+    the no-label counterpart of ``ivf_ann_topk`` (recall@10 = 0.76 vs
+    the exact baseline at sf0.01, identical to 4 iterations;
+    tests/test_kmeans.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = kmeans.kmeans_fit(emb, k=8, n_iter=4)
+    cents = kmeans.kmeans_fit(emb, k=8, n_iter=2)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )

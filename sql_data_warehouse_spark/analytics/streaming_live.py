@@ -33,6 +33,7 @@ tests/test_streaming.py.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 import uuid
 
@@ -48,33 +49,53 @@ _N_SOURCE_FILES = 4
 
 
 def _landing_zone(spark: SparkSession, sf_dir: str) -> str:
-    """Re-encode events as a multi-file µs-timestamp stream source."""
-    path = tempfile.mkdtemp(prefix="events_stream_src_")
-    (
-        load_table(spark, sf_dir, "events")
-        .select("event_id", "ts", "user_id", "event_type", "value", "props")
-        .repartition(_N_SOURCE_FILES)
-        .write.mode("overwrite")
-        .parquet(path)
-    )
-    return path
+    """Re-encode events as a multi-file µs-timestamp stream source.
+
+    Cached per (session, sf_dir): the landing zone is immutable once
+    written, so every streaming entry in a registry run shares one
+    re-encode instead of rewriting the full events table each call."""
+    cache = getattr(spark, "_wh_landing_zones", None)
+    if cache is None:
+        cache = {}
+        spark._wh_landing_zones = cache
+    if sf_dir not in cache:
+        path = tempfile.mkdtemp(prefix="events_stream_src_")
+        (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "ts", "user_id", "event_type", "value", "props")
+            .repartition(_N_SOURCE_FILES)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        cache[sf_dir] = path
+    return cache[sf_dir]
 
 
 def _drain(df: DataFrame, output_mode: str) -> DataFrame:
-    """availableNow-drain a streaming DataFrame into a uniquely named
-    memory table; return it as a batch DataFrame."""
+    """availableNow-drain a streaming DataFrame into a memory sink;
+    return its contents **materialized** as a local-relation batch
+    DataFrame, then drop the sink table and delete the checkpoint so
+    repeated registry runs don't leak /tmp space or catalog entries
+    (memory-sink results are driver-resident and small by design)."""
+    spark = df.sparkSession
     name = f"stream_sink_{uuid.uuid4().hex}"
     ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return df.sparkSession.table(name)
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        sink = spark.table(name)
+        out = spark.createDataFrame(sink.collect(), sink.schema)
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return out
 
 
 @query(

@@ -119,7 +119,10 @@ def wh_q01_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "timestamp": "TIMESTAMP", "date": "DATE", "double": "DOUBLE",
     }
     df = _dimc(spark)
-    rows = [(f.name, type_names[f.dataType.simpleString()]) for f in df.schema.fields]
+    rows = [
+        (f.name, type_names.get(s := f.dataType.simpleString(), s.upper()))
+        for f in df.schema.fields
+    ]
     return spark.createDataFrame(rows, "column_name string, data_type string")
 
 

@@ -11,11 +11,14 @@ is the point: every cleansing rule is exercised by real dirt.
 
 from __future__ import annotations
 
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..analytics.registry import query
 from .gold import gold_df, gold_sql
+from .schemas import BRONZE_TABLES, duckdb_read_csv
 from .silver import SILVER_SQL, silver_df
 
 # Silver DATE columns surface as TIMESTAMP in oracle-gated output
@@ -72,6 +75,78 @@ for _t in SILVER_SQL:
         survey=_SILVER_SURVEY[_t],
         tags=("medallion", "silver"),
     )(_mk(_t))
+
+
+# ------------------------------------------------------ bronze roundtrip
+#
+# Registry gates for the loader-side ids S1-S4/S6/S9: run the REAL
+# ``load_bronze`` stored-proc analog (typed CSV ingest → atomic
+# parquet overwrite, medallion/load.py) once per session into a temp
+# warehouse dir, then hash each written bronze table against DuckDB's
+# typed ``read_csv`` of the same file. This is a write-path roundtrip
+# — a schema drift, a lossy overwrite, or a CSV-parsing divergence all
+# break the hash — so the structural loader ids get hard driver rows
+# instead of pytest-only coverage.
+
+_BRONZE_DATE_COLS: dict[str, tuple[str, ...]] = {
+    "crm_cust_info": ("cst_create_date",),
+    "crm_prd_info": ("prd_start_dt", "prd_end_dt"),
+    "crm_sales_details": (),
+    "erp_cust_az12": ("bdate",),
+    "erp_loc_a101": (),
+    "erp_px_cat_g1v2": (),
+}
+
+
+def _bronze_warehouse(spark: SparkSession) -> str:
+    """Run load_bronze once per session into a temp warehouse dir;
+    reuse it for every etl_bronze_* gate (the loads are full-refresh
+    overwrites, so one run is representative)."""
+    wh = getattr(spark, "_wh_bronze_dir", None)
+    if wh is None:
+        from .load import load_bronze
+
+        wh = tempfile.mkdtemp(prefix="wh_bronze_")
+        load_bronze(spark, wh)
+        spark._wh_bronze_dir = wh
+    return wh
+
+
+def _bronze_oracle(table: str) -> str:
+    # DATE columns surface as STRING (ISO yyyy-MM-dd, identical in
+    # both engines): raw bronze carries year-9999 dirt (e.g. bdate
+    # 9999-09-13) that overflows pandas' ns timestamps outright, so
+    # the usual DATE→TIMESTAMP parity cast can't work here.
+    dates = _BRONZE_DATE_COLS[table]
+    src = f"SELECT * FROM {duckdb_read_csv(table)}"
+    if not dates:
+        return src
+    repl = ", ".join(f"CAST({c} AS VARCHAR) AS {c}" for c in dates)
+    return f"SELECT * REPLACE ({repl}) FROM ({src})"
+
+
+for _t in BRONZE_TABLES:
+    def _mkb(table: str):
+        def builder(spark: SparkSession, sf_dir: str) -> DataFrame:
+            df = spark.read.parquet(f"{_bronze_warehouse(spark)}/bronze/{table}")
+            for c in _BRONZE_DATE_COLS[table]:
+                df = df.withColumn(c, F.col(c).cast("string"))
+            return df
+
+        builder.__name__ = f"etl_bronze_{table}"
+        builder.__doc__ = (
+            f"Bronze roundtrip for {table}: load_bronze's written "
+            "parquet vs DuckDB typed read_csv (reference "
+            "scripts/bronze/load_bronze.sql BULK INSERT + ddl_bronze.sql)."
+        )
+        return builder
+
+    query(
+        f"etl_bronze_{_t}",
+        oracle=_bronze_oracle(_t),
+        survey="S1 S2 S3 S6 S9",
+        tags=("medallion", "bronze"),
+    )(_mkb(_t))
 
 
 _GOLD_SURVEY = {

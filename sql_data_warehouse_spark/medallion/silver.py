@@ -39,6 +39,9 @@ def bronze_df(spark: SparkSession, table: str) -> DataFrame:
     """Typed CSV ingest (reference scripts/bronze/load_bronze.sql
     BULK INSERT blocks): declared schema, header skipped, whitespace
     preserved (it is data — silver trims), empty fields → NULL."""
+    from ..session import tune_session
+
+    tune_session(spark)
     return spark.read.csv(
         csv_path(table),
         schema=spark_schema(table),

@@ -135,12 +135,32 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
         ).alias(f"m{p}")
         for p in range(n_perm)
     ]
+
+    # OPH densification (Shrivastava & Li style): an empty bin borrows
+    # the nearest non-empty bin's value to its right (circular),
+    # salted with the borrowing bin's index. Without this, any two
+    # sparse docs (< ~n_perm shingles) that share an all-empty band
+    # collide on md5('g|g|…') and become candidates regardless of
+    # content; with the salt, borrowed values only match when the
+    # borrowed-from minima actually match.
+    def dens(p: int):
+        own = F.nullif(F.col(f"m{p}"), F.lit(_EMPTY_BIN))
+        borrowed = F.coalesce(
+            *[
+                F.nullif(F.col(f"m{(p + j) % n_perm}"), F.lit(_EMPTY_BIN))
+                for j in range(1, n_perm)
+            ]
+        )
+        return F.coalesce(
+            own, F.md5(F.concat(F.lit(f"{p}|"), borrowed)), F.lit(_EMPTY_BIN)
+        )
+
     return (
         h.groupBy("doc_id")
         .agg(*mins)
         .select(
             "doc_id",
-            F.array(*[F.col(f"m{p}") for p in range(n_perm)]).alias("signature"),
+            F.array(*[dens(p) for p in range(n_perm)]).alias("signature"),
         )
     )
 
@@ -207,15 +227,30 @@ def _minhash_sig_sql(n_perm: int = N_PERMUTATIONS, k: int = SHINGLE_K) -> str:
     )
     mins = ", ".join(
         f"COALESCE(MIN(CASE WHEN instr('0123456789abcdef', substring(h, 1, 1)) - 1"
-        f" = {p} THEN h END), '{_EMPTY_BIN}')"
+        f" = {p} THEN h END), '{_EMPTY_BIN}') AS m{p}"
         for p in range(n_perm)
     )
+
+    # Densification twin: same borrow-right-circular + bin-index salt
+    # as the Spark side.
+    def dens(p: int) -> str:
+        borrowed = ", ".join(
+            f"NULLIF(m{(p + j) % n_perm}, '{_EMPTY_BIN}')"
+            for j in range(1, n_perm)
+        )
+        return (
+            f"COALESCE(NULLIF(m{p}, '{_EMPTY_BIN}'), "
+            f"md5('{p}|' || COALESCE({borrowed})), '{_EMPTY_BIN}')"
+        )
+
+    dense = ", ".join(dens(p) for p in range(n_perm))
     return f"""
         WITH sh AS (
           SELECT doc_id, unnest({shingles}) AS s FROM documents
         ),
-        hashed AS (SELECT doc_id, md5(s) AS h FROM sh)
-        SELECT doc_id, [{mins}] AS signature FROM hashed GROUP BY doc_id
+        hashed AS (SELECT doc_id, md5(s) AS h FROM sh),
+        mins AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id)
+        SELECT doc_id, [{dense}] AS signature FROM mins
     """
 
 

@@ -26,10 +26,11 @@ reproducible across runs and cluster layouts:
 - Empty clusters keep their previous centroid.
 
 The driver-side loop holds only the centroid table (k·dim doubles)
-— iteration state never scales with the data, and each iteration
-re-reads the (cacheable) corpus once. This is the standard Spark
-iterative-ML shape: tiny model state on the driver, data-parallel
-assign/update on the executors.
+— iteration state never scales with the data. The projected corpus
+is **persisted** for the duration of the fit (and unpersisted on
+exit), so the whole loop costs one scan plus ``n_iter`` in-memory
+passes. This is the standard Spark iterative-ML shape: tiny model
+state on the driver, data-parallel assign/update on the executors.
 """
 
 from __future__ import annotations
@@ -42,33 +43,37 @@ from ..functions.vectors import cosine
 _SCALE = 1000000.0
 
 
-def _sq_l2(vec, cent_lit):
-    """Squared L2 distance between a vector column and a literal
-    centroid array, folded sequentially JVM-side."""
-    return F.aggregate(
-        F.zip_with(vec, cent_lit, lambda x, c: (x.cast("double") - c) ** 2),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+def _sq_l2_sql(vec_sql: str, centroid: list[float]) -> str:
+    """SQL for the squared L2 distance between a vector column and a
+    literal centroid array, folded sequentially JVM-side. Generated as
+    a SQL string (one F.expr parse), not Column algebra — op-by-op
+    construction costs a Py4J round-trip per node and dominates the
+    fit's wall time (see similarity._band_bucket_sql)."""
+    arr = "array(" + ",".join(f"{float(x)!r}D" for x in centroid) + ")"
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr}, "
+        f"(x, c) -> POWER(CAST(x AS DOUBLE) - c, 2)), "
+        f"0.0D, (acc, v) -> acc + v)"
     )
 
 
-def _cent_lit(centroid: list[float]):
-    return F.array(*[F.lit(float(x)) for x in centroid])
+def _dist_structs_sql(vec_sql: str, centroids: list[list[float]]) -> str:
+    """SQL array of (dist, cluster_id) structs — struct ordering =
+    min dist, ties to the lowest cluster id."""
+    structs = ", ".join(
+        f"named_struct('dist', {_sq_l2_sql(vec_sql, c)}, "
+        f"'cluster_id', CAST({cid} AS INT))"
+        for cid, c in enumerate(centroids)
+    )
+    return f"array({structs})"
 
 
-def _nearest(vec, centroids: list[list[float]]):
+def _nearest(vec_sql: str, centroids: list[list[float]]):
     """Column: id of the nearest centroid (min squared-L2, ties to
     the lowest cluster id via struct ordering)."""
-    pairs = F.array(
-        *[
-            F.struct(
-                _sq_l2(vec, _cent_lit(c)).alias("dist"),
-                F.lit(cid).alias("cluster_id"),
-            ).cast("struct<dist:double,cluster_id:int>")
-            for cid, c in enumerate(centroids)
-        ]
+    return F.expr(
+        f"array_min({_dist_structs_sql(vec_sql, centroids)}).cluster_id"
     )
-    return F.array_min(pairs).getField("cluster_id")
 
 
 def kmeans_fit(embeddings: DataFrame, k: int = 8, n_iter: int = 4,
@@ -77,43 +82,57 @@ def kmeans_fit(embeddings: DataFrame, k: int = 8, n_iter: int = 4,
     """Fit k centroids with ``n_iter`` Lloyd iterations; returns the
     centroid list (cluster id = list index). Deterministic: seeded by
     md5-order, updated with order-independent scaled-int means."""
-    seeds = (
-        embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-        .orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
-        .limit(k)
-        .collect()
-    )
-    centroids = [[float(x) for x in r["_v"]] for r in seeds]
-
-    for _ in range(n_iter):
-        assigned = embeddings.select(
-            _nearest(F.col(vec_col), centroids).alias("cluster_id"),
-            F.posexplode(vec_col).alias("pos", "x"),
-        )
-        means = (
-            assigned.groupBy("cluster_id", "pos")
-            .agg(
-                (
-                    F.sum(
-                        F.floor(F.col("x").cast("double") * _SCALE + 0.5).cast("long")
-                    ).cast("double")
-                    / _SCALE
-                    / F.count(F.lit(1)).cast("double")
-                ).alias("c")
-            )
-            .groupBy("cluster_id")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
-            .select(
-                "cluster_id",
-                F.transform("pc", lambda s: s.getField("c")).alias("centroid"),
-            )
+    # The loop takes n_iter+1 actions over the corpus (seed draw + one
+    # per Lloyd iteration); persist the projected (id, vec) columns so
+    # that is 1 scan + n_iter memory passes instead of n_iter+1 scans.
+    corpus = embeddings.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).persist()
+    try:
+        seeds = (
+            corpus.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+            .limit(k)
             .collect()
         )
-        new = list(centroids)  # empty clusters keep their old centroid
-        for r in means:
-            new[r["cluster_id"]] = [float(x) for x in r["centroid"]]
-        centroids = new
+        centroids = [[float(x) for x in r["_v"]] for r in seeds]
+
+        for _ in range(n_iter):
+            centroids = _lloyd_step(corpus, centroids)
+    finally:
+        corpus.unpersist()
     return centroids
+
+
+def _lloyd_step(corpus: DataFrame,
+                centroids: list[list[float]]) -> list[list[float]]:
+    """One assign+update pass over the persisted (_id, _v) corpus."""
+    assigned = corpus.select(
+        _nearest("_v", centroids).alias("cluster_id"),
+        F.posexplode("_v").alias("pos", "x"),
+    )
+    means = (
+        assigned.groupBy("cluster_id", "pos")
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("x").cast("double") * _SCALE + 0.5).cast("long")
+                ).cast("double")
+                / _SCALE
+                / F.count(F.lit(1)).cast("double")
+            ).alias("c")
+        )
+        .groupBy("cluster_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            "cluster_id",
+            F.transform("pc", lambda s: s.getField("c")).alias("centroid"),
+        )
+        .collect()
+    )
+    new = list(centroids)  # empty clusters keep their old centroid
+    for r in means:
+        new[r["cluster_id"]] = [float(x) for x in r["centroid"]]
+    return new
 
 
 def kmeans_assign(embeddings: DataFrame, centroids: list[list[float]],
@@ -121,7 +140,7 @@ def kmeans_assign(embeddings: DataFrame, centroids: list[list[float]],
     """Add ``cluster_id`` (nearest learned centroid) — one projection,
     no shuffle; at scale this is the write-time clustering key."""
     return embeddings.withColumn(
-        "cluster_id", _nearest(F.col(vec_col), centroids)
+        "cluster_id", _nearest(vec_col, centroids)
     )
 
 
@@ -142,20 +161,14 @@ def ivf_kmeans_topk(embeddings: DataFrame, queries: DataFrame,
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    dists = F.array(
-        *[
-            F.struct(
-                _sq_l2(F.col("q_vec"), _cent_lit(c)).alias("dist"),
-                F.lit(cid).alias("cluster_id"),
-            ).cast("struct<dist:double,cluster_id:int>")
-            for cid, c in enumerate(centroids)
-        ]
-    )
     probes = q.select(
         "query_id",
         "q_vec",
         F.explode(
-            F.slice(F.array_sort(dists), 1, nprobe)
+            F.expr(
+                f"slice(array_sort({_dist_structs_sql('q_vec', centroids)}), "
+                f"1, {nprobe})"
+            )
         ).alias("probe"),
     ).select("query_id", "q_vec", F.col("probe.cluster_id").alias("cluster_id"))
 

@@ -8,10 +8,16 @@ Two tiers:
   shuffle of the corpus (queries broadcast); at 100 TB the corpus
   scan is embarrassingly parallel and the per-query top-k folds into
   a TakeOrderedAndProject-shaped aggregation.
-- **LSH-bucketed ANN** — the scale path: deterministic random
-  hyperplanes (seeded per-dimension hash) → sign-bit signature →
-  candidates share a signature prefix; only bucket-mates are scored.
-  Trades recall for a ~bucket-count× cost reduction.
+- **Multi-band LSH ANN** — the scale path: ``n_bands`` independent
+  random-hyperplane signatures of ``band_bits`` sign bits each; two
+  vectors are candidates iff they collide in *any* band (the classic
+  banding construction, same shape as MinHash-LSH). Per-band match
+  probability for angle θ is (1-θ/π)^band_bits, so overall recall is
+  1-(1-p^band_bits)^n_bands — tunable to any target without touching
+  the n² exact path. Hyperplane coefficients are ±1 derived from
+  md5(plane|dim) *at plan build time* (hashlib), inlined as literal
+  arrays: zero runtime hashing, deterministic across engines and
+  cluster layouts, no stored model.
 
 No UDFs anywhere — ``F.zip_with``/``F.aggregate`` fold sequentially
 in the JVM, which also makes double results bit-identical to the
@@ -20,12 +26,29 @@ DuckDB oracle's ``list_reduce`` (same fold order).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, cosine_sql, dot
+from ..functions.vectors import cosine, cosine_sql, dot, norm
 
-SIM_LSH_BITS = 8
+
+def _cosine_pre(dot_col: Column, na: Column, nb: Column) -> Column:
+    """Cosine from a precomputed dot and per-side norms — the same
+    expression tree as functions.vectors.cosine evaluates, with the
+    two norm folds hoisted out of the pairwise loop."""
+    denom = na * nb
+    return F.when(denom == 0, F.lit(None)).otherwise(dot_col / denom)
+
+# Banding defaults sized for the testdata corpus (dim-64 embeddings,
+# moderate-similarity near-dups): 8 bands × 4 bits ≈ 0.7 recall at
+# cosine 0.35 while scoring ~1/16th of the pairs per band. At higher
+# similarity thresholds (0.9) the same shape gives >0.99 recall; at
+# larger corpora raise band_bits to keep Σ bucket² sub-quadratic.
+SIM_LSH_BANDS = 8
+SIM_LSH_BAND_BITS = 4
+SIM_DIM = 64
 
 
 def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
@@ -36,13 +59,27 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     ``queries``: (query_id, embedding). Output: (query_id, vec_id,
     cosine_sim, rank) with rank 1..k, deterministic tiebreak on
     vec_id."""
+    # Norms are precomputed per side (identical fold → bit-identical
+    # cosine) so the |queries|·|corpus| hot loop folds one dot product
+    # per pair instead of three.
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
     )
-    scored = embeddings.crossJoin(F.broadcast(q)).select(
-        "query_id",
+    e = embeddings.select(
         F.col(id_col).alias("vec_id"),
-        cosine(F.col("q_vec"), F.col(vec_col)).alias("cosine_sim"),
+        F.col(vec_col).alias("e_vec"),
+        norm(F.col(vec_col)).alias("e_norm"),
+    )
+    scored = e.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        _cosine_pre(
+            dot(F.col("q_vec"), F.col("e_vec")),
+            F.col("q_norm"),
+            F.col("e_norm"),
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("vec_id")
@@ -77,56 +114,93 @@ def cosine_topk_sql(query_filter: str, k: int = 10,
     """
 
 
-def _hyperplane_sign(vec, plane: int):
-    """Sign bit for one deterministic pseudo-random hyperplane: the
-    per-dimension coefficient is ±1 from the top bit of
-    md5(plane|dim) — reproducible in any engine, no stored model."""
-    signed = F.zip_with(
-        vec,
-        F.transform(
-            F.sequence(F.lit(0), F.size(vec) - 1),
-            lambda i: F.when(
-                F.instr(
-                    F.lit("89abcdef"),
-                    F.md5(F.concat(F.lit(f"{plane}|"), i.cast("string"))).substr(1, 1),
-                )
-                > 0,
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0)),
-        ),
-        lambda x, c: x.cast("double") * c,
+def _plane_coeffs(plane: int, dim: int) -> list[float]:
+    """±1 coefficients for one deterministic pseudo-random hyperplane:
+    per-dimension sign is the top bit of md5(plane|dim). Computed at
+    plan build time (dim is a fixed, known property of an embedding
+    column), inlined as a literal array — no runtime hashing, no
+    stored model, reproducible in any engine."""
+    return [
+        1.0
+        if hashlib.md5(f"{plane}|{i}".encode()).hexdigest()[0] in "89abcdef"
+        else -1.0
+        for i in range(dim)
+    ]
+
+
+def _band_bucket_sql(vec_sql: str, band: int, band_bits: int,
+                     dim: int) -> str:
+    """SQL for one band's bucket id (0..2^band_bits-1): the sign bits
+    of ``band_bits`` hyperplane projections (planes band*band_bits…).
+
+    Generated as a SQL string, not Column algebra: building these
+    trees op-by-op costs one Py4J round-trip per node (~28k calls,
+    multiple seconds of driver time per query); one ``F.expr`` hands
+    the whole tree to the JVM parser in a single call."""
+    terms = []
+    for b in range(band_bits):
+        coeffs = _plane_coeffs(band * band_bits + b, dim)
+        arr = "array(" + ",".join(f"{c}D" for c in coeffs) + ")"
+        proj = (
+            f"aggregate(zip_with({vec_sql}, {arr}, "
+            f"(x, c) -> CAST(x AS DOUBLE) * c), 0.0D, (acc, v) -> acc + v)"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {2 ** b}L ELSE 0L END)")
+    return "(CAST(0 AS BIGINT) + " + " + ".join(terms) + ")"
+
+
+def band_structs(vec_sql: str, n_bands: int = SIM_LSH_BANDS,
+                 band_bits: int = SIM_LSH_BAND_BITS,
+                 dim: int = SIM_DIM) -> Column:
+    """Array of (band, bucket) structs — explode to get one row per
+    band table, the banding construction shared by both LSH paths.
+    ``vec_sql`` is the embedding column's SQL name/expression."""
+    structs = ", ".join(
+        f"named_struct('band', CAST({j} AS INT), "
+        f"'bucket', {_band_bucket_sql(vec_sql, j, band_bits, dim)})"
+        for j in range(n_bands)
     )
-    return F.aggregate(signed, F.lit(0.0), lambda acc, v: acc + v) > 0
-
-
-def lsh_bucket(vec, n_bits: int = SIM_LSH_BITS):
-    """Random-hyperplane LSH bucket id (0..2^n_bits-1) as a Column."""
-    bucket = F.lit(0).cast("long")
-    for b in range(n_bits):
-        bucket = bucket + F.when(
-            _hyperplane_sign(vec, b), F.lit(2 ** b).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    return bucket
+    return F.expr(f"array({structs})")
 
 
 def lsh_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
-                 n_bits: int = SIM_LSH_BITS, id_col: str = "vec_id",
-                 vec_col: str = "embedding",
+                 n_bands: int = SIM_LSH_BANDS,
+                 band_bits: int = SIM_LSH_BAND_BITS, dim: int = SIM_DIM,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
                  query_id_col: str = "query_id") -> DataFrame:
-    """Approximate top-k: score only corpus vectors whose LSH bucket
-    matches the query's bucket. At scale, bucket the corpus once
-    (write-time partition/cluster by bucket) and prune the scan to
-    matching buckets — the scored set shrinks by ~2^n_bits."""
-    e = embeddings.withColumn("bucket", lsh_bucket(F.col(vec_col), n_bits))
+    """Approximate top-k: score only corpus vectors that collide with
+    the query in at least one of ``n_bands`` LSH band tables
+    (recall gate: tests/test_similarity_recall.py vs the exact twin).
+
+    Scale shape: the corpus explodes to n_bands (band, bucket) rows,
+    the tiny query band table broadcasts, so the corpus never
+    shuffles; at write time, cluster the corpus by (band, bucket)
+    (sources/layout.py) and the join prunes the scan to the queries'
+    buckets — ~p^band_bits of the corpus per band instead of all of
+    it. Duplicate candidates (multi-band collisions) collapse in a
+    scalar-only groupBy before ranking."""
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        F.explode(band_structs(vec_col, n_bands, band_bits, dim)).alias("bb"),
+    )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        lsh_bucket(F.col(vec_col), n_bits).alias("bucket"),
+        F.explode(band_structs(vec_col, n_bands, band_bits, dim)).alias("bb"),
     )
-    scored = e.join(F.broadcast(q), "bucket").select(
-        "query_id",
-        F.col(id_col).alias("vec_id"),
-        cosine(F.col("q_vec"), F.col(vec_col)).alias("cosine_sim"),
+    scored = (
+        e.join(
+            F.broadcast(q),
+            (e["bb.band"] == q["bb.band"]) & (e["bb.bucket"] == q["bb.bucket"]),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            cosine(F.col("q_vec"), F.col("vec")).alias("cosine_sim"),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.max("cosine_sim").alias("cosine_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("vec_id")
@@ -145,17 +219,25 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
     a verification pass or a small slice, NOT the 100 TB path — that's
     :func:`embedding_near_dup_pairs_lsh`."""
     a = embeddings.select(
-        F.col(id_col).alias("vec_id_a"), F.col(vec_col).alias("vec_a")
+        F.col(id_col).alias("vec_id_a"),
+        F.col(vec_col).alias("vec_a"),
+        norm(F.col(vec_col)).alias("norm_a"),
     )
     b = embeddings.select(
-        F.col(id_col).alias("vec_id_b"), F.col(vec_col).alias("vec_b")
+        F.col(id_col).alias("vec_id_b"),
+        F.col(vec_col).alias("vec_b"),
+        norm(F.col(vec_col)).alias("norm_b"),
     )
     return (
         a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
         .select(
             "vec_id_a",
             "vec_id_b",
-            cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine_sim"),
+            _cosine_pre(
+                dot(F.col("vec_a"), F.col("vec_b")),
+                F.col("norm_a"),
+                F.col("norm_b"),
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -175,27 +257,34 @@ def near_dup_pairs_sql(threshold: float = 0.9,
 
 def embedding_near_dup_pairs_lsh(embeddings: DataFrame,
                                  threshold: float = 0.9,
-                                 n_bits: int = SIM_LSH_BITS,
+                                 n_bands: int = SIM_LSH_BANDS,
+                                 band_bits: int = SIM_LSH_BAND_BITS,
+                                 dim: int = SIM_DIM,
                                  id_col: str = "vec_id",
                                  vec_col: str = "embedding") -> DataFrame:
-    """Near-dup pairs, scale path: only vectors sharing an LSH bucket
-    are scored — the self-join shuffles on the bucket key, so cost is
-    Σ bucket_size² instead of n². High-cosine pairs land in the same
-    bucket with probability (1 - θ/π)^n_bits; multiple independent
-    band tables (as in MinHash-LSH) push recall up when needed."""
+    """Near-dup pairs, scale path: only vectors colliding in ≥1 of
+    ``n_bands`` LSH band tables are scored — the self-join shuffles on
+    (band, bucket), so cost is n_bands · Σ bucket² instead of n².
+    A pair at angle θ is a candidate with probability
+    1-(1-(1-θ/π)^band_bits)^n_bands (the banding amplification);
+    survivors are exact-cosine verified, so precision is 1.0 and the
+    recall floor is gated in tests/test_similarity_recall.py."""
     e = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
-        lsh_bucket(F.col(vec_col), n_bits).alias("bucket"),
-    )
+        F.explode(band_structs(vec_col, n_bands, band_bits, dim)).alias("bb"),
+    ).select("vec_id", "vec", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
     a = e.select(
-        F.col("vec_id").alias("vec_id_a"), F.col("vec").alias("vec_a"), "bucket"
+        F.col("vec_id").alias("vec_id_a"), F.col("vec").alias("vec_a"),
+        "band", "bucket",
     )
     b = e.select(
-        F.col("vec_id").alias("vec_id_b"), F.col("vec").alias("vec_b"), "bucket"
+        F.col("vec_id").alias("vec_id_b"), F.col("vec").alias("vec_b"),
+        "band", "bucket",
     )
     return (
-        a.join(b, "bucket")
+        a.join(b, ["band", "bucket"])
         .filter(F.col("vec_id_a") < F.col("vec_id_b"))
         .select(
             "vec_id_a",
@@ -203,6 +292,8 @@ def embedding_near_dup_pairs_lsh(embeddings: DataFrame,
             cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
+        .groupBy("vec_id_a", "vec_id_b")
+        .agg(F.max("cosine_sim").alias("cosine_sim"))
     )
 
 

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..session import tune_session
+
 # Table → recommended physical layout at 100 TB scale (documented
 # here, applied by the writers in warehouse/; local testdata is one
 # parquet file per table).
@@ -28,6 +30,7 @@ TESTDATA_TABLES: dict[str, str] = {
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune_session(spark)
     if name == "events":
         # events.parquet carries TIMESTAMP(NANOS) which the vectorized
         # Spark reader rejects; read nanos as long and truncate to

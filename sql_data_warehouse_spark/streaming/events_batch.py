@@ -162,7 +162,7 @@ def events_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "events_minutely_gapfill",
+    "events_hourly_gapfill",
     survey="ext-timeseries A4 W-none",
     tags=("streaming",),
     oracle="""
@@ -186,7 +186,7 @@ def events_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM grid g LEFT JOIN agg a USING (hour_start)
     """,
 )
-def events_minutely_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap fill (hypertable-style dense rollup): generate
     the full hourly grid between min and max event time with
     ``sequence`` + explode, left-join the real rollup, zero-fill

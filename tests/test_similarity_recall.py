@@ -1,0 +1,51 @@
+"""Recall gates for the two LSH-bucketed approximate similarity
+queries. They are `no_oracle` in the driver's hash gate (approximate
+by design), so this is their correctness contract: measured recall
+against the exact hash-gated twin, mirroring
+tests/test_kmeans.py::test_ivf_kmeans_recall_vs_exact."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sql_data_warehouse_spark.operators import similarity
+from sql_data_warehouse_spark.sources import load_table
+
+from .conftest import SF_ORACLE
+
+
+def test_lsh_ann_topk_recall_vs_exact(spark):
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(emb, queries, k=10)
+    approx = similarity.lsh_ann_topk(emb, queries, k=10)
+
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    assert len(e) == 50
+    recall = len(e & a) / len(e)
+    # 8 bands × 4 bits: measured 0.76 at sf0.01.
+    assert recall >= 0.6, recall
+
+
+def test_embedding_near_dup_lsh_pair_recall_vs_exact(spark):
+    # Same 500-vector slice the exact registry query is bounded to, so
+    # the comparison is pair-for-pair against a hash-gated baseline.
+    emb = load_table(spark, SF_ORACLE, "embeddings").filter(
+        F.col("vec_id") < 500
+    )
+    exact = similarity.embedding_near_dup_pairs(emb, threshold=0.35)
+    approx = similarity.embedding_near_dup_pairs_lsh(emb, threshold=0.35)
+
+    e = {(r["vec_id_a"], r["vec_id_b"]) for r in exact.collect()}
+    a = {(r["vec_id_a"], r["vec_id_b"]) for r in approx.collect()}
+    assert e, "exact near-dup baseline returned no pairs"
+    # LSH candidates are a subset of all pairs; every surviving pair
+    # must be a true near-dup (precision 1.0 by construction) ...
+    assert a <= e
+    # ... and banding must retain most true pairs. 8 bands × 4 bits
+    # predicts 1-(1-p^4)^8 ≈ 0.71 at cosine 0.35; measured 0.72.
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, recall

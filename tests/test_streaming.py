@@ -106,14 +106,19 @@ def test_stream_sessions_match_batch(spark, events_dir, tmp_path):
 
     batch = events_sessionized(spark, SF_SMOKE)
     assert got.count() == batch.count()
-    g = got.agg(
-        F.sum("n_events").alias("e"),
-        F.floor(F.sum("total_value") * 100).alias("v"),
-    ).collect()[0]
-    b = batch.agg(
-        F.sum("n_events").alias("e"),
-        F.floor(F.sum("total_value") * 100).alias("v"),
-    ).collect()[0]
+
+    # Round each session total to integer micros BEFORE the global
+    # sum: a double sum's reduce order is nondeterministic, and
+    # floor(sum*100) flips on 1-ulp differences between runs.
+    def totals(df):
+        return df.agg(
+            F.sum("n_events").alias("e"),
+            F.sum(
+                F.floor(F.col("total_value") * 1000000.0 + 0.5).cast("long")
+            ).alias("v"),
+        ).collect()[0]
+
+    g, b = totals(got), totals(batch)
     assert (g["e"], g["v"]) == (b["e"], b["v"])
 
 
