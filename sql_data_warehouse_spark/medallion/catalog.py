@@ -1,0 +1,102 @@
+"""Persistent multi-schema catalog — the reference's durable warehouse
+(scripts/database.sql:31-38 ``CREATE SCHEMA bronze/silver/gold`` and
+scripts/gold/load_gold.sql:18-22 ``CREATE VIEW gold.*``) as a
+Hive-metastore-backed Spark catalog that survives the session.
+
+The session-scoped path (:mod:`.load`, ``wh_silver_*``/``wh_gold_*``
+temp views) is what the oracle-gated registry runs — it works inside
+any caller-provided SparkSession. This module is the *deployment*
+shape: a user who reconnects tomorrow still sees ``gold.dim_customers``.
+
+- ``warehouse_session(root)`` builds a SparkSession whose catalog is
+  durable: ``spark.sql.warehouse.dir`` under ``root`` for table data,
+  an embedded Derby metastore under ``root`` for metadata. On a real
+  cluster the same code points at the shared Hive metastore / Unity /
+  Glue — only the two confs change.
+- ``load_warehouse(spark)`` runs the full medallion chain INTO the
+  catalog: bronze + silver as managed parquet tables
+  (``saveAsTable(mode="overwrite")`` — the atomic TRUNCATE+reload
+  analog), gold as **permanent views** over the silver tables,
+  exactly like the reference keeps gold virtual. The view SQL is the
+  same ANSI text the DuckDB oracle runs (gold.py bodies), so the
+  catalog views stay behind the oracle gate via
+  tests/test_catalog.py's equivalence check against the DataFrame
+  builders.
+
+Scale: managed-parquet here stands in for Delta/Iceberg; overwrite
+jobs are atomic at the table level (write-then-swap), and the gold
+views inline into consumers at plan time like any catalog view.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from .schemas import BRONZE_TABLES
+from .silver import _TRANSFORMS, bronze_df
+from .gold import DIM_CUSTOMERS_BODY, DIM_PRODUCTS_BODY, FACT_SALES_BODY
+
+SCHEMAS = ("bronze", "silver", "gold")
+
+# Permanent-view bodies: the oracle-shared ANSI SQL with CTE names
+# rebound to catalog tables (s_<t> → silver.<t>, g_<v> → gold.<v>).
+GOLD_VIEW_SQL: dict[str, str] = {
+    "dim_customers": DIM_CUSTOMERS_BODY.replace("s_crm_", "silver.crm_")
+    .replace("s_erp_", "silver.erp_"),
+    "dim_products": DIM_PRODUCTS_BODY.replace("s_crm_", "silver.crm_")
+    .replace("s_erp_", "silver.erp_"),
+    "fact_sales": FACT_SALES_BODY.replace("s_crm_", "silver.crm_")
+    .replace("g_dim_", "gold.dim_"),
+}
+
+
+def warehouse_session(warehouse_root: str,
+                      app_name: str = "sql_data_warehouse_spark",
+                      master: str = "local[*]",
+                      **extra_confs: str) -> SparkSession:
+    """SparkSession with a durable catalog rooted at ``warehouse_root``
+    (table data in ``<root>/warehouse``, Derby metastore in
+    ``<root>/metastore_db``). Reopening with the same root sees every
+    database, table, and view created before."""
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.warehouse.dir", f"{warehouse_root}/warehouse")
+        .config(
+            "spark.hadoop.javax.jdo.option.ConnectionURL",
+            f"jdbc:derby:;databaseName={warehouse_root}/metastore_db;create=true",
+        )
+        .enableHiveSupport()
+    )
+    for k, v in extra_confs.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def bootstrap_schemas(spark: SparkSession) -> None:
+    """``CREATE SCHEMA IF NOT EXISTS`` ×3 (database.sql:31-38)."""
+    for schema in SCHEMAS:
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {schema}")
+
+
+def load_warehouse(spark: SparkSession) -> dict[str, dict[str, int]]:
+    """Full catalog load: typed CSV → ``bronze.*`` tables → cleansing
+    transforms → ``silver.*`` tables → ``gold.*`` permanent views.
+    Full-refresh overwrites throughout (the reference's
+    TRUNCATE + INSERT), returning per-layer row counts."""
+    bootstrap_schemas(spark)
+    counts: dict[str, dict[str, int]] = {"bronze": {}, "silver": {}, "gold": {}}
+    for table in BRONZE_TABLES:
+        bronze_df(spark, table).write.mode("overwrite").format("parquet").saveAsTable(
+            f"bronze.{table}"
+        )
+        counts["bronze"][table] = spark.table(f"bronze.{table}").count()
+    for table, transform in _TRANSFORMS.items():
+        transform(spark.table(f"bronze.{table}")).write.mode("overwrite").format(
+            "parquet"
+        ).saveAsTable(f"silver.{table}")
+        counts["silver"][table] = spark.table(f"silver.{table}").count()
+    for view, body in GOLD_VIEW_SQL.items():
+        spark.sql(f"CREATE OR REPLACE VIEW gold.{view} AS {body}")
+        counts["gold"][view] = spark.table(f"gold.{view}").count()
+    return counts

@@ -87,7 +87,14 @@ def kmeans_fit(embeddings: DataFrame, k: int = 8, n_iter: int = 4,
     # that is 1 scan + n_iter memory passes instead of n_iter+1 scans.
     corpus = embeddings.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
-    ).persist()
+    )
+    # A small corpus arrives as one file → one partition, serializing
+    # every assign pass; spread it across the cluster before caching.
+    # At scale the scan already has many partitions and this is a no-op.
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < par:
+        corpus = corpus.repartition(par)
+    corpus = corpus.persist()
     try:
         seeds = (
             corpus.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
@@ -106,10 +113,15 @@ def kmeans_fit(embeddings: DataFrame, k: int = 8, n_iter: int = 4,
 def _lloyd_step(corpus: DataFrame,
                 centroids: list[list[float]]) -> list[list[float]]:
     """One assign+update pass over the persisted (_id, _v) corpus."""
+    # Two selects, not one: a select mixing a generator with other
+    # expressions compiles to Project(exprs) ABOVE Generate, so the
+    # k·dim nearest-centroid fold would be re-evaluated once per
+    # EXPLODED row (dim× per vector). Assign first, then explode —
+    # the assignment stays in a Project below the Generate and runs
+    # once per vector.
     assigned = corpus.select(
-        _nearest("_v", centroids).alias("cluster_id"),
-        F.posexplode("_v").alias("pos", "x"),
-    )
+        _nearest("_v", centroids).alias("cluster_id"), "_v"
+    ).select("cluster_id", F.posexplode("_v").alias("pos", "x"))
     means = (
         assigned.groupBy("cluster_id", "pos")
         .agg(

@@ -163,6 +163,53 @@ def band_structs(vec_sql: str, n_bands: int = SIM_LSH_BANDS,
     return F.expr(f"array({structs})")
 
 
+def _bucket_array(vec_sql: str, n_bands: int, band_bits: int,
+                  dim: int) -> Column:
+    """Array of all ``n_bands`` bucket ids for a vector — computed
+    once per vector (pre-explode) and carried whole so candidate
+    pairs can be deduplicated with the first-collision rule instead
+    of a score-then-groupBy."""
+    return F.expr(
+        "array("
+        + ",".join(
+            _band_bucket_sql(vec_sql, j, band_bits, dim)
+            for j in range(n_bands)
+        )
+        + ")"
+    )
+
+
+def _banded(embeddings: DataFrame, id_col: str, vec_col: str,
+            n_bands: int, band_bits: int, dim: int) -> DataFrame:
+    """One row per (vector, band): (vec_id, vec, vnorm, buckets,
+    band, bucket). The L2 norm and the full bucket array are computed
+    in a Project BELOW the Generate (two selects — a select mixing a
+    generator with heavy expressions would re-evaluate them per
+    exploded row), so each costs one fold per *vector*, not per
+    band or per pair."""
+    pre = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("vnorm"),
+        _bucket_array(vec_col, n_bands, band_bits, dim).alias("buckets"),
+    )
+    return pre.select(
+        "vec_id", "vec", "vnorm", "buckets",
+        F.posexplode("buckets").alias("band", "bucket"),
+    )
+
+
+def _first_collision(buckets_a: str, buckets_b: str) -> Column:
+    """True iff the current ``band`` is the FIRST band in which the
+    two bucket arrays collide — each candidate pair then survives in
+    exactly one band, deduplicating without a shuffle/groupBy (and
+    without scoring duplicate collisions at all)."""
+    return F.expr(
+        f"NOT exists(zip_with(slice({buckets_a}, 1, band), "
+        f"slice({buckets_b}, 1, band), (x, y) -> x = y), p -> p)"
+    )
+
+
 def lsh_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
                  n_bands: int = SIM_LSH_BANDS,
                  band_bits: int = SIM_LSH_BAND_BITS, dim: int = SIM_DIM,
@@ -177,30 +224,41 @@ def lsh_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     shuffles; at write time, cluster the corpus by (band, bucket)
     (sources/layout.py) and the join prunes the scan to the queries'
     buckets — ~p^band_bits of the corpus per band instead of all of
-    it. Duplicate candidates (multi-band collisions) collapse in a
-    scalar-only groupBy before ranking."""
-    e = embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("vec"),
-        F.explode(band_structs(vec_col, n_bands, band_bits, dim)).alias("bb"),
+    it. Multi-band duplicate candidates are dropped by the
+    first-collision rule (each pair survives only in the first band
+    where it collides), so every candidate is scored exactly once
+    with a single pre-normalized dot fold — no groupBy."""
+    spark = embeddings.sparkSession
+    e = _banded(embeddings, id_col, vec_col, n_bands, band_bits, dim)
+    # A small corpus arrives as one scan partition and a broadcast
+    # join would keep all scoring on one core; an explicit
+    # (band, bucket) repartition spreads candidate scoring and is
+    # exactly the clustering the corpus would be written with at
+    # scale. User-specified partition counts are not coalesced by AQE.
+    e = e.repartition(
+        spark.sparkContext.defaultParallelism * 2, "band", "bucket"
+    ).select(
+        F.col("vec_id"), F.col("vec"), F.col("vnorm"),
+        F.col("buckets").alias("bk_e"), "band", "bucket",
     )
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.explode(band_structs(vec_col, n_bands, band_bits, dim)).alias("bb"),
+    q = _banded(queries, query_id_col, vec_col,
+                n_bands, band_bits, dim).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("q_vec"),
+        F.col("vnorm").alias("q_norm"), F.col("buckets").alias("bk_q"),
+        "band", "bucket",
     )
     scored = (
-        e.join(
-            F.broadcast(q),
-            (e["bb.band"] == q["bb.band"]) & (e["bb.bucket"] == q["bb.bucket"]),
-        )
+        e.join(F.broadcast(q), ["band", "bucket"])
+        .filter(_first_collision("bk_e", "bk_q"))
         .select(
             "query_id",
             "vec_id",
-            cosine(F.col("q_vec"), F.col("vec")).alias("cosine_sim"),
+            _cosine_pre(
+                dot(F.col("q_vec"), F.col("vec")),
+                F.col("q_norm"),
+                F.col("vnorm"),
+            ).alias("cosine_sim"),
         )
-        .groupBy("query_id", "vec_id")
-        .agg(F.max("cosine_sim").alias("cosine_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("vec_id")
@@ -268,32 +326,48 @@ def embedding_near_dup_pairs_lsh(embeddings: DataFrame,
     A pair at angle θ is a candidate with probability
     1-(1-(1-θ/π)^band_bits)^n_bands (the banding amplification);
     survivors are exact-cosine verified, so precision is 1.0 and the
-    recall floor is gated in tests/test_similarity_recall.py."""
-    e = embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("vec"),
-        F.explode(band_structs(vec_col, n_bands, band_bits, dim)).alias("bb"),
-    ).select("vec_id", "vec", F.col("bb.band").alias("band"),
-             F.col("bb.bucket").alias("bucket"))
+    recall floor is gated in tests/test_similarity_recall.py.
+
+    Each pair is scored exactly once: the first-collision rule keeps
+    a candidate only in the first band where its two bucket arrays
+    agree, so multi-band duplicates never reach the dot fold and no
+    dedup groupBy is needed. Norms are computed once per vector
+    (before the band explode) and carried as a double through the
+    (band, bucket) shuffle."""
+    spark = embeddings.sparkSession
+    n_part = spark.sparkContext.defaultParallelism * 2
+    e = _banded(embeddings, id_col, vec_col, n_bands, band_bits, dim)
+    # Explicit repartition on the band keys: a one-file local corpus
+    # would otherwise run the whole Σbucket² scoring on one core (and
+    # AQE would coalesce the tiny shuffle right back to one
+    # partition). This is also the write-time clustering key at scale.
+    e = e.repartition(n_part, "band", "bucket")
     a = e.select(
         F.col("vec_id").alias("vec_id_a"), F.col("vec").alias("vec_a"),
+        F.col("vnorm").alias("norm_a"), F.col("buckets").alias("bk_a"),
         "band", "bucket",
     )
     b = e.select(
         F.col("vec_id").alias("vec_id_b"), F.col("vec").alias("vec_b"),
+        F.col("vnorm").alias("norm_b"), F.col("buckets").alias("bk_b"),
         "band", "bucket",
     )
     return (
         a.join(b, ["band", "bucket"])
-        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .filter(
+            (F.col("vec_id_a") < F.col("vec_id_b"))
+            & _first_collision("bk_a", "bk_b")
+        )
         .select(
             "vec_id_a",
             "vec_id_b",
-            cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine_sim"),
+            _cosine_pre(
+                dot(F.col("vec_a"), F.col("vec_b")),
+                F.col("norm_a"),
+                F.col("norm_b"),
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
-        .groupBy("vec_id_a", "vec_id_b")
-        .agg(F.max("cosine_sim").alias("cosine_sim"))
     )
 
 
