@@ -23,6 +23,12 @@ are pulled into explicit entries:
   VERDICT r1 flagged wh_q01_catalog paying ~5-18 s for 3 catalog rows).
 - ``_stream_landing_zone``: re-encodes the events table into the
   streaming source dir shared by the ``stream_*`` entries.
+
+$SPARK_GRAFT_QUERIES (comma-separated names) restricts the run to a
+subset — used by scripts for scaling-curve measurements at synthetic
+scale factors (scripts/make_scaled_sf.py); the detail file is then
+suffixed ``_subset`` so a curated run never overwrites the full
+regression floor.
 """
 
 from __future__ import annotations
@@ -77,10 +83,21 @@ def main() -> None:
 
         _landing_zone(spark, sf_dir)
 
-    timed("_medallion_cache_build", build_medallion_cache)
-    timed("_stream_landing_zone", build_landing_zone)
+    only_env = os.environ.get("SPARK_GRAFT_QUERIES", "")
+    only = {s.strip() for s in only_env.split(",") if s.strip()}
+    queries = all_queries()
+    if only:
+        unknown = only - queries.keys()
+        if unknown:
+            raise SystemExit(f"unknown queries: {sorted(unknown)}")
+        queries = {n: q for n, q in queries.items() if n in only}
 
-    for name, q in all_queries().items():
+    if not only or any(n.startswith("wh_") for n in queries):
+        timed("_medallion_cache_build", build_medallion_cache)
+    if not only or any(n.startswith("stream_") for n in queries):
+        timed("_stream_landing_zone", build_landing_zone)
+
+    for name, q in queries.items():
         df_builder = q.builder
         timed(
             name,
@@ -92,7 +109,8 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     ordered = sorted(timings.values())
-    detail_path = Path(_REPO) / "BENCH_DETAIL.json"
+    detail_name = "BENCH_DETAIL_subset.json" if only else "BENCH_DETAIL.json"
+    detail_path = Path(_REPO) / detail_name
     detail_path.write_text(
         json.dumps(
             {
@@ -121,7 +139,7 @@ def main() -> None:
         "max_sec": ordered[-1] if ordered else None,
         "p50_sec": ordered[len(ordered) // 2] if ordered else None,
         "queries": slowest,
-        "detail": "BENCH_DETAIL.json",
+        "detail": detail_name,
     }
     print(json.dumps(out))
 

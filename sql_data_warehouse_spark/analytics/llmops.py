@@ -143,7 +143,10 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.lsh_ann_topk(emb, queries, k=10)
+    return similarity.lsh_ann_topk(
+        emb, queries, k=10,
+        band_bits=similarity.adaptive_band_bits(emb.count()),
+    )
 
 
 @query(
@@ -168,9 +171,13 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # approximate by design (bucketed recall); rows-only
 )
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed near-dup pairs: Σ bucket² work instead of n²."""
+    """LSH-bucketed near-dup pairs: Σ bucket² work instead of n² —
+    band width adapts to the corpus so bucket sizes (and the
+    per-band self-join) stay bounded as n grows."""
+    emb = load_table(spark, sf_dir, "embeddings")
     return similarity.embedding_near_dup_pairs_lsh(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.35
+        emb, threshold=0.35,
+        band_bits=similarity.adaptive_band_bits(emb.count()),
     )
 
 

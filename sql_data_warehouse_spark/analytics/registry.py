@@ -59,6 +59,18 @@ def query(name: str, *, oracle: str | None = None, survey: str = "",
     return deco
 
 
+def _run_priority(item: tuple[str, Query]) -> tuple[int, str]:
+    """Ordering for the returned registry dict. A driver that walks
+    the dict in insertion order under a wall-clock budget cuts the
+    TAIL — round 1 stopped after the alphabetically-first 50, leaving
+    every ``wh_*`` warehouse query (the reference's core Q01–Q13/QC
+    surface) without a hard-signal row. Run those first, then the
+    rest alphabetically. A driver that sorts independently is
+    unaffected."""
+    name, _ = item
+    return (0 if name.startswith("wh_") else 1, name)
+
+
 def all_queries() -> dict[str, Query]:
     """Import all query modules and return the full registry."""
     from . import core, extended, incremental, llmops, reports, star, streaming_live  # noqa: F401  (side-effect: registration)
@@ -67,4 +79,4 @@ def all_queries() -> dict[str, Query]:
     from ..medallion import queries as _medallion  # noqa: F401
     from ..streaming import events_batch  # noqa: F401
 
-    return dict(sorted(_REGISTRY.items()))
+    return dict(sorted(_REGISTRY.items(), key=_run_priority))

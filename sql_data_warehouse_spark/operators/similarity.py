@@ -27,11 +27,18 @@ DuckDB oracle's ``list_reduce`` (same fold order).
 from __future__ import annotations
 
 import hashlib
+import math
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, cosine_sql, dot, norm
+from ..functions.vectors import (
+    cosine_fixed,
+    cosine_sql,
+    dot_fixed,
+    norm_fixed,
+)
 
 
 def _cosine_pre(dot_col: Column, na: Column, nb: Column) -> Column:
@@ -53,30 +60,32 @@ SIM_DIM = 64
 
 def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                query_id_col: str = "query_id") -> DataFrame:
+                query_id_col: str = "query_id",
+                dim: int = SIM_DIM) -> DataFrame:
     """Exact top-k by cosine for each query vector.
 
     ``queries``: (query_id, embedding). Output: (query_id, vec_id,
     cosine_sim, rank) with rank 1..k, deterministic tiebreak on
     vec_id."""
     # Norms are precomputed per side (identical fold → bit-identical
-    # cosine) so the |queries|·|corpus| hot loop folds one dot product
-    # per pair instead of three.
+    # cosine) so the |queries|·|corpus| hot loop evaluates one
+    # UNROLLED (codegen) dot product per pair instead of three
+    # interpreted HOF folds.
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        norm(F.col(vec_col)).alias("q_norm"),
+        norm_fixed(vec_col, dim).alias("q_norm"),
     )
     e = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("e_vec"),
-        norm(F.col(vec_col)).alias("e_norm"),
+        norm_fixed(vec_col, dim).alias("e_norm"),
     )
     scored = e.crossJoin(F.broadcast(q)).select(
         "query_id",
         "vec_id",
         _cosine_pre(
-            dot(F.col("q_vec"), F.col("e_vec")),
+            dot_fixed("q_vec", "e_vec", dim),
             F.col("q_norm"),
             F.col("e_norm"),
         ).alias("cosine_sim"),
@@ -128,54 +137,65 @@ def _plane_coeffs(plane: int, dim: int) -> list[float]:
     ]
 
 
-def _band_bucket_sql(vec_sql: str, band: int, band_bits: int,
-                     dim: int) -> str:
-    """SQL for one band's bucket id (0..2^band_bits-1): the sign bits
-    of ``band_bits`` hyperplane projections (planes band*band_bits…).
-
-    Generated as a SQL string, not Column algebra: building these
-    trees op-by-op costs one Py4J round-trip per node (~28k calls,
-    multiple seconds of driver time per query); one ``F.expr`` hands
-    the whole tree to the JVM parser in a single call."""
-    terms = []
-    for b in range(band_bits):
-        coeffs = _plane_coeffs(band * band_bits + b, dim)
-        arr = "array(" + ",".join(f"{c}D" for c in coeffs) + ")"
-        proj = (
-            f"aggregate(zip_with({vec_sql}, {arr}, "
-            f"(x, c) -> CAST(x AS DOUBLE) * c), 0.0D, (acc, v) -> acc + v)"
-        )
-        terms.append(f"(CASE WHEN {proj} > 0 THEN {2 ** b}L ELSE 0L END)")
-    return "(CAST(0 AS BIGINT) + " + " + ".join(terms) + ")"
-
-
-def band_structs(vec_sql: str, n_bands: int = SIM_LSH_BANDS,
-                 band_bits: int = SIM_LSH_BAND_BITS,
-                 dim: int = SIM_DIM) -> Column:
-    """Array of (band, bucket) structs — explode to get one row per
-    band table, the banding construction shared by both LSH paths.
-    ``vec_sql`` is the embedding column's SQL name/expression."""
-    structs = ", ".join(
-        f"named_struct('band', CAST({j} AS INT), "
-        f"'bucket', {_band_bucket_sql(vec_sql, j, band_bits, dim)})"
-        for j in range(n_bands)
-    )
-    return F.expr(f"array({structs})")
-
-
-def _bucket_array(vec_sql: str, n_bands: int, band_bits: int,
+def _bucket_array(vec_col: str, n_bands: int, band_bits: int,
                   dim: int) -> Column:
     """Array of all ``n_bands`` bucket ids for a vector — computed
     once per vector (pre-explode) and carried whole so candidate
     pairs can be deduplicated with the first-collision rule instead
-    of a score-then-groupBy."""
-    return F.expr(
-        "array("
-        + ",".join(
-            _band_bucket_sql(vec_sql, j, band_bits, dim)
-            for j in range(n_bands)
-        )
-        + ")"
+    of a score-then-groupBy.
+
+    Implemented as an Arrow-batched Pandas UDF doing ONE numpy
+    matmul (batch × dim) @ (dim × n_bands·band_bits) per Arrow
+    batch: dense linear algebra is the one hot path where neither
+    Catalyst shape works — an unrolled SQL sum (n_bands·band_bits·dim
+    ≈ thousands of terms) OOMs Janino's codegen under small driver
+    heaps, and a ``zip_with``/``aggregate`` fold is interpreted
+    per-element (~10× slower). The plane matrix is a plain literal
+    captured by value (cloudpickle), so workers need no imports
+    beyond numpy/pandas; sign-at-exactly-zero may differ from a
+    sequential fold (float sum order), which only matters for ties
+    that cannot occur with real-valued embeddings."""
+    planes = [
+        _plane_coeffs(p, dim) for p in range(n_bands * band_bits)
+    ]  # (n_planes, dim) literal — captured by value below
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    nb, bb = n_bands, band_bits
+
+    @pandas_udf(ArrayType(LongType()))
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+        import pandas as _pd
+
+        if len(vecs) == 0:
+            return _pd.Series([], dtype=object)
+        P = np.asarray(planes, dtype=np.float64).T  # dim × planes
+        M = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (M @ P) > 0  # batch × (nb·bb), plane-major
+        weights = (1 << np.arange(bb, dtype=np.int64))
+        buckets = bits.reshape(len(M), nb, bb) @ weights  # batch × nb
+        return _pd.Series(list(buckets))
+
+    return _buckets(F.col(vec_col))
+
+
+def adaptive_band_bits(n_vectors: int,
+                       target_bucket: int = 125) -> int:
+    """Bits per band sized to the corpus: expected bucket size
+    n/2^bits stays ≈ ``target_bucket``, keeping per-band self-join
+    work Σ bucket² ≈ n·target_bucket — LINEAR in n — instead of
+    letting buckets (and the quadratic-in-bucket-size join) grow with
+    the corpus. The classic banding trade applies: at a fixed band
+    count, more bits lowers recall for *marginal*-similarity pairs
+    while true near-duplicates (cosine ≳ 0.9, per-bit collision
+    probability ≳ 0.95) stay near-certain candidates — which is the
+    regime bucketed near-dup detection is for. Callers that need high
+    recall at low thresholds on a big corpus should raise ``n_bands``
+    alongside (recall = 1-(1-p^bits)^bands)."""
+    return max(
+        SIM_LSH_BAND_BITS,
+        math.ceil(math.log2(max(n_vectors / target_bucket, 1.0))),
     )
 
 
@@ -190,7 +210,7 @@ def _banded(embeddings: DataFrame, id_col: str, vec_col: str,
     pre = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
-        norm(F.col(vec_col)).alias("vnorm"),
+        norm_fixed(vec_col, dim).alias("vnorm"),
         _bucket_array(vec_col, n_bands, band_bits, dim).alias("buckets"),
     )
     return pre.select(
@@ -254,7 +274,7 @@ def lsh_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
             "query_id",
             "vec_id",
             _cosine_pre(
-                dot(F.col("q_vec"), F.col("vec")),
+                dot_fixed("q_vec", "vec", dim),
                 F.col("q_norm"),
                 F.col("vnorm"),
             ).alias("cosine_sim"),
@@ -271,7 +291,8 @@ def lsh_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
 
 def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
                              id_col: str = "vec_id",
-                             vec_col: str = "embedding") -> DataFrame:
+                             vec_col: str = "embedding",
+                             dim: int = SIM_DIM) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — exact baseline: all
     ordered pairs (a < b) with cosine ≥ threshold. O(n²·dim): fine for
     a verification pass or a small slice, NOT the 100 TB path — that's
@@ -279,12 +300,12 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
     a = embeddings.select(
         F.col(id_col).alias("vec_id_a"),
         F.col(vec_col).alias("vec_a"),
-        norm(F.col(vec_col)).alias("norm_a"),
+        norm_fixed(vec_col, dim).alias("norm_a"),
     )
     b = embeddings.select(
         F.col(id_col).alias("vec_id_b"),
         F.col(vec_col).alias("vec_b"),
-        norm(F.col(vec_col)).alias("norm_b"),
+        norm_fixed(vec_col, dim).alias("norm_b"),
     )
     return (
         a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
@@ -292,7 +313,7 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
             "vec_id_a",
             "vec_id_b",
             _cosine_pre(
-                dot(F.col("vec_a"), F.col("vec_b")),
+                dot_fixed("vec_a", "vec_b", dim),
                 F.col("norm_a"),
                 F.col("norm_b"),
             ).alias("cosine_sim"),
@@ -362,7 +383,7 @@ def embedding_near_dup_pairs_lsh(embeddings: DataFrame,
             "vec_id_a",
             "vec_id_b",
             _cosine_pre(
-                dot(F.col("vec_a"), F.col("vec_b")),
+                dot_fixed("vec_a", "vec_b", dim),
                 F.col("norm_a"),
                 F.col("norm_b"),
             ).alias("cosine_sim"),
@@ -430,7 +451,7 @@ def label_centroid_similarity(embeddings: DataFrame,
         .select(
             F.col(id_col).alias("vec_id"),
             "label",
-            cosine(F.col(vec_col), F.col("centroid")).alias("centroid_sim"),
+            cosine_fixed(vec_col, "centroid", SIM_DIM).alias("centroid_sim"),
         )
     )
 
@@ -485,7 +506,7 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
         q.crossJoin(F.broadcast(cent))
         .select(
             "query_id", "q_vec", "label",
-            cosine(F.col("q_vec"), F.col("centroid")).alias("cent_sim"),
+            cosine_fixed("q_vec", "centroid", SIM_DIM).alias("cent_sim"),
         )
         .withColumn("probe_rank", F.row_number().over(w_probe))
         .filter(F.col("probe_rank") <= nprobe)
@@ -494,7 +515,7 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     scored = embeddings.join(F.broadcast(probes), "label").select(
         "query_id",
         F.col(id_col).alias("vec_id"),
-        cosine(F.col("q_vec"), F.col(vec_col)).alias("cosine_sim"),
+        cosine_fixed("q_vec", vec_col, SIM_DIM).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
     return (

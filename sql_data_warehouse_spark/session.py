@@ -28,6 +28,11 @@ DEFAULT_CONFS: dict[str, str] = {
     # Starting point for local runs; AQE coalesces down as needed.
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.files.maxPartitionBytes": "128m",
+    # local[N] runs everything in the driver JVM; the 1g default heap
+    # OOMs once per-task working sets grow (32 concurrent tasks share
+    # it). Only effective at JVM launch — a caller-provided live
+    # session keeps its own setting.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
 }
 
 
