@@ -80,7 +80,19 @@ def _drain(df: DataFrame, output_mode: str) -> DataFrame:
     spark = df.sparkSession
     name = f"stream_sink_{uuid.uuid4().hex}"
     ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    # Streaming state partitions = spark.sql.shuffle.partitions at
+    # query start, and each one pays a state-store commit + an Arrow
+    # Python worker per micro-batch. With O(|users|)-sized state a
+    # local drain wants a handful of partitions, not 32 (measured
+    # 37s -> 4s at sf0.1 for the applyInPandasWithState entry). A
+    # real cluster deployment sizes this to executor count instead;
+    # the checkpoint is fresh per drain, so the narrowing never
+    # conflicts with a prior run's state layout.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(min(4, int(prev_parts)))
+        )
         q = (
             df.writeStream.format("memory")
             .queryName(name)
@@ -93,6 +105,7 @@ def _drain(df: DataFrame, output_mode: str) -> DataFrame:
         sink = spark.table(name)
         out = spark.createDataFrame(sink.collect(), sink.schema)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         spark.catalog.dropTempView(name)
         shutil.rmtree(ckpt, ignore_errors=True)
     return out

@@ -32,15 +32,20 @@ TESTDATA_TABLES: dict[str, str] = {
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune_session(spark)
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS) which the vectorized
-        # Spark reader rejects; read nanos as long and truncate to
-        # microseconds (identical to DuckDB's ns→us truncation).
+        # events.parquet timestamps vary by generator version:
+        # TIMESTAMP(NANOS) (vectorized reader rejects → read as long,
+        # truncate to µs, identical to DuckDB's ns→µs truncation) or
+        # µs-without-timezone (Spark 4 infers TIMESTAMP_NTZ → cast to
+        # TIMESTAMP; session is pinned UTC so wall-clock is unchanged).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            from pyspark.sql import functions as F
+        ts_type = dict(df.dtypes).get("ts")
+        from pyspark.sql import functions as F
 
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
