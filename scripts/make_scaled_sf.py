@@ -23,6 +23,15 @@ degenerate:
 
 DuckDB does the replication (a generator utility, not engine
 surface; the engine under test is the PySpark package).
+
+ROW_GROUP_SIZE 8192: DuckDB's default 122,880-row groups put the
+whole 50k-row documents/embeddings tables in ONE row group — and a
+parquet row group is Spark's minimum split unit, so every scan of
+those tables ran as a single task regardless of maxPartitionBytes
+(first sf1 run: doc_stats 40× instead of ~10×, all embeddings
+queries superlinear). Real 100 TB inputs are many files/row groups;
+small groups here restore the splittability the bench is supposed to
+model.
 """
 from __future__ import annotations
 
@@ -83,7 +92,7 @@ def main() -> None:
         con.sql(
             f"COPY (SELECT src.* REPLACE ({', '.join(repl)}) "
             f"FROM '{SRC}/{t}.parquet' src, range({n}) t(i) ORDER BY i) "
-            f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+            f"TO '{out}/{t}.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 8192)"
         )
         print(f"{t}: x{n}")
 
@@ -100,7 +109,7 @@ def main() -> None:
                       ELSE length(text || ' [replica ' || i || ']')
                  END AS n_chars
           FROM '{SRC}/documents.parquet' src, range({n}) t(i) ORDER BY i
-        ) TO '{out}/documents.parquet' (FORMAT PARQUET)"""
+        ) TO '{out}/documents.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 8192)"""
     )
     print(f"documents: x{n}")
 
@@ -119,7 +128,7 @@ def main() -> None:
                  END AS embedding,
                  label
           FROM '{SRC}/embeddings.parquet' src, range({n}) t(i) ORDER BY i
-        ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)"""
+        ) TO '{out}/embeddings.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 8192)"""
     )
     print(f"embeddings: x{n}")
     print(f"done -> {out}")

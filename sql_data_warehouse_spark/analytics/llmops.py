@@ -111,6 +111,43 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_signatures(load_table(spark, sf_dir, "documents"))
 
 
+@query(
+    "simhash_near_dup_pairs",
+    survey="ext-dedup J-self",
+    tags=("llmops",),
+    oracle=dedup.simhash_pairs_sql(),
+)
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming-band near-dup pairs. Banded join with
+    ``max_hamming <= n_bands - 1`` has full recall by pigeonhole, so
+    the approximate-looking LSH plan yields an EXACT result — hence
+    the hash gate."""
+    return dedup.simhash_near_dup_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_clusters",
+    survey="ext-dedup J-self A2",
+    tags=("llmops",),
+    oracle=dedup.dedup_clusters_sql(doc_filter="doc_id < 200"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: exact jaccard pairs (≥0.35) over
+    a bounded sample → connected components by min-label propagation.
+    cluster_id = min doc_id of the cluster; singletons keep their own
+    id, so the output covers every sampled doc. The DuckDB twin is a
+    recursive-CTE transitive closure — gates the iterative Spark loop
+    exactly."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = dedup.jaccard_pairs(docs, min_jaccard=0.35).select("doc_a", "doc_b")
+    cc = dedup.connected_components(
+        pairs, nodes=docs.select("doc_id"), src="doc_a", dst="doc_b"
+    )
+    return cc.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 # -------------------------------------------------------------- similarity
 
 @query(

@@ -445,3 +445,189 @@ SIMHASH_SQL = f"""
                          ELSE 0 END) AS BIGINT) AS simhash
     FROM bitsums GROUP BY doc_id
 """
+
+
+# ------------------------------------------------- SimHash hamming-band LSH
+
+SIMHASH_BAND_BITS = 4
+
+
+def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           n_bits: int = SIMHASH_BITS,
+                           band_bits: int = SIMHASH_BAND_BITS,
+                           max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance, found via a
+    banded self-join (the hamming analogue of MinHash-LSH banding,
+    per Manku/Jain/Sarma's simhash web-dedup design).
+
+    The signature splits into ``n_bits/band_bits`` bands; by
+    pigeonhole, any pair within hamming distance ``n_bands - 1`` must
+    agree exactly on at least one band, so for
+    ``max_hamming <= n_bands - 1`` the banded join has FULL recall —
+    the result is exact (hence oracle-gated), while the join is still
+    keyed on (band_idx, band_val): cost is Σ bucket², never n².
+
+    At 100 TB you widen the signature (64-bit simhash, 4×16-bit
+    bands → ~65k buckets per band) so buckets stay small; the 16-bit
+    default here matches the oracle-checkable signature above."""
+    n_bands = n_bits // band_bits
+    assert max_hamming <= n_bands - 1, "banding loses recall past n_bands-1"
+    mask = (1 << band_bits) - 1
+    sigs = simhash_signatures(df, text_col, id_col, n_bits)
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.expr(
+                            f"shiftright(simhash, {b * band_bits}) & {mask}"
+                        ).alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def simhash_pairs_sql(n_bits: int = SIMHASH_BITS,
+                      band_bits: int = SIMHASH_BAND_BITS,
+                      max_hamming: int = 3) -> str:
+    n_bands = n_bits // band_bits
+    mask = (1 << band_bits) - 1
+    return f"""
+        WITH sigs AS ({SIMHASH_SQL}),
+        bands AS (
+          SELECT doc_id, simhash, band_idx,
+                 (simhash >> (band_idx * {band_bits})) & {mask} AS band_val
+          FROM sigs,
+               (SELECT unnest(generate_series(0, {n_bands - 1})) AS band_idx)
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM bands a
+        JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+# ------------------------------------------------- connected components
+
+def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
+                         src: str = "src", dst: str = "dst",
+                         max_iter: int = 25) -> DataFrame:
+    """Connected components by iterative min-label propagation — the
+    canonical "collapse near-dup pairs into duplicate clusters, keep
+    one doc per cluster" step downstream of LSH/jaccard pair
+    generation (cf. the union-find pass in web-scale dedup pipelines).
+
+    Every iteration does (1) a neighbor-min hop (join edges⋈labels +
+    min-aggregation, both keyed on node id) and (2) a pointer-jumping
+    shortcut (labels are themselves node ids, so ``label ←
+    label[label]`` halves chain depth — the label-doubling trick from
+    PRAM/Hash-to-Min connected components). Together they converge in
+    O(log diameter) rounds, so ``max_iter=25`` covers graphs of
+    diameter ~2²⁵, not 25. The label frontier is
+    ``localCheckpoint``-ed each round to stop lineage growth, and
+    convergence is detected by the monotone label-sum invariant
+    (labels only ever decrease, so an unchanged SUM(label) ⇔ a fixed
+    point) — one cheap aggregate per round instead of a change-count
+    join. Driver state is a single scalar; nothing about the loop
+    caps at cluster scale.
+
+    Returns (id, label): label = min node id in the component.
+    """
+    sym = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    sym = sym.union(
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    if nodes is None:
+        node_ids = sym.select(F.col("src").alias("id")).distinct()
+    else:
+        node_ids = nodes.select(F.col(nodes.columns[0]).alias("id")).distinct()
+    sym = sym.localCheckpoint(eager=False)
+    labels = node_ids.select("id", F.col("id").alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(
+                labels.select(
+                    F.col("id").alias("src"), F.col("label").alias("src_label")
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("src_label").alias("neigh_label"))
+        )
+        hopped = labels.join(neigh, "id", "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce("neigh_label", "label")).alias(
+                "label"
+            ),
+        )
+        parents = hopped.select(
+            F.col("id").alias("p_id"), F.col("label").alias("p_label")
+        )
+        labels = (
+            hopped.join(parents, hopped["label"] == parents["p_id"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("p_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def dedup_clusters_sql(doc_filter: str = "TRUE", k: int = SHINGLE_K,
+                       min_jaccard: float = 0.35) -> str:
+    """DuckDB twin of jaccard-pair connected components: transitive
+    closure via a recursive CTE (UNION dedups, so it terminates), then
+    MIN(label) per node. Exact — gates the Spark propagation loop."""
+    pairs = jaccard_pairs_sql(doc_filter=doc_filter, k=k,
+                              min_jaccard=min_jaccard)
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs}),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL
+          SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(id, label) AS (
+          SELECT doc_id, doc_id FROM documents WHERE {doc_filter}
+          UNION
+          SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+        )
+        SELECT id AS doc_id, MIN(label) AS cluster_id
+        FROM reach GROUP BY id
+    """

@@ -95,3 +95,57 @@ def test_approx_percentiles_track_exact(spark):
         a = approx[prio]
         for q in ("p50", "p90", "p99"):
             assert abs(a[q] - e[q]) / e[q] < 0.05, (prio, q, a[q], e[q])
+
+
+def test_connected_components_deep_chain(spark):
+    # A 30-node path (diameter 29) plus a triangle and two isolates:
+    # proves the min-label propagation actually iterates to the fixed
+    # point (the registry's real-data clusters are shallow) and that
+    # isolated nodes keep their own id.
+    from sql_data_warehouse_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(100, 129)]
+    tri = [(7, 3), (3, 5), (5, 7)]
+    edges = spark.createDataFrame(chain + tri, "src long, dst long")
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(100, 130)] + [(3,), (5,), (7,), (900,), (901,)],
+        "id long",
+    )
+    out = {
+        r["id"]: r["label"]
+        for r in connected_components(edges, nodes=nodes).collect()
+    }
+    assert all(out[i] == 100 for i in range(100, 130))
+    assert out[3] == out[5] == out[7] == 3
+    assert out[900] == 900 and out[901] == 901
+
+
+def test_simhash_banding_full_recall(spark):
+    # Pigeonhole property: every pair within max_hamming of each other
+    # appears in the banded join output — compare against the
+    # brute-force all-pairs hamming filter on the same signatures.
+    from sql_data_warehouse_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+        simhash_signatures,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    banded = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_near_dup_pairs(docs, max_hamming=3).collect()
+    }
+    sigs = simhash_signatures(docs).alias("a")
+    brute = (
+        sigs.join(
+            simhash_signatures(docs).alias("b"),
+            F.col("a.doc_id") < F.col("b.doc_id"),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+    )
+    expected = {(r["doc_a"], r["doc_b"]) for r in brute.collect()}
+    assert banded == expected
