@@ -1,0 +1,123 @@
+"""Registry gates for the transactional table layer (sources/txn.py).
+
+The reference gets atomic truncate-and-reload from SQL Server
+transactions (scripts/bronze/load_bronze.sql:35-43); these queries
+prove the manifest-log equivalent end-to-end against the DuckDB
+oracle: a MERGE executed *as a table operation* (write, commit, read
+back the published snapshot) and a time-travel read of a superseded
+snapshot.
+
+The table builds once per (session, sf_dir) in a temp dir — every
+invocation after the first is a manifest resolve + parquet scan of
+the committed files, which is exactly what a downstream consumer of
+the warehouse pays.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from ..sources.txn import TxnTable
+from .registry import query
+from .xengine import cents, CENTS_SQL
+
+
+def _orders_txn(spark: SparkSession, sf_dir: str) -> TxnTable:
+    """Session-cached build: v1 = full orders snapshot (range-laid-out
+    on the merge key so file stats give disjoint key ranges), v2 =
+    MERGE of the re-priced batch (every 7th order, +10%)."""
+    cache = getattr(spark, "_wh_txn_tables", None)
+    if cache is None:
+        cache = {}
+        spark._wh_txn_tables = cache
+    tbl = cache.get(("orders", sf_dir))
+    if tbl is None:
+        root = tempfile.mkdtemp(prefix="wh_txn_orders_")
+        tbl = TxnTable(root)
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority",
+        )
+        # range layout -> per-file min/max key ranges are disjoint, so
+        # a narrow update batch rewrites only the files it intersects
+        tbl.overwrite(o.repartitionByRange(8, "o_orderkey"),
+                      stat_cols=("o_orderkey",))
+        updates = o.filter(F.col("o_orderkey") % 7 == 0).select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_totalprice") * F.lit(1.10)).alias("o_totalprice"),
+            F.lit("RE-PRICED").alias("o_orderpriority"),
+        )
+        tbl.merge(updates, key="o_orderkey")
+        cache[("orders", sf_dir)] = tbl
+    return tbl
+
+
+@query(
+    "txn_merge_orders",
+    survey="ext-acid S2 ext-merge",
+    oracle=f"""
+        WITH updates AS (
+            SELECT o_orderkey, o_orderstatus,
+                   o_totalprice * 1.10 AS o_totalprice,
+                   'RE-PRICED' AS o_orderpriority, 1 AS _src
+            FROM orders WHERE o_orderkey % 7 = 0
+        ),
+        unioned AS (
+            SELECT * FROM updates
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, o_totalprice,
+                   o_orderpriority, 0 AS _src
+            FROM orders
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY o_orderkey ORDER BY _src DESC
+                   ) AS rn
+            FROM unioned
+        )
+        SELECT o_orderkey, o_orderstatus, o_orderpriority,
+               {CENTS_SQL.format(expr="o_totalprice")} AS price_cents
+        FROM ranked WHERE rn = 1
+    """,
+    tags=("txn",),
+)
+def txn_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO as a transactional table op: the update batch is
+    committed through TxnTable.merge (file-pruned rewrite + atomic
+    manifest publish) and THIS query reads the published snapshot —
+    so the oracle gate covers the full write→commit→read path, not a
+    relational simulation (contrast incremental_merge_orders).
+    """
+    tbl = _orders_txn(spark, sf_dir)
+    return tbl.read(spark).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority",
+        cents(F.col("o_totalprice")).alias("price_cents"),
+    )
+
+
+@query(
+    "txn_time_travel",
+    survey="ext-acid S2",
+    oracle=f"""
+        SELECT o_orderkey, o_orderstatus, o_orderpriority,
+               {CENTS_SQL.format(expr="o_totalprice")} AS price_cents
+        FROM orders
+    """,
+    tags=("txn",),
+)
+def txn_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: read version 1 (pre-merge) of the orders TxnTable
+    and recover the original snapshot bit-for-bit — old data files
+    are immutable and the superseded manifest still resolves them.
+    """
+    tbl = _orders_txn(spark, sf_dir)
+    return tbl.read(spark, version=1).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority",
+        cents(F.col("o_totalprice")).alias("price_cents"),
+    )

@@ -1,0 +1,315 @@
+"""Transactional (ACID-ish) parquet tables via a manifest log.
+
+The reference's load pattern is ``TRUNCATE TABLE`` + ``BULK INSERT``
+inside a stored procedure (scripts/bronze/load_bronze.sql:35-43) —
+SQL Server gives it atomicity for free.  Plain parquet directories
+don't: a reader that lists the directory mid-overwrite sees half a
+table.  This module supplies the missing commit protocol, the same
+shape Delta Lake / Iceberg use, reduced to what the warehouse needs:
+
+- **Snapshot isolation.**  Data files are immutable and written to
+  uniquely-named subdirectories; a version's file *list* lives in a
+  JSON manifest (``_txn/v00000017.json``).  Readers resolve the
+  latest manifest once and read exactly those files — a concurrent
+  writer can never make a reader see a partial table.
+- **Atomic commit.**  A manifest is staged to a temp name and
+  published with ``os.link`` (atomic, fails-if-exists on POSIX), so
+  two writers racing to the same version conflict cleanly instead of
+  silently overwriting — optimistic concurrency, retry on collision.
+- **Time travel.**  Old manifests and their files are retained until
+  ``vacuum``; ``read(version=N)`` reproduces any historical snapshot.
+- **File-level stats → pruned MERGE.**  Each commit records per-file
+  row counts and min/max for chosen stat columns (one Spark pass over
+  the *new* files only, grouped by ``input_file_name`` — the footer
+  stats Delta gets from the writer).  ``merge`` uses the key-column
+  stats to split the snapshot into touched / untouched files and
+  rewrites only the touched ones; untouched files are carried into
+  the new manifest by reference.  At 100 TB with a 0.1 % update batch
+  that is the difference between rewriting ~everything and rewriting
+  the handful of files whose key range the batch intersects.
+
+Scale notes: listing is O(versions) manifest reads, never a recursive
+object-store listing; commits are O(1) metadata; the only data I/O is
+the new files themselves plus (for merge) the touched subset.  All
+row-level work stays in Spark DataFrame ops — the manifest layer is
+driver-side metadata measured in kilobytes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MANIFEST_DIR = "_txn"
+_DATA_DIR = "data"
+
+
+@dataclass(frozen=True)
+class FileEntry:
+    path: str  # relative to table root
+    rows: int
+    stats: dict[str, dict[str, Any]]  # col -> {"min": .., "max": ..}
+
+
+class CommitConflict(RuntimeError):
+    """Another writer published this version first — re-read and retry."""
+
+
+class TxnTable:
+    """A versioned parquet table rooted at ``path``."""
+
+    def __init__(self, path: str):
+        self.root = os.path.abspath(path)
+        os.makedirs(os.path.join(self.root, _MANIFEST_DIR), exist_ok=True)
+
+    # ----------------------------------------------------------- manifests
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.root, _MANIFEST_DIR, f"v{version:08d}.json")
+
+    def versions(self) -> list[int]:
+        d = os.path.join(self.root, _MANIFEST_DIR)
+        out = []
+        for name in os.listdir(d):
+            if name.startswith("v") and name.endswith(".json"):
+                out.append(int(name[1:-5]))
+        return sorted(out)
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def _load_manifest(self, version: int) -> dict:
+        with open(self._manifest_path(version)) as f:
+            return json.load(f)
+
+    def _files(self, version: int) -> list[FileEntry]:
+        m = self._load_manifest(version)
+        return [FileEntry(f["path"], f["rows"], f.get("stats", {}))
+                for f in m["files"]]
+
+    def history(self) -> list[dict]:
+        """Commit log, oldest first (version, op, ts, file/row counts)."""
+        out = []
+        for v in self.versions():
+            m = self._load_manifest(v)
+            out.append({
+                "version": v, "op": m["op"], "ts": m["ts"],
+                "num_files": len(m["files"]),
+                "num_rows": sum(f["rows"] for f in m["files"]),
+            })
+        return out
+
+    # ------------------------------------------------------------- commit
+
+    def _commit(self, op: str, files: list[FileEntry],
+                expected_base: int | None) -> int:
+        """Publish a new manifest atomically.
+
+        ``expected_base`` is the version this commit was computed
+        against (None for the first).  If someone else published in
+        between, raise CommitConflict instead of clobbering history.
+        """
+        latest = self.latest_version()
+        if latest != expected_base:
+            raise CommitConflict(
+                f"base moved: expected v{expected_base}, found v{latest}")
+        version = (latest or 0) + 1
+        manifest = {
+            "version": version,
+            "op": op,
+            "ts": time.time(),
+            "files": [
+                {"path": f.path, "rows": f.rows, "stats": f.stats}
+                for f in files
+            ],
+        }
+        tmp = os.path.join(self.root, _MANIFEST_DIR,
+                           f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            # os.link is atomic and refuses to overwrite: the loser of
+            # a race gets FileExistsError, not a corrupted log.
+            os.link(tmp, self._manifest_path(version))
+        except FileExistsError:
+            raise CommitConflict(f"v{version} was published concurrently")
+        finally:
+            os.unlink(tmp)
+        return version
+
+    # ------------------------------------------------------------- writes
+
+    def _write_files(self, df: DataFrame,
+                     stat_cols: tuple[str, ...] = ()) -> list[FileEntry]:
+        """Write df as immutable parquet files; return entries+stats.
+
+        Stats come from one Spark aggregation over the just-written
+        files grouped by ``input_file_name()`` — scans only the new
+        data, runs distributed, and collects kilobytes to the driver.
+        """
+        commit_dir = os.path.join(_DATA_DIR, uuid.uuid4().hex)
+        abs_dir = os.path.join(self.root, commit_dir)
+        df.write.mode("errorifexists").parquet(abs_dir)
+
+        written = df.sparkSession.read.parquet(abs_dir)
+        aggs = [F.count(F.lit(1)).alias("_rows")]
+        for c in stat_cols:
+            aggs.append(F.min(c).alias(f"_min_{c}"))
+            aggs.append(F.max(c).alias(f"_max_{c}"))
+        per_file = (
+            written.groupBy(F.input_file_name().alias("_file"))
+            .agg(*aggs).collect()
+        )
+        entries = []
+        for r in per_file:
+            rel = os.path.join(
+                commit_dir, os.path.basename(r["_file"].split("://")[-1]))
+            stats = {
+                c: {"min": _json_safe(r[f"_min_{c}"]),
+                    "max": _json_safe(r[f"_max_{c}"])}
+                for c in stat_cols
+            }
+            entries.append(FileEntry(rel, r["_rows"], stats))
+        if not entries:
+            # zero-row commit: keep the (empty) part files so the
+            # snapshot still carries the schema
+            for name in sorted(os.listdir(abs_dir)):
+                if name.endswith(".parquet"):
+                    entries.append(
+                        FileEntry(os.path.join(commit_dir, name), 0, {}))
+        return entries
+
+    def overwrite(self, df: DataFrame,
+                  stat_cols: tuple[str, ...] = ()) -> int:
+        """Atomic truncate-and-reload (reference S2). Old snapshots
+        stay readable via time travel until vacuum()."""
+        base = self.latest_version()
+        files = self._write_files(df, stat_cols)
+        return self._commit("overwrite", files, base)
+
+    def append(self, df: DataFrame,
+               stat_cols: tuple[str, ...] = ()) -> int:
+        base = self.latest_version()
+        existing = self._files(base) if base is not None else []
+        files = self._write_files(df, stat_cols)
+        return self._commit("append", existing + files, base)
+
+    # -------------------------------------------------------------- reads
+
+    def read(self, spark: SparkSession, version: int | None = None,
+             prune: tuple[str, Any, Any] | None = None) -> DataFrame:
+        """Snapshot read. ``prune=(col, lo, hi)`` skips files whose
+        recorded [min,max] for col cannot intersect [lo,hi] — the
+        manifest-level partition pruning a 100 TB scan depends on."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no commits at {self.root}")
+        files = self._files(v)
+        if prune is not None:
+            col, lo, hi = prune
+            files = [f for f in files if _may_intersect(f, col, lo, hi)]
+        if not files:
+            # preserve schema from an unpruned read of file 0
+            all_files = self._files(v)
+            empty = spark.read.parquet(
+                os.path.join(self.root, all_files[0].path))
+            return empty.limit(0)
+        return spark.read.parquet(
+            *[os.path.join(self.root, f.path) for f in files])
+
+    # -------------------------------------------------------------- merge
+
+    def merge(self, updates: DataFrame, key: str,
+              stat_cols: tuple[str, ...] = ()) -> int:
+        """MERGE INTO (upsert, latest-wins on ``key``) as a table op.
+
+        File-pruned rewrite: files whose [min,max] key range cannot
+        contain any update key are carried over untouched; only the
+        touched files are read, merged (union + row_number window on
+        the key — one shuffle), and rewritten.  Updates whose key
+        lands in no existing file are inserts and go to the new files
+        too.
+        """
+        spark = updates.sparkSession
+        base = self.latest_version()
+        if base is None:
+            files = self._write_files(updates, stat_cols or (key,))
+            return self._commit("merge", files, None)
+        scols = tuple(stat_cols) or (key,)
+        if key not in scols:
+            scols = (key,) + tuple(scols)
+
+        snapshot = self._files(base)
+        bounds = updates.agg(
+            F.min(key).alias("lo"), F.max(key).alias("hi")).collect()[0]
+        lo, hi = bounds["lo"], bounds["hi"]
+        touched, untouched = [], []
+        for f in snapshot:
+            if _may_intersect(f, key, lo, hi):
+                touched.append(f)
+            else:
+                untouched.append(f)
+
+        if touched:
+            tdf = spark.read.parquet(
+                *[os.path.join(self.root, f.path) for f in touched])
+            from pyspark.sql import Window
+            merged = (
+                updates.withColumn("_src", F.lit(1))
+                .unionByName(tdf.withColumn("_src", F.lit(0)))
+                .withColumn("_rn", F.row_number().over(
+                    Window.partitionBy(key).orderBy(F.desc("_src"))))
+                .filter(F.col("_rn") == 1)
+                .drop("_src", "_rn")
+            )
+        else:
+            merged = updates
+        new_files = self._write_files(merged, scols)
+        return self._commit("merge", untouched + new_files, base)
+
+    # ------------------------------------------------------------- vacuum
+
+    def vacuum(self, keep_last: int = 1) -> list[str]:
+        """Drop manifests older than the newest ``keep_last`` and any
+        data directory no surviving manifest references."""
+        vs = self.versions()
+        keep, drop = vs[-keep_last:], vs[:-keep_last]
+        live_dirs = set()
+        for v in keep:
+            for f in self._files(v):
+                live_dirs.add(os.path.dirname(f.path))
+        removed = []
+        for v in drop:
+            for f in self._files(v):
+                d = os.path.dirname(f.path)
+                if d not in live_dirs:
+                    abs_d = os.path.join(self.root, d)
+                    if os.path.isdir(abs_d):
+                        shutil.rmtree(abs_d)
+                        removed.append(d)
+            os.unlink(self._manifest_path(v))
+        return removed
+
+
+def _json_safe(v: Any) -> Any:
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def _may_intersect(f: FileEntry, col: str, lo: Any, hi: Any) -> bool:
+    s = f.stats.get(col)
+    if s is None or s["min"] is None or s["max"] is None:
+        return True  # no stats -> must assume it matches
+    return not (s["max"] < lo or s["min"] > hi)
