@@ -1,0 +1,140 @@
+"""Registry gates for the corpus-curation operators
+(operators/curation.py): benchmark decontamination, token-budget
+packing, Gopher-style repetition stats, winnowing near-dup pairs.
+
+All four run over the ``documents`` table and are hash-gated against
+DuckDB twins — including the two-pass distributed prefix sum, whose
+result must equal the oracle's single ``SUM() OVER (ORDER BY ...)``
+exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import TOKENS_SQL, tokens
+from ..operators.curation import (
+    decontaminate, global_running_sum, repetition_stats,
+    repetition_stats_sql, token_ngrams_sql, winnow_near_dup_pairs,
+    winnow_near_dup_pairs_sql,
+)
+from ..sources import load_table
+from .registry import query
+
+_DECON_N = 8
+_BUDGET = 10_000
+
+
+@query(
+    "decontaminate_benchmark",
+    survey="ext-decon ext-dedup A5",
+    oracle=f"""
+        WITH bench AS (
+            SELECT DISTINCT gram FROM (
+                SELECT unnest({token_ngrams_sql("substr(text, 1, 160)",
+                                                _DECON_N)}) AS gram
+                FROM documents WHERE doc_id % 97 = 0
+            )
+        )
+        SELECT g.doc_id,
+               CAST(COUNT(DISTINCT g.gram) AS BIGINT) AS n_hits
+        FROM (
+            SELECT doc_id,
+                   unnest({token_ngrams_sql("text", _DECON_N)}) AS gram
+            FROM documents
+        ) g JOIN bench USING (gram)
+        GROUP BY g.doc_id
+    """,
+    tags=("llmops",),
+)
+def decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: the held-out eval set is a 160-char
+    excerpt of every 97th document (the realistic contamination mode:
+    eval text literally present in the crawl), and every corpus
+    document sharing an 8-token gram with it is flagged with its
+    distinct-overlap count — at minimum the excerpted sources flag
+    themselves. Benchmark grams broadcast; the corpus never shuffles
+    on gram."""
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0).select(
+        F.substring("text", 1, 160).alias("text"))
+    return decontaminate(d, bench, n=_DECON_N)
+
+
+@query(
+    "token_budget_pack",
+    survey="ext-pack W6 O1",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+            FROM (
+                SELECT doc_id, lang, {TOKENS_SQL.format(col="text")} AS toks
+                FROM documents
+            )
+        ),
+        ranked AS (
+            SELECT doc_id, lang, n_tokens,
+                   SUM(n_tokens) OVER (
+                       ORDER BY n_distinct / CAST(n_tokens AS DOUBLE) DESC,
+                                doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum_tokens
+            FROM scored
+        )
+        SELECT doc_id, lang, n_tokens,
+               CAST(cum_tokens AS BIGINT) AS cum_tokens
+        FROM ranked WHERE cum_tokens <= {_BUDGET}
+    """,
+    tags=("llmops",),
+)
+def token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Select the highest-quality documents (distinct-token ratio)
+    until a 10k-token budget fills. The cumulative sum runs through
+    the two-pass distributed prefix-sum (range partition + driver
+    offsets), not a single-reducer global window — same result,
+    100 TB-safe plan."""
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    scored = d.select(
+        "doc_id", "lang",
+        F.size(t).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_distinct"),
+    ).withColumn(
+        "quality",
+        F.col("n_distinct") / F.col("n_tokens").cast("double"),
+    )
+    packed = global_running_sum(
+        scored, [F.desc("quality"), F.asc("doc_id")],
+        F.col("n_tokens"), out_name="cum_tokens",
+    )
+    return (
+        packed.filter(F.col("cum_tokens") <= _BUDGET)
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")
+    )
+
+
+@query(
+    "gopher_repetition",
+    survey="ext-text A4 P1",
+    oracle=repetition_stats_sql(3),
+    tags=("llmops",),
+)
+def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicate-trigram fraction (Gopher repetition
+    rule): integer gram counts per doc, one deterministic division."""
+    return repetition_stats(load_table(spark, sf_dir, "documents"), n=3)
+
+
+@query(
+    "winnow_near_dup_pairs",
+    survey="ext-dedup ext-fingerprint J-self",
+    oracle=winnow_near_dup_pairs_sql(),
+    tags=("llmops",),
+)
+def winnow_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint near-dup pairs: window-min k-gram
+    digests per doc, doc-frequency-capped fingerprint self-join
+    (Σ df² bounded), pairs sharing ≥3 fingerprints."""
+    return winnow_near_dup_pairs(load_table(spark, sf_dir, "documents"))

@@ -1,0 +1,99 @@
+"""Corpus-curation operators: decontamination, budget packing,
+repetition stats, winnowing — semantics plus oracle parity (the
+registry gate replica covers hashes; these check behavior)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from sql_data_warehouse_spark.operators.curation import (
+    decontaminate, global_running_sum, ngrams_of, repetition_stats,
+    winnow_fingerprints, winnow_near_dup_pairs,
+)
+from sql_data_warehouse_spark.functions.text import tokens
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=i, lang="en", text=t) for i, t in enumerate(rows)])
+
+
+def test_ngrams_of_basic(spark):
+    df = spark.range(1).select(
+        F.lit("one two three four").alias("text")
+    ).select(tokens(F.col("text")).alias("t"))
+    out = df.select(ngrams_of(F.col("t"), 2).alias("g")).collect()[0]["g"]
+    assert out == ["one two", "two three", "three four"]
+
+
+def test_ngrams_short_doc_truncates(spark):
+    df = spark.range(1).select(F.lit("hi").alias("text")).select(
+        tokens(F.col("text")).alias("t"))
+    out = df.select(ngrams_of(F.col("t"), 8).alias("g")).collect()[0]["g"]
+    assert out == ["hi"]
+
+
+def test_decontaminate_flags_overlap(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = _docs(spark, [
+        f"prefix {shared} suffix",      # contains the benchmark 8-gram
+        "totally different words here no overlap at all present",
+    ])
+    bench = _docs(spark, [f"unrelated {shared} tail words"])
+    hits = {r["doc_id"]: r["n_hits"]
+            for r in decontaminate(corpus, bench, n=8).collect()}
+    assert 0 in hits and hits[0] >= 1
+    assert 1 not in hits
+
+
+def test_global_running_sum_matches_window(spark):
+    df = spark.createDataFrame(
+        [Row(k=i, v=(i * 37) % 11 + 1) for i in range(500)])
+    out = global_running_sum(df, [F.asc("k")], F.col("v"),
+                             out_name="rt", num_partitions=7)
+    got = {r["k"]: r["rt"] for r in out.collect()}
+    acc = 0
+    for i in range(500):
+        acc += (i * 37) % 11 + 1
+        assert got[i] == acc, i
+
+
+def test_repetition_stats_detects_loops(spark):
+    df = _docs(spark, [
+        "spam spam spam spam spam spam",          # one distinct trigram
+        "all words here are fully distinct now",  # no repeats
+    ])
+    out = {r["doc_id"]: r for r in repetition_stats(df, n=3).collect()}
+    assert out[0]["n_distinct_grams"] == 1
+    assert out[0]["dup_fraction"] > 0.7
+    assert out[1]["dup_fraction"] == 0.0
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    # Winnowing guarantee: substring matches of length >= k+w-1
+    # (12+8-1=19 chars) always share a fingerprint.
+    common = "the quick brown fox jumps over the lazy dog repeatedly"
+    df = _docs(spark, [
+        f"AAA {common} BBB",
+        f"CCC {common} DDD",
+        "entirely unrelated content with no shared substrings at all",
+    ])
+    fp = winnow_fingerprints(df)
+    shared01 = (
+        fp.filter("doc_id = 0").select("fp")
+        .intersect(fp.filter("doc_id = 1").select("fp")).count())
+    shared02 = (
+        fp.filter("doc_id = 0").select("fp")
+        .intersect(fp.filter("doc_id = 2").select("fp")).count())
+    assert shared01 >= 1
+    assert shared02 == 0
+
+
+def test_winnow_pairs_doc_freq_guard(spark):
+    # a fingerprint present in every doc must not create pairs when
+    # max_doc_freq excludes it
+    boiler = "identical boilerplate sentence shared by every document"
+    df = _docs(spark, [f"{boiler} variant {i}" for i in range(6)])
+    pairs = winnow_near_dup_pairs(df, min_shared=1, max_doc_freq=3)
+    # every shared fp has doc-frequency 6 > 3 -> no candidate pairs
+    assert pairs.count() == 0
