@@ -246,3 +246,161 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k_decile")
     )
+
+
+# ------------------------------------------------------------- range join
+
+_RANGE_WINDOW_US = 900_000_000  # 15 minutes in microseconds
+
+
+@query(
+    "events_range_join_attribution",
+    survey="ext-rangejoin J-range A2",
+    tags=("streaming",),
+    oracle="""
+        SELECT p.event_id, p.user_id,
+               CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+               CAST(COUNT(c.event_id) AS BIGINT) AS n_clicks_15m
+        FROM events p LEFT JOIN events c
+          ON c.user_id = p.user_id AND c.event_type = 'click'
+         AND c.ts > p.ts - INTERVAL 15 MINUTE AND c.ts <= p.ts
+        WHERE p.event_type = 'purchase'
+        GROUP BY 1, 2, 3
+    """,
+)
+def events_range_join_attribution(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Interval range join, bucketized: clicks within the 15 minutes
+    before each purchase by the same user.
+
+    The naive plan is an inequality join — Catalyst can only run that
+    as BroadcastNestedLoopJoin (all-pairs per user; quadratic in the
+    hot user's events). The scale-safe pattern is **banding**: bin
+    both sides to the window width, replicate the build side to
+    (bin, bin+1), equi-join on (user_id, bin) — a plain hash shuffle
+    join whose per-bucket cost is bounded by events-per-user-per-15min
+    — then apply the exact time predicate. 2× replication buys an
+    equi-join plan that holds at 100 TB; same trick as the salted
+    skew join (operators/skew.py).
+
+    A purchase in bin k meets click replicas with bin == k: the
+    original replica of clicks in bin k and the +1 replica of clicks
+    in bin k-1 — each physical click at most once, no dedup needed.
+    """
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts",
+        F.floor(us / F.lit(_RANGE_WINDOW_US)).alias("bin"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.floor(us / F.lit(_RANGE_WINDOW_US)).alias("c_bin"),
+    )
+    replicated = clicks.withColumn(
+        "c_bin", F.explode(F.array(F.col("c_bin"), F.col("c_bin") + 1)))
+    joined = purchases.join(
+        replicated,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("bin") == F.col("c_bin"))
+        & (F.col("c_ts") > F.col("ts") - F.expr("INTERVAL 15 MINUTES"))
+        & (F.col("c_ts") <= F.col("ts")),
+        "left",
+    )
+    return joined.groupBy("event_id", "user_id", "ts").agg(
+        F.count("c_ts").alias("n_clicks_15m"),
+    ).select(
+        "event_id", "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "n_clicks_15m",
+    )
+
+
+# ------------------------------------------------------ cascading rollup
+
+
+@query(
+    "events_rollup_cascade",
+    survey="ext-rollup ext-timeseries A7",
+    tags=("streaming",),
+    oracle=f"""
+        WITH hourly AS MATERIALIZED (
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM({{micros}}) AS BIGINT) AS value_micros
+            FROM events GROUP BY 1, 2
+        ),
+        daily AS MATERIALIZED (
+            SELECT date_trunc('day', window_start) AS window_start,
+                   event_type,
+                   CAST(SUM(n_events) AS BIGINT) AS n_events,
+                   CAST(SUM(value_micros) AS BIGINT) AS value_micros
+            FROM hourly GROUP BY 1, 2
+        ),
+        monthly AS (
+            SELECT date_trunc('month', window_start) AS window_start,
+                   event_type,
+                   CAST(SUM(n_events) AS BIGINT) AS n_events,
+                   CAST(SUM(value_micros) AS BIGINT) AS value_micros
+            FROM daily GROUP BY 1, 2
+        )
+        SELECT 'hour' AS grain, window_start, event_type, n_events,
+               CAST(value_micros AS DOUBLE) / 1000000.0 AS total_value
+        FROM hourly
+        UNION ALL
+        SELECT 'day', window_start, event_type, n_events,
+               CAST(value_micros AS DOUBLE) / 1000000.0 FROM daily
+        UNION ALL
+        SELECT 'month', window_start, event_type, n_events,
+               CAST(value_micros AS DOUBLE) / 1000000.0 FROM monthly
+    """.format(micros="CAST(floor((value) * 1000000.0 + 0.5) AS BIGINT)"),
+)
+def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution continuous aggregate (hypertable rollup
+    cascade): hour → day → month, each grain aggregated FROM the
+    previous one, never from raw events.
+
+    At 100 TB this is the whole point of cascading: the raw table is
+    scanned exactly once (for the hourly grain); day and month are
+    re-aggregations of a table ~5 orders of magnitude smaller.
+    Spark's ReuseExchange rule deduplicates the shared hourly
+    sub-plan across the three UNION branches, so the physical plan
+    scans events once even without an explicit cache. Sums cascade
+    exactly because they're scaled int64 all the way down — division
+    to double happens only at output.
+    """
+    e = load_table(spark, sf_dir, "events")
+    micros = F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)) \
+        .cast("long")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"), "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(micros).alias("value_micros"),
+    )
+    daily = hourly.groupBy(
+        F.date_trunc("day", "window_start").alias("window_start"),
+        "event_type",
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("value_micros").alias("value_micros"),
+    )
+    monthly = daily.groupBy(
+        F.date_trunc("month", "window_start").alias("window_start"),
+        "event_type",
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("value_micros").alias("value_micros"),
+    )
+
+    def out(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"), "window_start", "event_type",
+            "n_events",
+            (F.col("value_micros").cast("double") / F.lit(1000000.0))
+            .alias("total_value"),
+        )
+
+    return out(hourly, "hour").unionByName(out(daily, "day")) \
+        .unionByName(out(monthly, "month"))
