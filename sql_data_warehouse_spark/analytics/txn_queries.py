@@ -121,3 +121,63 @@ def txn_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderstatus", "o_orderpriority",
         cents(F.col("o_totalprice")).alias("price_cents"),
     )
+
+
+def _hourly_partials(events: DataFrame) -> DataFrame:
+    micros = (
+        F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast("long"))
+    return events.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"), "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(micros).alias("value_micros"),
+    )
+
+
+@query(
+    "cagg_hourly_refresh",
+    survey="ext-acid ext-timeseries A7",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(floor((value) * 1000000.0 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1000000.0 AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    tags=("txn",),
+)
+def cagg_hourly_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental continuous aggregate: the hourly events rollup is
+    materialized as a TxnTable and REFRESHED in three batches
+    (events split by event_id % 3) through ``merge_additive`` —
+    pre-aggregated partials combine by SUM into the snapshot, with
+    file pruning on the window_start stats so a batch only rewrites
+    the rollup files covering its time range. The query reads the
+    final published snapshot; the oracle aggregates all events
+    directly — they must agree exactly (scaled-int64 sums are
+    associative, so batch order can't change the result).
+    """
+    cache = getattr(spark, "_wh_txn_tables", None)
+    if cache is None:
+        cache = {}
+        spark._wh_txn_tables = cache
+    tbl = cache.get(("cagg_hourly", sf_dir))
+    if tbl is None:
+        root = tempfile.mkdtemp(prefix="wh_cagg_hourly_")
+        tbl = TxnTable(root)
+        events = load_table(spark, sf_dir, "events")
+        for batch_no in range(3):
+            batch = events.filter(F.col("event_id") % 3 == batch_no)
+            tbl.merge_additive(
+                _hourly_partials(batch),
+                key_cols=["window_start", "event_type"],
+                sum_cols=["n_events", "value_micros"],
+                prune_col="window_start",
+            )
+        cache[("cagg_hourly", sf_dir)] = tbl
+    return tbl.read(spark).select(
+        "window_start", "event_type", "n_events",
+        (F.col("value_micros").cast("double") / F.lit(1000000.0))
+        .alias("total_value"),
+    )

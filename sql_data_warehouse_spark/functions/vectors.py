@@ -74,6 +74,23 @@ def cosine_fixed(a: str, b: str, dim: int) -> Column:
     )
 
 
+def cosine_prenormed(a: str, b: str, na: str, nb: str,
+                     dim: int) -> Column:
+    """Cosine where both norms were PRE-COMPUTED into columns
+    (``norm_fixed`` once per row on each side before the join).
+    Bit-identical to :func:`cosine_fixed` — the norm column holds the
+    same unrolled-expression double, and the guard/divide structure
+    is unchanged — but the per-PAIR expression shrinks from ~5·dim
+    terms (dot + two norms, each inlined twice) to the dot product
+    alone: ~5× fewer flops and far less generated code in the
+    pairwise scoring loop, which is where ANN queries spend their
+    time at every scale."""
+    return F.expr(
+        f"CASE WHEN {na} * {nb} = 0 THEN NULL "
+        f"ELSE {dot_fixed_sql(a, b, dim)} / ({na} * {nb}) END"
+    )
+
+
 # --- DuckDB twins.  list_* lambdas fold left-to-right like Spark's
 # aggregate, and element casts to DOUBLE mirror the Spark side. ---
 

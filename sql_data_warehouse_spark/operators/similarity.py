@@ -510,12 +510,23 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
         )
         .withColumn("probe_rank", F.row_number().over(w_probe))
         .filter(F.col("probe_rank") <= nprobe)
-        .select("query_id", "q_vec", "label")
+        .select("query_id", "q_vec", "label",
+                norm_fixed("q_vec", SIM_DIM).alias("q_norm"))
     )
-    scored = embeddings.join(F.broadcast(probes), "label").select(
+    # norms once per row on each side; the per-pair loop is the dot
+    # product alone (bit-identical — see vectors.cosine_prenormed)
+    e = embeddings.select(
+        "label", F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("e_vec"),
+        norm_fixed(vec_col, SIM_DIM).alias("e_norm"),
+    )
+    scored = e.join(F.broadcast(probes), "label").select(
         "query_id",
-        F.col(id_col).alias("vec_id"),
-        cosine_fixed("q_vec", vec_col, SIM_DIM).alias("cosine_sim"),
+        "vec_id",
+        _cosine_pre(
+            dot_fixed("q_vec", "e_vec", SIM_DIM),
+            F.col("q_norm"), F.col("e_norm"),
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
     return (

@@ -278,6 +278,52 @@ class TxnTable:
         new_files = self._write_files(merged, scols)
         return self._commit("merge", untouched + new_files, base)
 
+    def merge_additive(self, partials: DataFrame, key_cols: list[str],
+                       sum_cols: list[str],
+                       prune_col: str | None = None) -> int:
+        """Additive MERGE for incremental materialized aggregates
+        (continuous-aggregate refresh): ``partials`` holds pre-
+        aggregated rows for the new data batch; matching keys in the
+        snapshot are combined by SUM, new keys are inserted.
+
+        File-pruned like ``merge``: only snapshot files whose
+        ``prune_col`` (default: first key col) min/max range
+        intersects the batch are read and rewritten — for a
+        time-keyed rollup, a late-arriving batch touches exactly the
+        few files covering its time range, while the long history is
+        carried over by reference. This is the TimescaleDB
+        continuous-aggregate refresh loop expressed as one Spark
+        aggregation + an O(1) metadata commit.
+        """
+        spark = partials.sparkSession
+        pcol = prune_col or key_cols[0]
+        scols = (pcol,)
+        base = self.latest_version()
+        if base is None:
+            return self._commit(
+                "merge_additive", self._write_files(partials, scols), None)
+
+        bounds = partials.agg(
+            F.min(pcol).alias("lo"), F.max(pcol).alias("hi")).collect()[0]
+        lo, hi = bounds["lo"], bounds["hi"]
+        touched, untouched = [], []
+        for f in self._files(base):
+            (touched if _may_intersect(f, pcol, lo, hi)
+             else untouched).append(f)
+
+        if touched:
+            tdf = spark.read.parquet(
+                *[os.path.join(self.root, f.path) for f in touched])
+            combined = (
+                tdf.unionByName(partials)
+                .groupBy(*key_cols)
+                .agg(*[F.sum(c).alias(c) for c in sum_cols])
+            )
+        else:
+            combined = partials
+        new_files = self._write_files(combined, scols)
+        return self._commit("merge_additive", untouched + new_files, base)
+
     # ------------------------------------------------------------- vacuum
 
     def vacuum(self, keep_last: int = 1) -> list[str]:
@@ -312,4 +358,8 @@ def _may_intersect(f: FileEntry, col: str, lo: Any, hi: Any) -> bool:
     s = f.stats.get(col)
     if s is None or s["min"] is None or s["max"] is None:
         return True  # no stats -> must assume it matches
+    # stats were stored through _json_safe (timestamps -> ISO strings,
+    # which sort chronologically); normalize the probe bounds the same
+    # way so datetime probes compare against string stats
+    lo, hi = _json_safe(lo), _json_safe(hi)
     return not (s["max"] < lo or s["min"] > hi)

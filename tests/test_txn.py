@@ -123,3 +123,49 @@ def test_zero_row_commit_keeps_schema(spark, root):
     out = tbl.read(spark)
     assert out.count() == 0
     assert out.columns == ["k", "v"]
+
+
+def test_merge_additive_combines_and_prunes(spark, root):
+    tbl = TxnTable(root)
+    # v1: range-laid-out (k, n) partials; v2: a batch touching only
+    # k in [0, 9] plus one brand-new key
+    base = spark.createDataFrame(
+        [Row(k=i, n=10) for i in range(100)])
+    tbl.merge_additive(base.repartitionByRange(4, "k"),
+                       key_cols=["k"], sum_cols=["n"])
+    batch = spark.createDataFrame(
+        [Row(k=i, n=5) for i in range(10)] + [Row(k=200, n=7)])
+    tbl.merge_additive(batch, key_cols=["k"], sum_cols=["n"])
+    got = {r["k"]: r["n"] for r in tbl.read(spark).collect()}
+    assert got[3] == 15        # 10 + 5 combined by SUM
+    assert got[50] == 10       # untouched key unchanged
+    assert got[200] == 7       # new key inserted
+    assert len(got) == 101
+
+
+def test_merge_additive_timestamp_prune_col(spark):
+    import datetime as dt
+    import tempfile as tf
+    root2 = tf.mkdtemp(prefix="txn_ts_")
+    try:
+        tbl = TxnTable(root2)
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [Row(w=t0 + dt.timedelta(hours=h), n=1) for h in range(48)]
+        df = spark.createDataFrame(rows)
+        tbl.merge_additive(df.repartitionByRange(4, "w"),
+                           key_cols=["w"], sum_cols=["n"], prune_col="w")
+        before = {f.path for f in tbl._files(1)}
+        late = spark.createDataFrame(
+            [Row(w=t0 + dt.timedelta(hours=2), n=3)])
+        tbl.merge_additive(late, key_cols=["w"], sum_cols=["n"],
+                           prune_col="w")
+        after = {f.path for f in tbl._files(2)}
+        # late batch touches only the file covering hours ~0-11
+        assert len(before & after) >= 2, (before, after)
+        got = {r["w"]: r["n"] for r in tbl.read(spark).collect()}
+        assert got[t0 + dt.timedelta(hours=2)] == 4
+        assert got[t0 + dt.timedelta(hours=30)] == 1
+        assert len(got) == 48
+    finally:
+        import shutil as sh
+        sh.rmtree(root2, ignore_errors=True)
