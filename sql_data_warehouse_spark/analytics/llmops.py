@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import vectors
 from ..functions.text import lang_guess_sql
 from ..operators import dedup, kmeans, multimodal, similarity, text_analysis
 from ..sources import load_table
@@ -399,4 +400,57 @@ def media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = multimodal.sample_frames(media)
     return frames.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_frames")
+    )
+
+
+@query(
+    "media_embedding_topk",
+    survey="ext-media ext-sim mapInPandas",
+    tags=("llmops", "multimodal"),
+    oracle=f"""
+        WITH emb AS (
+            SELECT doc_id,
+                   list_transform(range(1, 17), i ->
+                       (CAST(16 * (strpos('0123456789abcdef',
+                                          substr(md5(text), 2*i-1, 1)) - 1)
+                             + (strpos('0123456789abcdef',
+                                       substr(md5(text), 2*i, 1)) - 1)
+                             AS DOUBLE) - 127.5) / 127.5) AS emb
+            FROM documents
+        ),
+        q AS (
+            SELECT doc_id AS query_id, emb AS q_vec FROM emb
+            WHERE doc_id % 167 = 0
+        ),
+        scored AS (
+            SELECT q.query_id, e.doc_id AS vec_id,
+                   {{cos}} AS cosine_sim
+            FROM emb e CROSS JOIN q
+        ),
+        ranked AS (
+            SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY cosine_sim DESC, vec_id ASC)
+                      AS INTEGER) AS rank
+            FROM scored
+        )
+        SELECT query_id, vec_id, cosine_sim, rank
+        FROM ranked WHERE rank <= 5
+    """.format(cos=vectors.cosine_sql("q.q_vec", "e.emb")),
+)
+def media_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal retrieval end-to-end: binary media payloads →
+    Arrow-batched embedding extraction (stub encoder,
+    operators/multimodal.embed_media) → exact cosine top-5 through
+    the same ANN operator the text embeddings use
+    (similarity.cosine_topk, queries broadcast, corpus never
+    shuffles). The oracle replays the md5-byte projection
+    arithmetically, so the gate covers the Python feature path AND
+    the retrieval join bit-for-bit."""
+    media = multimodal.attach_fake_media(load_table(spark, sf_dir, "documents"))
+    emb = multimodal.embed_media(media)
+    queries = emb.filter(F.col("doc_id") % 167 == 0).select(
+        F.col("doc_id").alias("query_id"), "emb"
+    )
+    return similarity.cosine_topk(
+        emb, queries, k=5, id_col="doc_id", vec_col="emb", dim=16
     )

@@ -186,3 +186,82 @@ def stream_user_totals_final(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("total_value"),
     )
+
+
+@query(
+    "stream_cagg_refresh",
+    survey="ext-stream ext-acid ext-timeseries A7",
+    tags=("streaming", "live", "txn"),
+    oracle="""
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(floor((value) * 1000000.0 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1000000.0 AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def stream_cagg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion into a TRANSACTIONAL continuous aggregate:
+    file stream → ``foreachBatch`` → per-batch hourly partials →
+    ``TxnTable.merge_additive`` (file-pruned additive MERGE + atomic
+    manifest commit per micro-batch) → read the published snapshot.
+
+    ``maxFilesPerTrigger=2`` splits the 4-file backlog into two
+    micro-batches, so the rollup really is built by incremental
+    refreshes —
+    each an O(batch) aggregation + O(1) commit, never a rescan of
+    history — and the final snapshot must equal the full batch
+    aggregation exactly (scaled-int64 partials are associative).
+    This is the production shape for a 100 TB events firehose: the
+    stream holds no window state at all (foreachBatch is stateless);
+    the aggregate lives in the table, survives restarts via the
+    manifest log + stream checkpoint, and readers get snapshot
+    isolation while refreshes land.
+    """
+    import tempfile as _tf
+
+    from ..analytics.txn_queries import _hourly_partials
+    from ..sources.txn import TxnTable
+
+    src = _landing_zone(spark, sf_dir)
+    root = _tf.mkdtemp(prefix="wh_stream_cagg_")
+    tbl = TxnTable(root)
+    ckpt = _tf.mkdtemp(prefix="stream_cagg_ckpt_")
+
+    def refresh(batch_df: DataFrame, batch_id: int) -> None:
+        # runs on the DRIVER per micro-batch — TxnTable commits are
+        # ordinary driver-side metadata ops
+        tbl.merge_additive(
+            _hourly_partials(batch_df),
+            key_cols=["window_start", "event_type"],
+            sum_cols=["n_events", "value_micros"],
+            prune_col="window_start",
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    try:
+        q = (
+            stream.writeStream.foreachBatch(refresh)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        snap = tbl.read(spark).select(
+            "window_start", "event_type", "n_events",
+            (F.col("value_micros").cast("double") / F.lit(1000000.0))
+            .alias("total_value"),
+        )
+        out = spark.createDataFrame(snap.collect(), snap.schema)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -222,3 +222,39 @@ def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
     return media.filter(F.col("media_type") == "image").mapInPandas(
         run, schema=out_schema
     )
+
+
+def embed_media(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Feature extraction: payload bytes → ``dim``-float embedding in
+    [-1, 1], as an Arrow-batched ``mapInPandas`` — the multimodal
+    retrieval shape (CLIP-style encoder) with the model STUBBED to a
+    deterministic md5-byte projection (container has no torch/vision
+    libs; swap the closure body for a real encoder and nothing else
+    changes: schema, batching, and the downstream ANN join are
+    model-agnostic).
+
+    Each output value is ``(byte_i − 127.5) / 127.5`` over the md5
+    digest bytes of the payload, so the DuckDB oracle can replay the
+    exact floats arithmetically and hash-gate the whole Python path.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained closure: see decode_media pickling note.
+        import hashlib
+
+        import pandas as pd  # noqa: F811 (worker-side import)
+
+        for pdf in batches:
+            embs = []
+            for payload in pdf["payload"]:
+                hx = hashlib.md5(bytes(payload)).hexdigest()
+                embs.append([
+                    (float(16 * int(hx[2 * i], 16) + int(hx[2 * i + 1], 16))
+                     - 127.5) / 127.5
+                    for i in range(16)
+                ])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "emb": embs})
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run, schema="doc_id long, emb array<double>"
+    )
