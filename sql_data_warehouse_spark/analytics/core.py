@@ -662,3 +662,68 @@ def predicate_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part_key")
     )
+
+
+@query(
+    "lineitem_pricing_summary",
+    survey="A1 A2 A8 P6 O1 ext-tpch-q1",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS sum_qty,
+               CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS sum_base_price,
+               CAST(SUM(CAST(floor((l_extendedprice * (1.0 - l_discount))
+                                   * 100.0 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS sum_disc_price,
+               CAST(SUM(CAST(floor(((l_extendedprice * (1.0 - l_discount))
+                                    * (1.0 + l_tax)) * 100.0 + 0.5)
+                             AS BIGINT))
+                    AS DOUBLE) / 100.0 AS sum_charge,
+               CAST(SUM(CAST(floor(l_discount * 10000.0 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 10000.0 / COUNT(*) AS avg_disc,
+               CAST(COUNT(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report) — the canonical scan-heavy
+    single-table aggregate: one pass over lineitem, ship-date filter
+    pushed to the parquet scan, four money measures + an average +
+    row counts per (returnflag, linestatus).
+
+    Scale shape: THE map-side-combine showcase — 4-6 grouped sums
+    over a ~billions-row fact collapse to a 4-6 row result with
+    partial aggregation on every executor; the shuffle moves only
+    n_partitions × n_groups tiny rows. All sums ride the scaled-int64
+    scheme (cents for money, 1e-4 for discount), so results are
+    bit-identical across engines and partitionings; the average is a
+    single final division.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _money_sum(F.col("l_quantity")).alias("sum_qty"),
+            _money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _money_sum(disc_price).alias("sum_disc_price"),
+            _money_sum(charge).alias("sum_charge"),
+            (
+                F.sum(
+                    F.floor(F.col("l_discount") * F.lit(10000.0) + F.lit(0.5))
+                    .cast("long")
+                ).cast("double")
+                / F.lit(10000.0)
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

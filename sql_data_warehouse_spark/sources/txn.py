@@ -225,7 +225,10 @@ class TxnTable:
             empty = spark.read.parquet(
                 os.path.join(self.root, all_files[0].path))
             return empty.limit(0)
-        return spark.read.parquet(
+        # mergeSchema: snapshots may mix files written before/after a
+        # schema-evolving merge (cost: one footer read per listed
+        # file — bounded by the manifest, no directory listing)
+        return spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(self.root, f.path) for f in files])
 
     # -------------------------------------------------------------- merge
@@ -265,9 +268,13 @@ class TxnTable:
             tdf = spark.read.parquet(
                 *[os.path.join(self.root, f.path) for f in touched])
             from pyspark.sql import Window
+            # allowMissingColumns = schema evolution: an update batch
+            # may add columns (old rows read back NULL) or omit ones
+            # it doesn't touch
             merged = (
                 updates.withColumn("_src", F.lit(1))
-                .unionByName(tdf.withColumn("_src", F.lit(0)))
+                .unionByName(tdf.withColumn("_src", F.lit(0)),
+                             allowMissingColumns=True)
                 .withColumn("_rn", F.row_number().over(
                     Window.partitionBy(key).orderBy(F.desc("_src"))))
                 .filter(F.col("_rn") == 1)

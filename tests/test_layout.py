@@ -61,3 +61,41 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         .count()
     )
     assert joined.count() == flat.count()
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The corpus side must never shuffle on gram: benchmark grams
+    broadcast into a hash join."""
+    from sql_data_warehouse_spark.analytics.curation import (
+        decontaminate_benchmark,
+    )
+
+    plan = _physical_plan(decontaminate_benchmark(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_range_join_is_equi_join(spark):
+    """The bucketized interval join must compile to an equi-join,
+    never the quadratic BroadcastNestedLoopJoin that a naive
+    inequality join produces."""
+    from sql_data_warehouse_spark.streaming.events_batch import (
+        events_range_join_attribution,
+    )
+
+    plan = _physical_plan(events_range_join_attribution(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_pricing_summary_pushdown_and_partial_agg(spark):
+    """TPC-H Q1: the ship-date filter reaches the parquet scan and
+    the aggregation is two-phase (map-side partial + final)."""
+    from sql_data_warehouse_spark.analytics.core import (
+        lineitem_pricing_summary,
+    )
+
+    plan = _physical_plan(lineitem_pricing_summary(spark, SF_SMOKE))
+    pushed = plan.split("PushedFilters:", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed
+    assert plan.count("HashAggregate") >= 2  # partial + final

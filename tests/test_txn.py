@@ -169,3 +169,20 @@ def test_merge_additive_timestamp_prune_col(spark):
     finally:
         import shutil as sh
         sh.rmtree(root2, ignore_errors=True)
+
+
+def test_merge_schema_evolution(spark, root):
+    tbl = TxnTable(root)
+    tbl.overwrite(
+        spark.createDataFrame([Row(k=i, v=f"x{i}") for i in range(10)])
+        .repartitionByRange(2, "k"),
+        stat_cols=("k",))
+    # update batch carries a NEW column; untouched files keep the old
+    # schema and read back NULL for it
+    tbl.merge(
+        spark.createDataFrame([Row(k=1, v="new", w=42)]), key="k")
+    out = tbl.read(spark)
+    assert set(out.columns) == {"k", "v", "w"}
+    got = {r["k"]: (r["v"], r["w"]) for r in out.collect()}
+    assert got[1] == ("new", 42)
+    assert got[9] == ("x9", None)
