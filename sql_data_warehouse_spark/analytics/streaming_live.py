@@ -265,3 +265,37 @@ def stream_cagg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@query(
+    "stream_click_purchase_join",
+    survey="ext-stream ext-rangejoin J-range",
+    tags=("streaming", "live"),
+    oracle="""
+        SELECT p.event_id, p.user_id,
+               CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+               CAST(COUNT(*) AS BIGINT) AS n_clicks_15m
+        FROM events p JOIN events c
+          ON c.user_id = p.user_id AND c.event_type = 'click'
+         AND c.ts > p.ts - INTERVAL 15 MINUTE AND c.ts <= p.ts
+        WHERE p.event_type = 'purchase'
+        GROUP BY 1, 2, 3
+    """,
+)
+def stream_click_purchase_join(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """REAL stream-stream interval join (purchases ⋈ prior clicks,
+    both sides streaming through the join state store), drained with
+    availableNow and aggregated per purchase AFTER the drain — inner
+    join semantics, so the oracle is the batch range join restricted
+    to purchases with ≥1 click. Gates the streaming join state
+    machinery (buffering, cross-micro-batch matching) against the
+    exact batch answer."""
+    src = _landing_zone(spark, sf_dir)
+    pairs = _drain(
+        jobs.click_purchase_join(jobs.read_events_stream(spark, src)),
+        "append",
+    )
+    return pairs.groupBy(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts"),
+    ).agg(F.count(F.lit(1)).alias("n_clicks_15m"))

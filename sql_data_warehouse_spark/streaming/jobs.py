@@ -193,3 +193,41 @@ def run_to_parquet(df: DataFrame, path: str, checkpoint: str) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def click_purchase_join(events: DataFrame,
+                        state_retention: str = "60 days") -> DataFrame:
+    """STREAM-STREAM interval join: purchases matched to same-user
+    clicks in the 15 minutes before, both sides streaming.
+
+    This is the real Structured Streaming join state machine — each
+    side buffers rows in the state store until the other side's
+    matches arrive; the time-interval condition bounds how long.
+    ``state_retention`` sets the watermark delay: on an unordered
+    static backlog (availableNow over randomly-split files) the
+    watermark after batch 1 would already be near the backlog's max
+    timestamp and could evict state before cross-batch matches land,
+    so the drain uses a delay longer than the data's whole span —
+    results are then deterministic and complete. A live deployment
+    sets this to the actual lateness bound (e.g. '30 minutes'), which
+    caps state at O(events per 30 min) per side.
+    """
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+        .withWatermark("ts", state_retention)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", state_retention)
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            "c_user = user_id AND "
+            "c_ts > ts - INTERVAL 15 MINUTES AND c_ts <= ts"
+        ),
+        "inner",
+    )
