@@ -727,3 +727,44 @@ def lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@query(
+    "revenue_cube",
+    survey="ext-cube ext-rollup A2 A7 J4",
+    oracle="""
+        SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+               CAST(GROUPING(n.n_name, c.c_mktsegment) AS BIGINT)
+                   AS grouping_id,
+               CAST(SUM(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS total_revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders o
+        LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY CUBE(n.n_name, c.c_mktsegment)
+    """,
+)
+def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (nation, segment): all four grouping sets — detail,
+    each single-dimension rollup, and the grand total — in ONE pass
+    with ``grouping_id`` disambiguating the NULL-as-ALL rows.
+    Spark expands the cube with a single Expand node feeding one
+    partial-aggregated shuffle (4× the group rows, not 4 scans of the
+    fact); Spark's ``grouping_id()`` and DuckDB's ``GROUPING()`` pack
+    the same bit vector (first column = high bit), so the gate covers
+    the whole lattice bit-for-bit."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .cube(F.col("n_name").alias("nation"),
+              F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.grouping_id().cast("long").alias("grouping_id"),
+            _money_sum(F.col("o_totalprice")).alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
