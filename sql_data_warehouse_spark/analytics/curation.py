@@ -16,8 +16,8 @@ from pyspark.sql import functions as F
 from ..functions.text import TOKENS_SQL, tokens
 from ..operators.curation import (
     decontaminate, global_running_sum, repetition_stats,
-    repetition_stats_sql, token_ngrams_sql, winnow_near_dup_pairs,
-    winnow_near_dup_pairs_sql,
+    repetition_stats_sql, scrub_pii, token_ngrams_sql,
+    winnow_near_dup_pairs, winnow_near_dup_pairs_sql,
 )
 from ..sources import load_table
 from .registry import query
@@ -138,3 +138,48 @@ def winnow_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     digests per doc, doc-frequency-capped fingerprint self-join
     (Σ df² bounded), pairs sharing ≥3 fingerprints."""
     return winnow_near_dup_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "pii_scrub_stats",
+    survey="ext-pii ext-text P1",
+    oracle=r"""
+        WITH fixture AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 10 = 0
+                        THEN text || ' contact: user' ||
+                             CAST(doc_id AS VARCHAR) || '@example.com'
+                        ELSE text END AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT)
+                   AS n_redacted,
+               CAST(length(text) - length(regexp_replace(text,
+                    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>',
+                    'g')) AS BIGINT) AS chars_removed,
+               regexp_replace(text,
+                    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>',
+                    'g') AS clean_text
+        FROM fixture
+    """,
+    tags=("llmops",),
+)
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus: every 10th document gets a
+    deterministic synthetic email appended (the fixture — the raw
+    corpus is email-free), then the scrubber redacts and reports
+    match counts, removed bytes, and the clean text. Gate covers the
+    regex semantics AND the rewritten text bit-for-bit."""
+    d = load_table(spark, sf_dir, "documents")
+    fixture = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.col("text"), F.lit(" contact: user"),
+                F.col("doc_id").cast("string"), F.lit("@example.com")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return scrub_pii(fixture)

@@ -305,3 +305,30 @@ def winnow_near_dup_pairs_sql(min_shared: int = 3,
         GROUP BY 1, 2
         HAVING COUNT(*) >= {min_shared}
     """
+
+
+# ------------------------------------------------------------ PII scrub
+
+# Java-regex / RE2-compatible (no backreferences/lookarounds), so the
+# Spark and DuckDB sides match byte-for-byte.
+EMAIL_PATTERN = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_TOKEN = "<EMAIL>"
+
+
+def scrub_pii(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Redact email addresses and report per-document scrub stats:
+    (doc_id, n_redacted, chars_removed, clean_text). One scan, pure
+    JVM regex (``regexp_replace``/``regexp_extract_all`` — no UDF),
+    embarrassingly parallel at 100 TB. Extend by OR-ing more
+    patterns (phone, SSN, IP) into the same single-pass projection.
+    """
+    c = F.col(text_col)
+    clean = F.regexp_replace(c, EMAIL_PATTERN, PII_TOKEN)
+    return docs.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(c, F.lit(EMAIL_PATTERN), 0))
+        .cast("long").alias("n_redacted"),
+        (F.length(c) - F.length(clean)).cast("long").alias("chars_removed"),
+        clean.alias("clean_text"),
+    )
