@@ -181,3 +181,52 @@ def cagg_hourly_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value_micros").cast("double") / F.lit(1000000.0))
         .alias("total_value"),
     )
+
+
+@query(
+    "zorder_pruned_scan",
+    survey="ext-zorder ext-acid P6",
+    oracle=f"""
+        SELECT o_orderkey, o_custkey,
+               {CENTS_SQL.format(expr="o_totalprice")} AS price_cents
+        FROM orders
+        WHERE {CENTS_SQL.format(expr="o_totalprice")}
+              BETWEEN 10000000 AND 12000000
+    """,
+    tags=("txn",),
+)
+def zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order data skipping end-to-end: orders are laid out on the
+    Morton curve of (o_custkey, price_cents) into a TxnTable with
+    per-file min/max on both columns, then a price-range read prunes
+    at the MANIFEST level (files whose price rectangle can't
+    intersect are never opened) before the exact filter runs. Range
+    layout on custkey alone could never skip a file for a price
+    predicate — the Z-curve is what makes stats selective in both
+    dimensions at 100 TB. The residual filter keeps semantics exact,
+    so the oracle is a plain WHERE over raw orders."""
+    cache = getattr(spark, "_wh_txn_tables", None)
+    if cache is None:
+        cache = {}
+        spark._wh_txn_tables = cache
+    tbl = cache.get(("orders_zorder", sf_dir))
+    if tbl is None:
+        from ..sources.layout import zorder_frame
+
+        root = tempfile.mkdtemp(prefix="wh_txn_zorder_")
+        tbl = TxnTable(root)
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey",
+            cents(F.col("o_totalprice")).alias("price_cents"),
+        )
+        tbl.overwrite(
+            zorder_frame(o, "o_custkey", "price_cents", n_files=16),
+            stat_cols=("o_custkey", "price_cents"),
+        )
+        cache[("orders_zorder", sf_dir)] = tbl
+    lo, hi = 10_000_000, 12_000_000
+    return (
+        tbl.read(spark, prune=("price_cents", lo, hi))
+        .filter(F.col("price_cents").between(lo, hi))
+        .select("o_orderkey", "o_custkey", "price_cents")
+    )

@@ -368,7 +368,14 @@ def jaccard_pairs_sql(doc_filter: str = "TRUE", k: int = SHINGLE_K,
 
 # ----------------------------------------------------------------- SimHash
 
-SIMHASH_BITS = 16
+# 32-bit signature: md5 hex has 32 nibbles, one vote column per bit.
+# Width matters for the banded self-join, not just recall — with b-bit
+# bands the bucket count per band is 2^b, and Σ bucket² is what the
+# join pays: 16 bits / 4-bit bands = 16 buckets → ~n²/16 at corpus
+# scale (measured 275 s at sf1, 39× the sf0.1 time); 32 bits / 8-bit
+# bands = 256 buckets keeps the same hamming≤3 pigeonhole guarantee
+# at ~1/16 the join volume. At 100 TB: 64-bit simhash, 16-bit bands.
+SIMHASH_BITS = 32
 
 
 def simhash_signatures(df: DataFrame, text_col: str = "text",
@@ -449,7 +456,7 @@ SIMHASH_SQL = f"""
 
 # ------------------------------------------------- SimHash hamming-band LSH
 
-SIMHASH_BAND_BITS = 4
+SIMHASH_BAND_BITS = 8
 
 
 def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",

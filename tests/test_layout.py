@@ -99,3 +99,49 @@ def test_pricing_summary_pushdown_and_partial_agg(spark):
     pushed = plan.split("PushedFilters:", 1)[1].split("]", 1)[0]
     assert "l_shipdate" in pushed
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    """Z-ordered files have tight min/max rectangles in BOTH columns,
+    so TxnTable stats-pruning skips files for predicates on either —
+    range layout on one column only helps that column."""
+    from pyspark.sql import Row
+
+    from sql_data_warehouse_spark.sources.layout import zorder_frame
+    from sql_data_warehouse_spark.sources.txn import TxnTable
+
+    # b must NOT be a linear function of a (linear maps preserve
+    # range clustering mod 1000); the quadratic term decorrelates
+    rows = [Row(a=(i * 7919) % 1000, b=(i * i * 31 + i) % 997)
+            for i in range(20000)]
+    df = spark.createDataFrame(rows)
+
+    ztbl = TxnTable(str(tmp_path / "z"))
+    ztbl.overwrite(zorder_frame(df, "a", "b", n_files=16),
+                   stat_cols=("a", "b"))
+    rtbl = TxnTable(str(tmp_path / "r"))
+    rtbl.overwrite(df.repartitionByRange(16, "a"), stat_cols=("a", "b"))
+
+    def files_read(tbl, col):
+        v = tbl.latest_version()
+        total = len(tbl._files(v))
+        kept = len([
+            f for f in tbl._files(v)
+            if not (f.stats[col]["max"] < 0 or f.stats[col]["min"] > 99)
+        ])
+        return kept, total
+
+    zk_a, zn = files_read(ztbl, "a")
+    zk_b, _ = files_read(ztbl, "b")
+    rk_a, rn = files_read(rtbl, "a")
+    rk_b, _ = files_read(rtbl, "b")
+    # range layout: great on a, useless on b (every file spans ~all b)
+    assert rk_a <= rn // 4
+    assert rk_b >= rn - 1
+    # z-order: skips a substantial fraction on BOTH dimensions
+    assert zk_a <= zn // 2, (zk_a, zn)
+    assert zk_b <= zn // 2, (zk_b, zn)
+    # and pruned reads return exactly the right rows
+    got = ztbl.read(spark, prune=("b", 0, 99)).filter("b <= 99").count()
+    want = df.filter("b <= 99").count()
+    assert got == want
