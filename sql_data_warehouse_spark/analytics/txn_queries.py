@@ -230,3 +230,63 @@ def zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("price_cents").between(lo, hi))
         .select("o_orderkey", "o_custkey", "price_cents")
     )
+
+
+@query(
+    "txn_datasource_scan",
+    survey="ext-acid ext-pyds S8",
+    oracle=f"""
+        WITH updates AS (
+            SELECT o_orderkey, o_orderstatus,
+                   o_totalprice * 1.10 AS o_totalprice,
+                   'RE-PRICED' AS o_orderpriority, 1 AS _src
+            FROM orders WHERE o_orderkey % 7 = 0
+        ),
+        unioned AS (
+            SELECT * FROM updates
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, o_totalprice,
+                   o_orderpriority, 0 AS _src
+            FROM orders
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY o_orderkey ORDER BY _src DESC
+                   ) AS rn
+            FROM unioned
+        )
+        SELECT o_orderkey, o_orderstatus,
+               {CENTS_SQL.format(expr="o_totalprice")} AS price_cents
+        FROM ranked
+        WHERE rn = 1 AND o_orderkey BETWEEN 1000 AND 5000
+    """,
+    tags=("txn",),
+)
+def txn_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python DataSource end-to-end (PySpark 4
+    ``spark.dataSource`` API): the merged orders TxnTable is read
+    through ``spark.read.format("txn")`` with a manifest-pruning
+    option — snapshot resolution, file pruning, and Arrow-batch
+    reads all happen inside the source, one InputPartition per
+    surviving file. The residual filter keeps semantics exact; the
+    oracle replays the merge relationally. Gates that the source
+    classes ship by value to workers (the driver harness imports
+    this package by path, so by-reference pickling would fail)."""
+    from ..sources.pyds import register_txn_datasource
+
+    tbl = _orders_txn(spark, sf_dir)
+    register_txn_datasource(spark)
+    lo, hi = 1000, 5000
+    df = (
+        spark.read.format("txn")
+        .option("path", tbl.root)
+        .option("prune", f"o_orderkey:{lo}:{hi}")
+        .load()
+    )
+    return (
+        df.filter(F.col("o_orderkey").between(lo, hi))
+        .select(
+            "o_orderkey", "o_orderstatus",
+            cents(F.col("o_totalprice")).alias("price_cents"),
+        )
+    )

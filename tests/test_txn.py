@@ -186,3 +186,36 @@ def test_merge_schema_evolution(spark, root):
     got = {r["k"]: (r["v"], r["w"]) for r in out.collect()}
     assert got[1] == ("new", 42)
     assert got[9] == ("x9", None)
+
+
+def test_python_datasource_reads_snapshot(spark, root):
+    from sql_data_warehouse_spark.sources.pyds import (
+        register_txn_datasource,
+    )
+
+    tbl = TxnTable(root)
+    tbl.overwrite(
+        spark.createDataFrame(
+            [Row(k=i, v=f"a{i}") for i in range(100)]
+        ).repartitionByRange(4, "k"),
+        stat_cols=("k",))
+    tbl.overwrite(
+        spark.createDataFrame(
+            [Row(k=i, v=f"b{i}") for i in range(50)]
+        ).repartitionByRange(4, "k"),
+        stat_cols=("k",))
+
+    register_txn_datasource(spark)
+    latest = spark.read.format("txn").option("path", root).load()
+    assert latest.count() == 50
+    assert {r["v"] for r in latest.filter("k = 7").collect()} == {"b7"}
+
+    v1 = (spark.read.format("txn").option("path", root)
+          .option("version", "1").load())
+    assert v1.count() == 100
+
+    pruned = (spark.read.format("txn").option("path", root)
+              .option("prune", "k:0:9").load())
+    # pruning happens at partition planning: fewer files scanned
+    assert pruned.count() < 50
+    assert pruned.filter("k <= 9").count() == 10
