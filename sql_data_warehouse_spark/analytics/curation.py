@@ -183,3 +183,50 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")).alias("text"),
     )
     return scrub_pii(fixture)
+
+
+@query(
+    "udtf_ngram_explode",
+    survey="ext-udtf ext-text P1",
+    oracle=f"""
+        SELECT doc_id,
+               unnest({token_ngrams_sql("text", 3)}) AS gram
+        FROM documents WHERE doc_id % 25 = 0
+    """,
+    tags=("llmops",),
+)
+def udtf_ngram_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (PySpark 4 table-function API) in a LATERAL join:
+    a locally-defined @udtf class tokenizes and emits trigrams per
+    document, invoked from SQL as ``documents d, LATERAL ngrams3(
+    d.text) g``. The class is defined inside this function so
+    cloudpickle ships it by value (workers can't import this package
+    under the driver harness). Semantics — normalize, split, slide —
+    mirror the pure-Column ``ngrams_of`` twin exactly, so the oracle
+    is the same unnest; the UDTF's value is the API surface: per-row
+    table expansion with arbitrary Python, the escape hatch when the
+    expansion logic outgrows Column expressions."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="gram: string")
+    class NGrams3:
+        def eval(self, text: str):
+            import re
+
+            norm = re.sub(r" +", " ",
+                          re.sub(r"[^a-z0-9 ]", " ",
+                                 (text or "").lower())).strip()
+            toks = norm.split(" ")
+            n = 3
+            hi = max(len(toks) - n + 1, 1)
+            for i in range(hi):
+                yield (" ".join(toks[i:i + n]),)
+
+    spark.udtf.register("wh_ngrams3", NGrams3)
+    d = load_table(spark, sf_dir, "documents")
+    d.filter(F.col("doc_id") % 25 == 0).createOrReplaceTempView(
+        "_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, g.gram "
+        "FROM _udtf_docs d, LATERAL wh_ngrams3(d.text) g"
+    )
