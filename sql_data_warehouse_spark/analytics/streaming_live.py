@@ -299,3 +299,66 @@ def stream_click_purchase_join(spark: SparkSession,
     return pairs.groupBy(
         "event_id", "user_id", F.col("ts").alias("purchase_ts"),
     ).agg(F.count(F.lit(1)).alias("n_clicks_15m"))
+
+
+@query(
+    "stream_replay_user_totals",
+    survey="ext-stream ext-pyds A2",
+    tags=("streaming", "live", "pyds"),
+    oracle=f"""
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {MICRO_SUM_SQL.format(expr="value")} AS total_value
+        FROM events GROUP BY user_id
+    """,
+)
+def stream_replay_user_totals(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """A custom STREAMING Python data source end-to-end: the
+    ``events_replay`` source serves the backlog in offset-managed
+    micro-batches; because Python stream sources run ONE batch per
+    availableNow start, the drain restarts the query against the
+    same checkpoint until offsets stop advancing — each restart
+    resumes exactly where the log says, and the parquet file sink is
+    exactly-once across restarts (its sink log dedups). The final
+    per-user totals over the sink must equal the batch aggregation
+    bit-for-bit: that gates offset resume, no-loss, AND no-dup."""
+    from ..sources.pyds import register_events_replay_source
+
+    src = _landing_zone(spark, sf_dir)
+    register_events_replay_source(spark)
+    out_dir = tempfile.mkdtemp(prefix="replay_sink_")
+    ckpt = tempfile.mkdtemp(prefix="replay_ckpt_")
+    expected = load_table(spark, sf_dir, "events").count()
+    batch_rows = max(1, (expected + 1) // 2)  # exactly two micro-batches
+    try:
+        for _ in range(8):
+            q = (
+                spark.readStream.format("events_replay")
+                .option("path", src)
+                .option("batch_rows", str(batch_rows))
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            if spark.read.parquet(out_dir).count() >= expected:
+                break
+        replayed = spark.read.parquet(out_dir)
+        agg = replayed.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(
+                    F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5))
+                    .cast("long")
+                ).cast("double") / F.lit(1000000.0)
+            ).alias("total_value"),
+        )
+        out = spark.createDataFrame(agg.collect(), agg.schema)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return out

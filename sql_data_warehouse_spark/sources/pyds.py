@@ -145,3 +145,80 @@ def register_txn_datasource(spark: SparkSession) -> None:
 
     spark.dataSource.register(TxnDataSource)
     spark._wh_txn_ds_registered = True
+
+
+def register_events_replay_source(spark: SparkSession) -> None:
+    """Register the ``events_replay`` STREAMING Python data source:
+    replays an events parquet directory in (ts, event_id) order as
+    bounded micro-batches with explicit offset management.
+
+    The simple-reader variant reads on the driver (fine for a replay
+    fixture; a production feed implements the partition-planning
+    ``streamReader`` instead). Python stream sources don't support
+    Trigger.AvailableNow — Spark falls back to ONE batch per start —
+    so consumers drain with restart loops against one checkpoint;
+    offsets persist, and an exactly-once file sink accumulates across
+    restarts (gated end-to-end by ``stream_replay_user_totals``).
+    """
+    if getattr(spark, "_wh_replay_ds_registered", False):
+        return
+
+    from pyspark.sql.datasource import (
+        DataSource, SimpleDataSourceStreamReader,
+    )
+
+    class EventsReplaySource(DataSource):
+        @classmethod
+        def name(cls):
+            return "events_replay"
+
+        def schema(self):
+            return ("event_id bigint, ts timestamp, user_id bigint, "
+                    "event_type string, value double, props string")
+
+        def simpleStreamReader(self, schema):
+            path = self.options["path"]
+            batch_rows = int(self.options.get("batch_rows", "5000"))
+
+            class _Reader(SimpleDataSourceStreamReader):
+                def __init__(self):
+                    self._rows = None
+
+                def _data(self):
+                    if self._rows is None:
+                        import pyarrow.dataset as ds
+
+                        t = ds.dataset(path, format="parquet").to_table()
+                        cols = ["event_id", "ts", "user_id",
+                                "event_type", "value", "props"]
+                        series = [t.column(c).to_pylist() for c in cols]
+                        # Spark's row converter calls .astimezone on
+                        # timestamps — pandas tz-naive Timestamps
+                        # reject that; plain datetimes don't
+                        series[1] = [
+                            v.to_pydatetime()
+                            if hasattr(v, "to_pydatetime") else v
+                            for v in series[1]
+                        ]
+                        rows = list(zip(*series))
+                        # total order -> deterministic offsets
+                        rows.sort(key=lambda r: (r[1], r[0]))
+                        self._rows = rows
+                    return self._rows
+
+                def initialOffset(self):
+                    return {"pos": 0}
+
+                def read(self, start):
+                    rows = self._data()
+                    pos = start["pos"]
+                    end = min(pos + batch_rows, len(rows))
+                    return iter(rows[pos:end]), {"pos": end}
+
+                def readBetweenOffsets(self, start, end):
+                    return iter(self._data()[start["pos"]:end["pos"]])
+
+            return _Reader()
+
+    spark.dataSource.register(EventsReplaySource)
+    spark._wh_replay_ds_registered = True
