@@ -768,3 +768,55 @@ def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+
+
+@query(
+    "shipping_priority_top10",
+    survey="ext-tpch-q3 A2 J5 O1 O2 P6",
+    oracle="""
+        SELECT l.l_orderkey,
+               CAST(SUM(CAST(floor((l.l_extendedprice * (1.0 - l.l_discount))
+                                   * 100.0 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS revenue,
+               CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+               o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+    """,
+)
+def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): top-10 unshipped BUILDING-segment
+    orders by outstanding revenue as of a cutoff date.
+
+    Scale shape: both date filters push to the fact scans; the
+    customer-segment filter prunes before the join; orders⋈lineitem
+    is the keyed fact-fact sort-merge (bucketing both on orderkey is
+    the 100× lever, sources/layout.py); the top-10 runs as
+    TakeOrderedAndProject, never a global sort. Deterministic
+    tiebreak (orderdate, orderkey) so LIMIT is stable cross-engine.
+    """
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > cutoff)
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_money_sum(disc_price).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"),
+                 F.asc("l_orderkey"))
+        .limit(10)
+    )

@@ -83,9 +83,13 @@ def register_txn_datasource(spark: SparkSession) -> None:
                 kept = []
                 for f in files:
                     s = f.get("stats", {}).get(col)
-                    if (s is None or s["min"] is None
-                            or not (float(s["max"]) < lo
-                                    or float(s["min"]) > hi)):
+                    try:
+                        skip = (s is not None and s["min"] is not None
+                                and (float(s["max"]) < lo
+                                     or float(s["min"]) > hi))
+                    except (TypeError, ValueError):
+                        skip = False  # non-numeric stats: never skip
+                    if not skip:
                         kept.append(f)
                 files = kept
             return [
