@@ -219,3 +219,21 @@ def test_python_datasource_reads_snapshot(spark, root):
     # pruning happens at partition planning: fewer files scanned
     assert pruned.count() < 50
     assert pruned.filter("k <= 9").count() == 10
+
+
+def test_python_datasource_schema_evolution(spark, root):
+    from sql_data_warehouse_spark.sources.pyds import (
+        register_txn_datasource,
+    )
+
+    tbl = TxnTable(root)
+    tbl.overwrite(
+        spark.createDataFrame([Row(k=i, v=f"x{i}") for i in range(10)])
+        .repartitionByRange(2, "k"), stat_cols=("k",))
+    tbl.merge(spark.createDataFrame([Row(k=1, v="new", w=42)]), key="k")
+    register_txn_datasource(spark)
+    df = spark.read.format("txn").option("path", root).load()
+    assert set(df.columns) == {"k", "v", "w"}
+    got = {r["k"]: r["w"] for r in df.collect()}
+    # files written pre-evolution read back NULL for the new column
+    assert got[1] == 42 and got[9] is None and len(got) == 10
