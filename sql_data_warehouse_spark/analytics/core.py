@@ -820,3 +820,40 @@ def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.asc("l_orderkey"))
         .limit(10)
     )
+
+
+@query(
+    "forecast_revenue_change",
+    survey="ext-tpch-q6 A1 P6 P8",
+    oracle="""
+        SELECT CAST(SUM(CAST(floor((l_extendedprice * l_discount)
+                                   * 100.0 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS revenue_delta,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): pure scan-filter-agg —
+    every predicate (date range, discount band, quantity cap) pushes
+    to the parquet scan, the sum is one map-side-combined scalar.
+    The simplest possible 100 TB query: cost = bytes scanned after
+    pushdown, zero shuffle beyond the single-row final combine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _money_sum(F.col("l_extendedprice") * F.col("l_discount"))
+            .alias("revenue_delta"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

@@ -230,3 +230,41 @@ def udtf_ngram_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, g.gram "
         "FROM _udtf_docs d, LATERAL wh_ngrams3(d.text) g"
     )
+
+
+@query(
+    "grouped_reservoir_sample",
+    survey="ext-sample W3 A2",
+    oracle="""
+        WITH ranked AS (
+            SELECT doc_id, lang, source,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS INTEGER) AS pick
+            FROM documents
+        )
+        SELECT source, doc_id, lang, pick
+        FROM ranked WHERE pick <= 5
+    """,
+    tags=("llmops",),
+)
+def grouped_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group 'reservoir': 5 documents per source,
+    chosen by content-addressed rank (md5 of the id — a fixed random
+    permutation, reproducible in any engine and stable under
+    re-partitioning, unlike rand()-based reservoirs). One window
+    shuffle on the group key; at 100 TB each group samples
+    independently on its own executors — this is how you draw
+    audit/eval samples from every crawl source without a global
+    pass."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    return (
+        d.withColumn("pick", F.row_number().over(w).cast("int"))
+        .filter(F.col("pick") <= 5)
+        .select("source", "doc_id", "lang", "pick")
+    )
