@@ -51,25 +51,59 @@ DESC = {
 }
 
 FOOTER = """
-Ids with no direct registry row are covered structurally:
-
-- **S1-S4, S7, S9** — `medallion/load.py` (`load_bronze`/`load_silver`:
-  typed CSV ingest, atomic overwrite refresh, declared StructType
-  schemas, `dwh_create_date` audit column, per-step timed ETL
-  wrappers); exercised by `tests/test_medallion.py::test_load_all_*`.
-  The `etl_silver_*` registry rows gate the same transforms.
-- **S6** — single-namespace layout with `wh_silver_*`/`wh_gold_*`
-  catalog views (created by the loader and `wh_q01_catalog`).
-- **O1/O2/O3** — every `ORDER BY`/`LIMIT` query; Catalyst plans TOP n
-  as TakeOrderedAndProject (see `wh_q06_*`, `top_parts_by_revenue`).
+Loader-side ids are registry-gated since round 2: **S1-S3, S6, S9**
+by the six `etl_bronze_*` rows (load_bronze's written parquet
+hash-checked against DuckDB's typed `read_csv` of the reference
+datasets), **S4** by `etl_silver_audit_columns` (load_silver's
+written audit stamps counted against the transform row counts),
+**S7** by the `etl_silver_*` rows. The same code paths are
+pytest-exercised by `tests/test_medallion.py::test_load_all_*`, and
+`medallion/catalog.py` adds the persistent multi-schema catalog
+(`bronze`/`silver`/`gold` databases + permanent views that survive a
+session, `tests/test_catalog.py`).
 
 Beyond-reference operator families (`ext-*` ids): streaming
 (`streaming/jobs.py` + batch twins), dedup (exact/fingerprint/
-MinHash-OPH/Jaccard/SimHash), similarity (cosine top-k, LSH ANN,
+MinHash-OPH/Jaccard/SimHash + connected-components clustering),
+similarity (cosine top-k, LSH ANN, IVF / learned-k-means IVF,
 embedding near-dup), multimodal (`operators/multimodal.py`), text
-(BPE tokens, lang-ID, doc stats), as-of join, rollup/pivot/set-ops,
-skew mitigation (`operators/skew.py`), physical layout
-(`sources/layout.py`, plan-asserted in `tests/test_layout.py`)."""
+(BPE tokens, lang-ID, doc stats), corpus curation
+(`operators/curation.py`: benchmark decontamination
+`decontaminate_benchmark`, token-budget packing with distributed
+prefix-sum `token_budget_pack`, Gopher repeated-n-gram stats
+`gopher_repetition`, winnowing fingerprint near-dup
+`winnow_near_dup_pairs`, PII redaction `pii_scrub_stats`, Python
+UDTF trigram expansion `udtf_ngram_explode`), transactional tables
+(`sources/txn.py`: manifest log, atomic commit, time travel,
+file-pruned MERGE — `txn_merge_orders`, `txn_time_travel` —
+schema-evolving merges, additive MERGE powering the incremental
+continuous aggregate `cagg_hourly_refresh` and its STREAMING twin
+`stream_cagg_refresh`, a custom Python DataSource
+`txn_datasource_scan` exposing snapshots through
+``spark.read.format("txn")``, and Z-order layout with
+two-dimensional manifest pruning `zorder_pruned_scan`),
+time-series (bucketized interval range join
+`events_range_join_attribution` and the REAL stream-stream join
+`stream_click_purchase_join`, hour→day→month cascade
+`events_rollup_cascade`, gap fill, as-of join), TPC-H classics
+(every query expressible on the available columns: Q1
+`lineitem_pricing_summary`, Q3 `shipping_priority_top10`, Q4
+`order_priority_late_ship`, Q5 `local_supplier_revenue`, Q6
+`forecast_revenue_change`, Q7 `volume_shipping_pairs`, Q8
+`nation_market_share`, Q9 `product_type_profit`, Q10
+`returned_item_customers`, Q12 `late_ship_priority_counts`, Q14
+`promo_revenue_share`, Q15 `top_revenue_suppliers`, Q16
+`part_supplier_counts`, Q17 `small_quantity_revenue`, Q18
+`large_orders`, Q19 `brand_quantity_revenue`, Q21
+`suppliers_kept_waiting`, Q22 `big_balance_lapsed`, plus the CUBE
+lattice `revenue_cube`; Q2/Q11/Q20 need the absent partsupp table),
+rollup/pivot/set-ops, skew mitigation (`operators/skew.py`),
+physical layout (`sources/layout.py`, plan-asserted in
+`tests/test_layout.py`).
+
+Scaling evidence (sf0.1 → sf1 per-query curve, measured on the
+headline subset after each round's perf work) is recorded in
+`BASELINE.md`."""
 
 
 def main() -> None:

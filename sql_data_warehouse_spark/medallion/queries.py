@@ -112,6 +112,19 @@ def _bronze_warehouse(spark: SparkSession) -> str:
     return wh
 
 
+def _silver_warehouse(spark: SparkSession) -> str:
+    """Extend the session's temp warehouse with the REAL load_silver
+    output (bronze parquet → cleansing → silver parquet with the
+    ``dwh_create_date`` audit column) — the write-path twin of the
+    transform-only ``silver_df`` the etl_silver_* gates use."""
+    if getattr(spark, "_wh_silver_loaded", False) is False:
+        from .load import load_silver
+
+        load_silver(spark, _bronze_warehouse(spark))
+        spark._wh_silver_loaded = True
+    return spark._wh_bronze_dir
+
+
 def _bronze_oracle(table: str) -> str:
     # DATE columns surface as STRING (ISO yyyy-MM-dd, identical in
     # both engines): raw bronze carries year-9999 dirt (e.g. bdate
@@ -173,3 +186,55 @@ for _v in _GOLD_SURVEY:
         survey=_GOLD_SURVEY[_v],
         tags=("medallion", "gold"),
     )(_mkg(_v))
+
+
+# ------------------------------------------------------ S4 audit column
+#
+# Gate for the reference's DEFAULT-GETDATE() audit column
+# (ddl_silver.sql ``dwh_create_date DATETIME2 DEFAULT GETDATE()``):
+# run the REAL load_silver write path and assert that every written
+# silver row carries a populated, load-window-bounded audit stamp.
+# The oracle can't reproduce a wall-clock default, so the gate
+# compares *counts*: for each table, rows written == rows with a
+# non-null in-window audit stamp == rows the reference transform
+# produces from the raw CSVs. A dropped column, a NULL default, or a
+# stale/future stamp all diverge.
+
+def _audit_oracle() -> str:
+    parts = [
+        f"SELECT '{t}' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        f"CAST(COUNT(*) AS BIGINT) AS n_audit_ok "
+        f"FROM ({SILVER_SQL[t]})"
+        for t in SILVER_SQL
+    ]
+    return " UNION ALL ".join(parts) + " ORDER BY tbl"
+
+
+@query(
+    "etl_silver_audit_columns",
+    oracle=_audit_oracle(),
+    survey="S4 S7 S9 U1",
+    tags=("medallion", "silver"),
+)
+def etl_silver_audit_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit-column roundtrip (S4): read load_silver's written parquet
+    and count rows whose ``dwh_create_date`` is non-null and within
+    [2020, now+1day] — equal to the table's row count iff the default
+    fired for every row of every table."""
+    wh = _silver_warehouse(spark)
+    lo = F.lit("2020-01-01 00:00:00").cast("timestamp")
+    hi = F.date_add(F.current_timestamp(), 1).cast("timestamp")
+    out = None
+    for t in sorted(SILVER_SQL):
+        df = spark.read.parquet(f"{wh}/silver/{t}").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(
+                F.when(
+                    F.col("dwh_create_date").isNotNull()
+                    & F.col("dwh_create_date").between(lo, hi),
+                    1,
+                )
+            ).alias("n_audit_ok"),
+        ).select(F.lit(t).alias("tbl"), "n_rows", "n_audit_ok")
+        out = df if out is None else out.unionAll(df)
+    return out.orderBy("tbl")
