@@ -8,7 +8,7 @@ them to the testdata tables with DuckDB oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import vectors
@@ -146,6 +146,55 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cc.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+@query(
+    "dedup_pipeline_keep_best",
+    survey="ext-dedup ext-pipeline W3 A7",
+    tags=("llmops",),
+    oracle=dedup.dedup_keep_best_sql(min_jaccard=0.35),
+)
+def dedup_pipeline_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION dedup path end-to-end over the full corpus:
+    MinHash-LSH candidate pairs → per-pair exact-Jaccard verification
+    (``jaccard_verify``: O(|candidates|), never all-pairs) →
+    connected components → keep the highest-quality doc per cluster
+    (longest text, doc_id tiebreak). Output is one row per document
+    with its cluster and keep/drop decision — the exact relation a
+    training-data builder materializes before tokenization.
+
+    Scale shape: every stage is the bounded-cost variant — banded
+    LSH self-join (Σ bucket²), candidate-only verification (two
+    doc_id joins + per-row array_intersect), O(log diameter)
+    label propagation, and a per-cluster window over the tiny
+    cluster relation. Nothing touches n²."""
+    docs = load_table(spark, sf_dir, "documents")
+    candidates = dedup.minhash_candidate_pairs(docs)
+    verified = (
+        dedup.jaccard_verify(candidates, docs)
+        .filter(F.col("jaccard") >= 0.35)
+        .select("doc_a", "doc_b")
+    )
+    # Propagate labels over edge ENDPOINTS only (nodes=None): in a
+    # deduped corpus ~90 % of docs are singletons, and at 100 TB the
+    # iterative frame must be ∝ |edges|, not |corpus| — singletons
+    # rejoin afterwards with label = own id via one left join.
+    cc = dedup.connected_components(verified, src="doc_a", dst="doc_b")
+    labeled = (
+        docs.select("doc_id", "n_chars")
+        .join(cc.select(F.col("id").alias("doc_id"),
+                        F.col("label").alias("cluster_id")), "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+    )
+    w = (
+        Window.partitionBy("cluster_id")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    )
+    return labeled.select(
+        "doc_id",
+        "cluster_id",
+        (F.row_number().over(w) == 1).alias("is_kept"),
     )
 
 

@@ -261,25 +261,40 @@ def winnow_near_dup_pairs(docs: DataFrame, min_shared: int = 3,
     """Near-duplicate pairs by shared winnowed fingerprints.
 
     Fingerprints appearing in more than ``max_doc_freq`` documents
-    are dropped before the self-join (boilerplate/stopword grams —
-    the skew guard that keeps bucket sizes bounded: join cost is
-    Σ df(fp)² over surviving fps, never n²).
+    are dropped (boilerplate/stopword grams — the skew guard that
+    keeps bucket sizes bounded: pair volume is Σ df(fp)² over
+    surviving fps, never n²).
+
+    Plan shape: ONE fingerprint scan (the md5-per-shingle pipeline is
+    the dominant cost — a fp⋈fp self-join would compute it twice,
+    plus a third time for the frequency filter), one shuffle
+    grouping by fp. Each bucket collects its ≤``max_doc_freq``
+    doc_ids and expands pairs IN-ROW with array HOFs (sorted ids ⇒
+    a < b without a join predicate), so the "self-join" never touches
+    the exchange a second time; the pair aggregation is the only
+    other shuffle.
     """
     fp = winnow_fingerprints(docs, k, w)
-    rare = (
+    buckets = (
         fp.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") <= max_doc_freq)
-        .select("fp")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids").between(2, max_doc_freq))
     )
-    pruned = fp.join(rare, "fp")
-    a = pruned.alias("a")
-    b = pruned.alias("b")
+    ids = F.col("ids")
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2),
+                        F.greatest(F.size(ids) - i - F.lit(1), F.lit(0))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, (F.col("a.fp") == F.col("b.fp"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"),
-                 F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"),
+                 F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )

@@ -571,11 +571,16 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
     sym = sym.union(
         sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    # Eager: everything downstream (node seeding AND every round's
+    # hop) must read the materialized edges — a lazy checkpoint would
+    # run the upstream pair-generation pipeline once for the seed job
+    # and AGAIN for the first materializing round (measured 2× a 60 s
+    # verify pipeline before the fix).
+    sym = sym.localCheckpoint(eager=True)
     if nodes is None:
         node_ids = sym.select(F.col("src").alias("id")).distinct()
     else:
         node_ids = nodes.select(F.col(nodes.columns[0]).alias("id")).distinct()
-    sym = sym.localCheckpoint(eager=False)
     labels = node_ids.select("id", F.col("id").alias("label"))
     labels = labels.localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
@@ -637,4 +642,114 @@ def dedup_clusters_sql(doc_filter: str = "TRUE", k: int = SHINGLE_K,
         )
         SELECT id AS doc_id, MIN(label) AS cluster_id
         FROM reach GROUP BY id
+    """
+
+
+# ------------------------------------------------- pairwise verification
+
+def shingle_sets(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, sh): distinct char-shingle set per document as ONE
+    array row — the verifier-side representation (the inverted-index
+    explode in :func:`jaccard_pairs` is for all-pairs discovery; a
+    candidate list wants per-doc sets it can join twice).
+
+    The normalized text is materialized as a column BEFORE the
+    shingling HOF: a lambda inlines its captured expressions, so
+    ``substr(normalize(text), i, k)`` would re-run the 3-regexp
+    normalize chain once per character position (measured ~30 s for
+    5 000 docs; staged it's sub-second — the winnowing pitfall,
+    .claude/skills/verify/SKILL.md)."""
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        normalize_text(F.col(text_col)).alias("_norm"),
+    )
+    n = F.length(F.col("_norm"))
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    return staged.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(idx, lambda i: F.col("_norm").substr(i, F.lit(k)))
+        ).alias("sh"),
+    )
+
+
+def jaccard_verify(pairs: DataFrame, docs: DataFrame,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   k: int = SHINGLE_K) -> DataFrame:
+    """Exact n-gram Jaccard for an EXPLICIT candidate-pair list
+    (doc_a, doc_b) — the verifier that runs downstream of
+    :func:`minhash_candidate_pairs` at scale.
+
+    Plan shape: two keyed joins of the pair list against the per-doc
+    shingle sets, then a per-row ``array_intersect`` — cost is
+    O(|pairs| × shingles/doc), never Σ df² like the inverted-index
+    path, and the only shuffles are the two doc_id joins. Integer
+    set sizes divide once into the jaccard double, so the value is
+    bit-identical cross-engine."""
+    sets = shingle_sets(docs, text_col, id_col, k)
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            inter.cast("long").alias("n_common"),
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+    )
+
+
+def shingle_set_sql(k: int = SHINGLE_K, text_col: str = "text") -> str:
+    norm = NORMALIZE_SQL.format(col=text_col)
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(length({norm}) - {k - 1}, 1)), "
+        f"i -> substr({norm}, CAST(i AS INTEGER), {k})))"
+    )
+
+
+def dedup_keep_best_sql(min_jaccard: float = 0.35,
+                        k: int = SHINGLE_K) -> str:
+    """DuckDB twin of the full production dedup pipeline: MinHash-LSH
+    candidates → per-pair exact-Jaccard verification → recursive-CTE
+    connected components → keep the highest-quality doc per cluster
+    (longest text, doc_id tiebreak)."""
+    return f"""
+        WITH RECURSIVE pairs AS MATERIALIZED ({MINHASH_PAIRS_SQL}),
+        sets AS MATERIALIZED (
+          SELECT doc_id, {shingle_set_sql(k)} AS sh FROM documents
+        ),
+        verified AS MATERIALIZED (
+          SELECT p.doc_a, p.doc_b
+          FROM pairs p
+          JOIN sets a ON a.doc_id = p.doc_a
+          JOIN sets b ON b.doc_id = p.doc_b
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / CAST(len(a.sh) + len(b.sh)
+                       - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                >= {min_jaccard}
+        ),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM verified
+          UNION ALL
+          SELECT doc_b, doc_a FROM verified
+        ),
+        reach(id, label) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+        ),
+        labels AS (
+          SELECT id AS doc_id, MIN(label) AS cluster_id
+          FROM reach GROUP BY id
+        )
+        SELECT l.doc_id, l.cluster_id,
+               (row_number() OVER (
+                  PARTITION BY l.cluster_id
+                  ORDER BY d.n_chars DESC, l.doc_id) = 1) AS is_kept
+        FROM labels l JOIN documents d ON d.doc_id = l.doc_id
     """
