@@ -64,7 +64,12 @@ session, `tests/test_catalog.py`).
 
 Beyond-reference operator families (`ext-*` ids): streaming
 (`streaming/jobs.py` + batch twins), dedup (exact/fingerprint/
-MinHash-OPH/Jaccard/SimHash + connected-components clustering),
+MinHash-OPH/Jaccard/SimHash + connected-components clustering,
+the end-to-end keep-best pipeline `dedup_pipeline_keep_best`:
+LSH candidates → per-pair exact-Jaccard verification →
+components → best-doc-per-cluster, and its STREAMING twin
+`stream_dedup_user_types` — stateful `dropDuplicates` over the
+event stream),
 similarity (cosine top-k, LSH ANN, IVF / learned-k-means IVF,
 embedding near-dup), multimodal (`operators/multimodal.py`), text
 (BPE tokens, lang-ID, doc stats), corpus curation

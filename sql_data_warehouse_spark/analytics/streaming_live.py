@@ -362,3 +362,33 @@ def stream_replay_user_totals(spark: SparkSession,
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(out_dir, ignore_errors=True)
     return out
+
+
+@query(
+    "stream_dedup_user_types",
+    survey="ext-stream ext-dedup P9",
+    tags=("streaming", "live"),
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming deduplication: ``dropDuplicates`` over the event
+    stream keyed on (user_id, event_type) — the streaming-ingest twin
+    of exact dedup, state = one entry per distinct key, emitting each
+    key on first arrival. Output is exactly the batch DISTINCT, so
+    the hash gate is exact regardless of arrival order (only the key
+    columns are projected — any payload column would leak
+    first-arrival nondeterminism).
+
+    Scale shape: state is keyed and partitioned by the dedup key —
+    RocksDB-backed state stores shard it across executors; a
+    production deployment bounds state with
+    ``dropDuplicatesWithinWatermark`` once the key space is
+    time-localized (exact global dedup genuinely needs unbounded
+    state)."""
+    src = _landing_zone(spark, sf_dir)
+    stream = (
+        jobs.read_events_stream(spark, src)
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    return _drain(stream, "append")
