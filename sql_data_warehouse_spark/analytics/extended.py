@@ -6,7 +6,7 @@ statistics — each with a DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import BPE_TOKENS_SQL, bpe_ish_tokens
@@ -541,4 +541,124 @@ def big_balance_lapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_customers"),
             money_sum(F.col("c_acctbal")).alias("total_acctbal"),
         )
+    )
+
+
+@query(
+    "rolling_7day_revenue",
+    survey="ext-window W6 W7 A4",
+    oracle=f"""
+        SELECT day, day_cents,
+               CAST(SUM(day_cents) OVER (
+                      ORDER BY day
+                      RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) / 100.0 AS revenue_7d
+        FROM (
+          SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+                 SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                     AS day_cents
+          FROM orders GROUP BY 1
+        )
+        ORDER BY day
+    """,
+)
+def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: trailing-7-day revenue over the daily
+    aggregate — the frame is defined by VALUE distance (6 days
+    preceding), not row count, so gaps in the calendar shrink the
+    window exactly as T-SQL/DuckDB ``RANGE INTERVAL`` semantics say.
+
+    Scale shape: the fact collapses to ≤ n_days rows FIRST (map-side
+    partials), and only that tiny daily relation flows into the
+    unpartitioned range window — never window-over-fact. Cents stay
+    integer inside the running frame sum, so the cross-engine hash is
+    exact even though partial sums ride a sliding frame."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+                .cast("long")
+            ).alias("day_cents")
+        )
+    )
+    w = (
+        Window.orderBy(F.col("day").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return (
+        daily.select(
+            "day",
+            "day_cents",
+            (F.sum("day_cents").over(w).cast("double") / F.lit(100.0))
+            .alias("revenue_7d"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "customer_value_deciles",
+    survey="ext-window W3 A2 O1",
+    oracle="""
+        SELECT decile,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(CAST(floor(total_cents) AS BIGINT)) AS DOUBLE) / 100.0
+                   AS decile_revenue
+        FROM (
+          SELECT c.c_custkey,
+                 COALESCE(SUM(CAST(floor(o.o_totalprice * 100.0 + 0.5)
+                                   AS BIGINT)), 0) AS total_cents,
+                 ntile(10) OVER (
+                   ORDER BY COALESCE(SUM(CAST(floor(o.o_totalprice * 100.0
+                                                    + 0.5) AS BIGINT)), 0)
+                            DESC, c.c_custkey) AS decile
+          FROM customer c
+          LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+          GROUP BY c.c_custkey
+        )
+        GROUP BY decile
+        ORDER BY decile
+    """,
+)
+def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(10) lifetime-value segmentation: every customer ranked
+    into spend deciles, then per-decile population and revenue. The
+    ntile ORDER BY carries a custkey tiebreak so bucket boundaries
+    are total-ordered — without it, equal-spend customers straddle
+    bucket edges nondeterministically and the cross-engine hash
+    breaks.
+
+    Scale shape: per-customer totals aggregate with map-side partials
+    (shuffle on custkey); NTILE needs a global sort of the
+    n_customers aggregate — inherently single-ordered, but over the
+    REDUCED relation (customers, not orders), the same shape every
+    MPP engine uses for decile reports. The final decile rollup is
+    10 rows."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+                    .cast("long")
+                ),
+                F.lit(0).cast("long"),
+            ).alias("total_cents")
+        )
+    )
+    w = Window.orderBy(F.desc("total_cents"), F.asc("c_custkey"))
+    return (
+        per_cust.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum("total_cents").cast("double") / F.lit(100.0))
+            .alias("decile_revenue"),
+        )
+        .orderBy("decile")
     )
