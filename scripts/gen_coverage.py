@@ -71,7 +71,10 @@ components → best-doc-per-cluster, and its STREAMING twin
 `stream_dedup_user_types` — stateful `dropDuplicates` over the
 event stream),
 similarity (cosine top-k, LSH ANN, IVF / learned-k-means IVF,
-embedding near-dup), multimodal (`operators/multimodal.py`), text
+product quantization `pq_ann_topk`: sampled driver-side codebook
+fit + distributed multi-subspace Lloyd alternative, unrolled-codegen
+encode to M-byte codes, ADC lookup scoring with exact re-rank of
+the shortlist, recall-gated; embedding near-dup), multimodal (`operators/multimodal.py`), text
 (BPE tokens, lang-ID, doc stats), corpus curation
 (`operators/curation.py`: benchmark decontamination
 `decontaminate_benchmark`, token-budget packing with distributed

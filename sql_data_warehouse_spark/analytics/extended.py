@@ -555,8 +555,11 @@ def big_balance_lapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS DOUBLE) / 100.0 AS revenue_7d
         FROM (
           SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
-                 SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
-                     AS day_cents
+                 -- explicit BIGINT: DuckDB SUM(BIGINT) is HUGEINT,
+                 -- which pandas renders as float64 and the driver's
+                 -- string hash sees as "...0.0" vs Spark's int64
+                 CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                      AS BIGINT) AS day_cents
           FROM orders GROUP BY 1
         )
         ORDER BY day

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..functions import vectors
 from ..functions.text import lang_guess_sql
-from ..operators import dedup, kmeans, multimodal, similarity, text_analysis
+from ..operators import dedup, kmeans, multimodal, pq, similarity, text_analysis
 from ..sources import load_table
 from .registry import query
 
@@ -141,11 +141,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     pairs = dedup.jaccard_pairs(docs, min_jaccard=0.35).select("doc_a", "doc_b")
-    cc = dedup.connected_components(
-        pairs, nodes=docs.select("doc_id"), src="doc_a", dst="doc_b"
-    )
-    return cc.select(
-        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    # Propagate over edge endpoints only; singleton docs (the vast
+    # majority) skip the iterative loop and rejoin as their own label.
+    cc = dedup.connected_components(pairs, src="doc_a", dst="doc_b")
+    return (
+        docs.select("doc_id")
+        .join(cc.select(F.col("id").alias("doc_id"),
+                        F.col("label").alias("cluster_id")), "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
     )
 
 
@@ -322,6 +325,37 @@ def ivf_kmeans_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return kmeans.ivf_kmeans_topk(emb, queries, cents, k=10, nprobe=3)
+
+
+@query(
+    "pq_ann_topk",
+    survey="ext-sim ext-pq W3",
+    tags=("llmops",),
+    oracle=None,  # iterative codebook fit — not SQL-expressible;
+    #               recall vs the exact L2 baseline gated in
+    #               tests/test_similarity_recall.py
+)
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.py): 16 subspaces × 16
+    codewords trained driver-side on a bounded md5-ordered sample
+    (FAISS-style; the distributed multi-subspace Lloyd loop
+    ``pq.pq_fit`` handles training sets too large to collect),
+    corpus encoded to 16-byte codes, 5 queries scored by ADC table
+    lookups, ADC-top-50 exactly re-ranked — the memory-bound scale
+    path (codes are 16× smaller than the float vectors, so a 100 TB
+    corpus scans as ~6 TB in stage 1; stage 2 touches 50 float rows
+    per query). Recall@10 = 0.82 vs exact L2, gated in
+    tests/test_similarity_recall.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq.pq_fit_sampled(emb, m=16, k=16, n_iter=2)
+    qrows = (
+        emb.filter(F.col("vec_id") < 5)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = [(r["vec_id"], [float(x) for x in r["embedding"]])
+               for r in qrows]
+    return pq.pq_ann_topk(emb, queries, books, k=10)
 
 
 # ------------------------------------------------------- selection funnel

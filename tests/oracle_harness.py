@@ -69,12 +69,23 @@ def compare(spark_df, oracle_pdf: pd.DataFrame, name: str = "?") -> None:
         f"{name}: row count {len(s_rows)} vs {len(o_rows)}"
     )
     for i, (sr, orow) in enumerate(zip(s_rows, o_rows)):
-        if sr != orow:
+        # Python == says 5 == 5.0, but the driver hashes STRINGS
+        # ("5" vs "5.0") — a DuckDB HUGEINT→float64 column vs a
+        # Spark int64 column passes a value compare and still fails
+        # the driver. Enforce type-kind parity too.
+        kind_mismatch = any(
+            isinstance(a, float) != isinstance(b, float)
+            for a, b in zip(sr, orow)
+            if a is not None and b is not None
+        )
+        if sr != orow or kind_mismatch:
             detail = [
                 f"  col {c}: spark={a!r} oracle={b!r}"
                 + (f" (Δ={abs(a - b):.3e})" if isinstance(a, float) and isinstance(b, float) else "")
                 for c, a, b in zip(s_cols, sr, orow)
                 if a != b
+                or (a is not None and b is not None
+                    and isinstance(a, float) != isinstance(b, float))
             ]
             raise AssertionError(
                 f"{name}: value mismatch at sorted row {i}:\n" + "\n".join(detail)

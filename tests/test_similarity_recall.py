@@ -49,3 +49,44 @@ def test_embedding_near_dup_lsh_pair_recall_vs_exact(spark):
     # predicts 1-(1-p^4)^8 ≈ 0.71 at cosine 0.35; measured 0.72.
     recall = len(e & a) / len(e)
     assert recall >= 0.5, recall
+
+
+def test_pq_ann_topk_recall_vs_exact_l2(spark):
+    import numpy as np
+
+    from sql_data_warehouse_spark.operators import pq
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    books = pq.pq_fit_sampled(emb, m=16, k=16, n_iter=2)
+    rows = emb.select("vec_id", "embedding").collect()
+    V = np.asarray([np.asarray(r["embedding"], dtype=np.float64)
+                    for r in rows])
+    ids = np.asarray([r["vec_id"] for r in rows])
+    queries = [(int(ids[i]), [float(x) for x in V[i]])
+               for i in range(len(ids)) if ids[i] < 5]
+
+    approx = pq.pq_ann_topk(emb, queries, books, k=10, rerank=50)
+    a = {(r["query_id"], r["id"]) for r in approx.collect()}
+
+    # exact L2 top-10 (PQ's ADC approximates L2, not cosine)
+    e = set()
+    for qid, qv in queries:
+        d2 = ((V - np.asarray(qv)) ** 2).sum(axis=1)
+        order = np.lexsort((ids, d2))  # distance, id tiebreak
+        e.update((qid, int(ids[j])) for j in order[:10])
+
+    assert len(e) == 50
+    recall = len(e & a) / len(e)
+    # 16 subspaces × 16 codewords + exact re-rank of the ADC-top-50:
+    # measured 0.82 at sf0.01 (ADC-only with m=8 was 0.28 — the
+    # re-rank stage is what makes PQ usable at this dimensionality).
+    assert recall >= 0.6, recall
+
+
+def test_pq_fit_deterministic(spark):
+    from sql_data_warehouse_spark.operators import pq
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    b1 = pq.pq_fit(emb, m=16, k=16, n_iter=2)
+    b2 = pq.pq_fit(emb, m=16, k=16, n_iter=2)
+    assert b1 == b2
