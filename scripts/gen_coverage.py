@@ -83,7 +83,9 @@ prefix-sum `token_budget_pack`, Gopher repeated-n-gram stats
 `winnow_near_dup_pairs`, PII redaction `pii_scrub_stats`, Python
 UDTF trigram expansion `udtf_ngram_explode`), transactional tables
 (`sources/txn.py`: manifest log, atomic commit, time travel,
-file-pruned MERGE — `txn_merge_orders`, `txn_time_travel` —
+file-pruned MERGE — `txn_merge_orders`, `txn_time_travel`, and a
+manifest-diff change data feed `txn_change_feed` (delete/insert
+pre/post-images, scan cost ∝ rewritten bytes) —
 schema-evolving merges, additive MERGE powering the incremental
 continuous aggregate `cagg_hourly_refresh` and its STREAMING twin
 `stream_cagg_refresh`, a custom Python DataSource

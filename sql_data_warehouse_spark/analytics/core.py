@@ -857,3 +857,47 @@ def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+_SQL_INTERFACE_TEXT = """
+    SELECT n.n_name AS nation,
+           CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS revenue,
+           CAST(SUM(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS DOUBLE)
+             / CAST(SUM(SUM(CAST(floor(o.o_totalprice * 100.0 + 0.5)
+                                 AS BIGINT))) OVER () AS DOUBLE)
+               AS revenue_share
+    FROM {orders} o
+    JOIN {customer} c ON o.o_custkey = c.c_custkey
+    JOIN {nation} n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY nation
+"""
+
+
+@query(
+    "spark_sql_interface",
+    survey="ext-sql A3 A5 J4 O1 W9",
+    oracle=_SQL_INTERFACE_TEXT.format(
+        orders="orders", customer="customer", nation="nation"
+    ),
+)
+def spark_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw SQL-text path: register the testdata tables as views
+    and execute ONE literal SQL string via ``spark.sql`` — the
+    statement a reference-warehouse user would type, unchanged (the
+    oracle runs the same text in DuckDB modulo view names; shared
+    dialect: CAST/floor/window SUM-over-SUM). Everything else in this
+    engine is the DataFrame API; this gate proves the SQL surface
+    compiles to the same Catalyst plans — same pushdown, same
+    broadcast dims, same partial aggregation — because it IS the same
+    optimizer."""
+    for t in ("orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"td_{t}")
+    return spark.sql(
+        _SQL_INTERFACE_TEXT.format(
+            orders="td_orders", customer="td_customer", nation="td_nation"
+        )
+    )

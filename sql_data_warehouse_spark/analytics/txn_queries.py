@@ -290,3 +290,37 @@ def txn_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             cents(F.col("o_totalprice")).alias("price_cents"),
         )
     )
+
+
+@query(
+    "txn_change_feed",
+    survey="ext-acid ext-cdf S2 U1",
+    oracle=f"""
+        SELECT o_orderkey, o_orderstatus,
+               {CENTS_SQL.format(expr="o_totalprice")} AS price_cents,
+               o_orderpriority, 'delete' AS _change_type
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus,
+               {CENTS_SQL.format(expr="o_totalprice * 1.10")} AS price_cents,
+               'RE-PRICED', 'insert'
+        FROM orders WHERE o_orderkey % 7 = 0
+    """,
+    tags=("txn",),
+)
+def txn_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed v1→v2 of the orders TxnTable
+    (``TxnTable.read_changes``): the manifest diff yields exactly the
+    files the MERGE rewrote, and the row-level multiset difference of
+    added vs removed files surfaces each re-priced order as a
+    delete(preimage) + insert(postimage) pair — rows the rewrite
+    merely carried over cancel out, and files the merge never touched
+    are never scanned (CDF cost ∝ rewritten bytes, not table size).
+    The oracle reconstructs the same pre/post images relationally
+    from the raw table."""
+    tbl = _orders_txn(spark, sf_dir)
+    return tbl.read_changes(spark, from_version=1).select(
+        "o_orderkey", "o_orderstatus",
+        cents(F.col("o_totalprice")).alias("price_cents"),
+        "o_orderpriority", "_change_type",
+    )

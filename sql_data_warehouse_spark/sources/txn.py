@@ -331,6 +331,45 @@ class TxnTable:
         new_files = self._write_files(combined, scols)
         return self._commit("merge_additive", untouched + new_files, base)
 
+    # -------------------------------------------------------- change feed
+
+    def read_changes(self, spark: SparkSession, from_version: int,
+                     to_version: int | None = None) -> DataFrame:
+        """Change data feed between two snapshots, derived from the
+        MANIFEST DIFF: data files are immutable, so every row-level
+        change between versions lives in a file added or removed by
+        the interval's commits — untouched files are never scanned,
+        i.e. CDF cost is proportional to rewritten bytes, not table
+        size. Row-level changes are the multiset difference of the
+        added vs removed files' rows (``exceptAll`` both ways), so a
+        compaction that only moves rows between files produces an
+        EMPTY feed. Updates surface as delete(preimage) +
+        insert(postimage) — the consumer-side convention of
+        log-structured table formats.
+        """
+        v_to = self.latest_version() if to_version is None else to_version
+        f_from = {f.path for f in self._files(from_version)}
+        f_to = {f.path for f in self._files(v_to)}
+
+        def _read(paths: list[str], schema_of: DataFrame | None):
+            if paths:
+                return spark.read.option("mergeSchema", "true").parquet(
+                    *[os.path.join(self.root, p) for p in paths])
+            assert schema_of is not None
+            return schema_of.limit(0)
+
+        added_paths = sorted(f_to - f_from)
+        removed_paths = sorted(f_from - f_to)
+        added = _read(added_paths, None) if added_paths else None
+        removed = _read(removed_paths, added)
+        if added is None:
+            added = removed.limit(0)
+        inserts = added.exceptAll(removed).withColumn(
+            "_change_type", F.lit("insert"))
+        deletes = removed.exceptAll(added).withColumn(
+            "_change_type", F.lit("delete"))
+        return inserts.unionByName(deletes)
+
     # ------------------------------------------------------------- vacuum
 
     def vacuum(self, keep_last: int = 1) -> list[str]:

@@ -237,3 +237,35 @@ def test_python_datasource_schema_evolution(spark, root):
     got = {r["k"]: r["w"] for r in df.collect()}
     # files written pre-evolution read back NULL for the new column
     assert got[1] == 42 and got[9] is None and len(got) == 10
+
+
+def test_change_feed_append_is_insert_only(spark, root):
+    tbl = TxnTable(root)
+    tbl.overwrite(
+        spark.createDataFrame([Row(k=i, v=i * 10) for i in range(10)])
+        .repartitionByRange(2, "k"), stat_cols=("k",))
+    tbl.append(spark.createDataFrame([Row(k=100, v=1000)]))
+    feed = tbl.read_changes(spark, from_version=1)
+    rows = feed.collect()
+    assert [(r["k"], r["_change_type"]) for r in rows] == [(100, "insert")]
+
+
+def test_change_feed_merge_emits_pre_and_post_images(spark, root):
+    tbl = TxnTable(root)
+    tbl.overwrite(
+        spark.createDataFrame([Row(k=i, v=i * 10) for i in range(10)])
+        .repartitionByRange(2, "k"), stat_cols=("k",))
+    tbl.merge(spark.createDataFrame([Row(k=3, v=999)]), key="k")
+    feed = tbl.read_changes(spark, from_version=1)
+    got = {(r["k"], r["v"], r["_change_type"]) for r in feed.collect()}
+    # only the updated key surfaces — carried-over rows cancel out
+    assert got == {(3, 30, "delete"), (3, 999, "insert")}
+
+
+def test_change_feed_pure_rewrite_is_empty(spark, root):
+    tbl = TxnTable(root)
+    df = spark.createDataFrame([Row(k=i, v=i * 10) for i in range(10)])
+    tbl.overwrite(df.repartitionByRange(2, "k"), stat_cols=("k",))
+    # rewrite the same rows into a different file layout (compaction)
+    tbl.overwrite(df.repartitionByRange(3, "k"), stat_cols=("k",))
+    assert tbl.read_changes(spark, from_version=1).count() == 0
