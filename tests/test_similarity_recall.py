@@ -90,3 +90,22 @@ def test_pq_fit_deterministic(spark):
     b1 = pq.pq_fit(emb, m=16, k=16, n_iter=2)
     b2 = pq.pq_fit(emb, m=16, k=16, n_iter=2)
     assert b1 == b2
+
+
+def test_pq_search_plan_shape(spark):
+    """Stage-1 shortlist must be TakeOrderedAndProject (distributed
+    top-R, not a single-partition window), and the encode/scoring
+    path must stay JVM-side (no Python eval in the plan)."""
+    from sql_data_warehouse_spark.operators import pq
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    books = pq.pq_fit_sampled(emb, m=16, k=16, n_iter=1)
+    r = emb.filter(F.col("vec_id") == 0).collect()[0]
+    queries = [(0, [float(x) for x in r["embedding"]])]
+    plan = (
+        pq.pq_ann_topk(emb, queries, books, k=5, rerank=20)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
