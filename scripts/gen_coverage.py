@@ -105,8 +105,11 @@ time-series (bucketized interval range join
 `promo_revenue_share`, Q15 `top_revenue_suppliers`, Q16
 `part_supplier_counts`, Q17 `small_quantity_revenue`, Q18
 `large_orders`, Q19 `brand_quantity_revenue`, Q21
-`suppliers_kept_waiting`, Q22 `big_balance_lapsed`, plus the CUBE
-lattice `revenue_cube`; Q2/Q11/Q20 need the absent partsupp table),
+`suppliers_kept_waiting`, Q22 `big_balance_lapsed`, and — over a
+partsupp relation DERIVED from observed lineitems — Q2
+`min_cost_supplier`, Q11 `important_stock_parts`, Q20
+`excess_stock_suppliers`: all 22 TPC-H queries adapted; plus the
+CUBE lattice `revenue_cube`),
 rollup/pivot/set-ops, skew mitigation (`operators/skew.py`),
 physical layout (`sources/layout.py`, plan-asserted in
 `tests/test_layout.py`).

@@ -1,14 +1,14 @@
-"""TPC-H classics adapted to the testdata star schema (the tables lack
-``partsupp`` and the lineitem commit/receipt dates, so Q2/Q11/Q20 have
-no faithful analog and Q4/Q12/Q21 substitute ship-date lateness for
-receipt-date lateness — semantics preserved, columns available).
+"""TPC-H classics adapted to the testdata star schema (the tables
+lack ``partsupp`` and the lineitem commit/receipt dates, so Q4/Q12/Q21
+substitute ship-date lateness for receipt-date lateness and Q2/Q11/Q20
+run over a partsupp relation DERIVED from observed lineitems —
+semantics preserved, columns available).
 
 Together with ``core.py`` (Q1 ``lineitem_pricing_summary``, Q3
 ``shipping_priority_top10``, Q6 ``forecast_revenue_change``),
 ``reports.py``/``extended.py`` (Q5-style ``local_supplier_revenue``,
 Q17 ``small_quantity_revenue``, Q18 ``large_orders``, Q22
-``big_balance_lapsed``), this completes every TPC-H query expressible
-on the available columns.
+``big_balance_lapsed``), this adapts ALL 22 TPC-H queries.
 
 Reference parity: the reference warehouse (LeoLe128/sql-data-warehouse)
 has no TPC-H suite — these are beyond-reference breadth on the scale
@@ -706,4 +706,243 @@ def suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(10)
+    )
+
+
+# --------------------------------------------- derived partsupp (Q2/Q11/Q20)
+#
+# The testdata has no partsupp table, so the three partsupp queries
+# run over the relation DERIVED from observed lineitems: for each
+# (partkey, suppkey), availqty := total shipped quantity and
+# supplycost := the minimum observed unit price (exact cents). Same
+# operator shapes as the originals — correlated per-group minima,
+# share-of-total HAVING, semi-join chains — on a first-class derived
+# relation instead of a base table.
+
+_PARTSUPP_SQL = """
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS ps_availqty,
+           MIN(CAST(floor(l_extendedprice / l_quantity * 100.0 + 0.5)
+                    AS BIGINT)) AS ps_supplycost_cents
+    FROM lineitem
+    GROUP BY l_partkey, l_suppkey
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    unit_cents = F.floor(
+        F.col("l_extendedprice") / F.col("l_quantity") * F.lit(100.0)
+        + F.lit(0.5)
+    ).cast("long")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("ps_availqty"),
+        F.min(unit_cents).alias("ps_supplycost_cents"),
+    )
+
+
+@query(
+    "min_cost_supplier",
+    survey="ext-tpch-q2 ext-subquery A2 J4 O1 O2 W3",
+    oracle=f"""
+        WITH ps AS ({_PARTSUPP_SQL}),
+        ranked AS (
+          SELECT p.p_partkey, p.p_brand, ps.ps_suppkey,
+                 ps.ps_supplycost_cents,
+                 MIN(ps.ps_supplycost_cents) OVER (PARTITION BY p.p_partkey)
+                     AS min_cost_cents
+          FROM part p
+          JOIN ps ON ps.ps_partkey = p.p_partkey
+          WHERE p.p_size = 15 AND p.p_type = 'LARGE'
+        )
+        SELECT s.s_acctbal, s.s_name, n.n_name AS nation,
+               r.p_partkey, r.p_brand,
+               CAST(r.ps_supplycost_cents AS DOUBLE) / 100.0 AS supply_cost
+        FROM ranked r
+        JOIN supplier s ON r.ps_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        WHERE r.ps_supplycost_cents = r.min_cost_cents
+        ORDER BY s.s_acctbal DESC, nation, s.s_name, r.p_partkey
+        LIMIT 20
+    """,
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum cost supplier) over the derived partsupp:
+    for every LARGE size-15 part, the supplier(s) achieving the
+    part's minimum unit cost, ranked by account balance.
+
+    Scale shape: the correlated scalar subquery ("cost = MIN(cost)
+    for this part") is a window MIN over the partkey-grouped derived
+    relation — one shuffle, no re-scan of lineitem per part (the
+    textbook decorrelation); part filters prune before the window;
+    supplier⋈nation broadcast; top-20 is TakeOrderedAndProject."""
+    ps = _partsupp(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+    ).select("p_partkey", "p_brand")
+    w = Window.partitionBy("p_partkey")
+    ranked = (
+        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .withColumn("min_cost_cents",
+                    F.min("ps_supplycost_cents").over(w))
+        .filter(F.col("ps_supplycost_cents") == F.col("min_cost_cents"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(load_table(spark, sf_dir, "nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal",
+                F.col("n_name").alias("nation"))
+    )
+    return (
+        ranked.join(F.broadcast(supp), ranked.ps_suppkey == supp.s_suppkey)
+        .select(
+            "s_acctbal", "s_name", "nation", "p_partkey", "p_brand",
+            (F.col("ps_supplycost_cents").cast("double") / F.lit(100.0))
+            .alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "nation", "s_name", "p_partkey")
+        .limit(20)
+    )
+
+
+@query(
+    "important_stock_parts",
+    survey="ext-tpch-q11 ext-subquery A2 A6 W9",
+    oracle=f"""
+        WITH ps AS ({_PARTSUPP_SQL}),
+        valued AS (
+          SELECT ps.ps_partkey,
+                 SUM(ps.ps_supplycost_cents * ps.ps_availqty) AS value_cents
+          FROM ps
+          JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+          JOIN nation n   ON s.s_nationkey = n.n_nationkey
+          WHERE n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+          GROUP BY ps.ps_partkey
+        )
+        SELECT ps_partkey,
+               CAST(value_cents AS DOUBLE) / 100.0 AS stock_value
+        FROM (
+          SELECT ps_partkey, value_cents,
+                 SUM(value_cents) OVER () AS total_cents
+          FROM valued
+        )
+        WHERE CAST(value_cents AS DOUBLE)
+              > 0.001 * CAST(total_cents AS DOUBLE)
+        ORDER BY stock_value DESC, ps_partkey
+    """,
+)
+def important_stock_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification) over the derived
+    partsupp: parts whose stock value inside a 3-nation supplier
+    group exceeds 0.1 % of the group's total.
+
+    Scale shape: the scalar subquery (`> fraction × SUM(...)` over
+    the same relation) is the W9 rewrite — ONE grouped pass + a
+    grand-total window over the per-part aggregate, instead of the
+    literal second scan the SQL implies; the nation filter prunes the
+    broadcast supplier side before the join. Exact cents arithmetic
+    end-to-end; the threshold compare is one double op on both
+    engines."""
+    ps = _partsupp(spark, sf_dir)
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(load_table(spark, sf_dir, "nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
+        .select("s_suppkey")
+    )
+    valued = (
+        ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey,
+                "left_semi")
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(F.col("ps_supplycost_cents") * F.col("ps_availqty"))
+            .alias("value_cents")
+        )
+    )
+    w = Window.partitionBy()
+    return (
+        valued.withColumn("total_cents", F.sum("value_cents").over(w))
+        .filter(
+            F.col("value_cents").cast("double")
+            > F.lit(0.001) * F.col("total_cents").cast("double")
+        )
+        .select(
+            "ps_partkey",
+            (F.col("value_cents").cast("double") / F.lit(100.0))
+            .alias("stock_value"),
+        )
+        .orderBy(F.desc("stock_value"), "ps_partkey")
+    )
+
+
+@query(
+    "excess_stock_suppliers",
+    survey="ext-tpch-q20 ext-subquery A2 A8 J6 O1 P5",
+    oracle=f"""
+        WITH ps AS ({_PARTSUPP_SQL}),
+        part_total AS (
+          SELECT ps_partkey, SUM(ps_availqty) AS total_qty
+          FROM ps GROUP BY ps_partkey
+        ),
+        dominant AS (
+          SELECT DISTINCT ps.ps_suppkey
+          FROM ps
+          JOIN part_total t ON ps.ps_partkey = t.ps_partkey
+          JOIN part p       ON ps.ps_partkey = p.p_partkey
+          WHERE p.p_name LIKE '%3%'
+            AND CAST(ps.ps_availqty AS DOUBLE)
+                > 0.5 * CAST(t.total_qty AS DOUBLE)
+        )
+        SELECT s.s_name, n.n_name AS nation
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE s.s_suppkey IN (SELECT ps_suppkey FROM dominant)
+          AND n.n_name = 'NATION_4'
+        ORDER BY s.s_name
+    """,
+)
+def excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion) over the derived
+    partsupp: NATION_4 suppliers who hold a DOMINANT share (>50 % of
+    shipped volume) of some part matching a name pattern — the
+    original's nested IN-subquery chain (supplier IN (... partsupp
+    WHERE qty > 0.5 × SUM(...))).
+
+    Scale shape: the correlated half-of-total threshold decorrelates
+    into one per-part aggregate joined back to the derived relation
+    (both keyed on partkey — one shuffle each); the IN-subqueries
+    become LEFT SEMI joins; the name-pattern part filter and the
+    single-nation supplier filter prune their broadcast sides."""
+    ps = _partsupp(spark, sf_dir)
+    part_total = ps.groupBy("ps_partkey").agg(
+        F.sum("ps_availqty").alias("total_qty")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%3%")
+    ).select("p_partkey")
+    dominant = (
+        ps.join(part_total, "ps_partkey")
+        .join(F.broadcast(part), ps.ps_partkey == part.p_partkey,
+              "left_semi")
+        .filter(
+            F.col("ps_availqty").cast("double")
+            > F.lit(0.5) * F.col("total_qty").cast("double")
+        )
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(load_table(spark, sf_dir, "nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name") == "NATION_4")
+        .join(dominant, F.col("s_suppkey") == dominant.ps_suppkey,
+              "left_semi")
+        .select("s_name", F.col("n_name").alias("nation"))
+        .orderBy("s_name")
     )

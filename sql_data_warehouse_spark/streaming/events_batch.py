@@ -404,3 +404,110 @@ def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return out(hourly, "hour").unionByName(out(daily, "day")) \
         .unionByName(out(monthly, "month"))
+
+
+# --------------------------------------------------- anomaly detection
+
+_AD_SCALE = 10000  # value → exact int at 1e-4 resolution
+
+
+@query(
+    "event_value_anomalies",
+    survey="ext-anomaly A2 A8 J-broadcast W-none",
+    tags=("streaming",),
+    oracle=f"""
+        WITH scaled AS (
+          SELECT event_type,
+                 CAST(floor(value * {_AD_SCALE}.0 + 0.5) AS BIGINT) AS s
+          FROM events
+        ),
+        stats AS (
+          SELECT event_type,
+                 COUNT(*) AS n,
+                 SUM(s) AS sum_s,            -- HUGEINT: exact
+                 SUM(s * s) AS sum_ss        -- HUGEINT: exact
+          FROM scaled GROUP BY event_type
+        ),
+        enriched AS (
+          SELECT event_type, n,
+                 CAST(sum_s AS DOUBLE) / CAST(n AS DOUBLE)
+                     AS mean_s,
+                 sqrt(CAST(n * sum_ss - sum_s * sum_s AS DOUBLE))
+                   / CAST(n AS DOUBLE) AS std_s
+          FROM stats
+        )
+        SELECT e.event_type,
+               CAST(e.n AS BIGINT) AS n_events,
+               e.mean_s / {_AD_SCALE}.0 AS mean_value,
+               e.std_s / {_AD_SCALE}.0 AS stddev_value,
+               CAST(SUM(CASE WHEN abs(CAST(sc.s AS DOUBLE) - e.mean_s)
+                                  > 3.0 * e.std_s
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM scaled sc JOIN enriched e ON sc.event_type = e.event_type
+        GROUP BY e.event_type, e.n, e.mean_s, e.std_s
+        ORDER BY e.event_type
+    """,
+)
+def event_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value anomaly report: population mean/stddev
+    and the 3-sigma outlier count — with the variance computed in
+    EXACT integer space so the cross-engine hash holds. A naive
+    ``stddev_pop`` is nondeterministic across engines AND across
+    Spark's own partitionings (float partial aggregation); here
+    ``n·Σs² − (Σs)²`` is computed on scaled-int64 values summed as
+    decimal(38,0) (Spark) / HUGEINT (DuckDB) — exact and
+    order-independent — and only the final sqrt/divisions touch
+    doubles, identically on both sides.
+
+    Scale shape: two passes over events — a grouped exact-moment
+    aggregation (map-side partials, 5-row result), then the 5-row
+    stats broadcast back for the outlier comparison. The classic
+    two-pass variance; no window over the fact, no float drift."""
+    ev = load_table(spark, sf_dir, "events")
+    scaled = ev.select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(float(_AD_SCALE)) + F.lit(0.5))
+        .cast("long").alias("s"),
+    )
+    dec = "decimal(38,0)"
+    stats = (
+        scaled.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("s").cast(dec)).alias("sum_s"),
+            F.sum((F.col("s") * F.col("s")).cast(dec)).alias("sum_ss"),
+        )
+        .select(
+            "event_type", "n",
+            (F.col("sum_s").cast("double") / F.col("n").cast("double"))
+            .alias("mean_s"),
+            (
+                F.sqrt(
+                    (F.col("n").cast(dec) * F.col("sum_ss")
+                     - F.col("sum_s") * F.col("sum_s")).cast("double")
+                )
+                / F.col("n").cast("double")
+            ).alias("std_s"),
+        )
+    )
+    return (
+        scaled.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", "n", "mean_s", "std_s")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("s").cast("double") - F.col("mean_s"))
+                    > F.lit(3.0) * F.col("std_s"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            F.col("n").alias("n_events"),
+            (F.col("mean_s") / F.lit(float(_AD_SCALE))).alias("mean_value"),
+            (F.col("std_s") / F.lit(float(_AD_SCALE))).alias("stddev_value"),
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )

@@ -72,3 +72,29 @@ def test_q21_single_fact_scan(spark):
     assert plan.count("lineitem.parquet") == 1, plan
     assert "Window" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q2_correlated_min_is_window_single_scan(spark):
+    df = tpch.min_cost_supplier(spark, SF_SMOKE)
+    plan = _plan(df)
+    # the per-part MIN(cost) subquery is a window over the derived
+    # partsupp aggregate, not a second lineitem scan
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "Window" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q11_share_threshold_is_w9_rewrite(spark):
+    df = tpch.important_stock_parts(spark, SF_SMOKE)
+    plan = _plan(df)
+    # the `> fraction × SUM(...)` scalar subquery runs as a
+    # grand-total window over the per-part aggregate — one fact scan
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "Window" in plan
+
+
+def test_q20_in_subqueries_are_semi_joins(spark):
+    df = tpch.excess_stock_suppliers(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
