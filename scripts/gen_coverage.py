@@ -75,7 +75,10 @@ product quantization `pq_ann_topk`: sampled driver-side codebook
 fit + distributed multi-subspace Lloyd alternative, unrolled-codegen
 encode to M-byte codes, ADC lookup scoring with exact re-rank of
 the shortlist, recall-gated; embedding near-dup), multimodal (`operators/multimodal.py`), text
-(BPE tokens, lang-ID, doc stats), corpus curation
+(BPE tokens, lang-ID, doc stats, conjunctive inverted-index search
+`keyword_search_and`, deterministic BM25 ranking `bm25_top_docs`
+(rational-idf variant — exact-integer tf/df/dl, fixed-order sums), exact-integer-variance 3-sigma anomaly report
+`event_value_anomalies`), corpus curation
 (`operators/curation.py`: benchmark decontamination
 `decontaminate_benchmark`, token-budget packing with distributed
 prefix-sum `token_budget_pack`, Gopher repeated-n-gram stats
@@ -83,7 +86,8 @@ prefix-sum `token_budget_pack`, Gopher repeated-n-gram stats
 `winnow_near_dup_pairs`, PII redaction `pii_scrub_stats`, Python
 UDTF trigram expansion `udtf_ngram_explode`), transactional tables
 (`sources/txn.py`: manifest log, atomic commit, time travel,
-file-pruned MERGE — `txn_merge_orders`, `txn_time_travel`, and a
+file-pruned DELETE (`txn_delete_orders`, the GDPR verb, empty files
+dropped from the manifest), file-pruned MERGE — `txn_merge_orders`, `txn_time_travel`, and a
 manifest-diff change data feed `txn_change_feed` (delete/insert
 pre/post-images, scan cost ∝ rewritten bytes) —
 schema-evolving merges, additive MERGE powering the incremental

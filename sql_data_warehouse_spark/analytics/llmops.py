@@ -537,3 +537,36 @@ def media_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(
         emb, queries, k=5, id_col="doc_id", vec_col="emb", dim=16
     )
+
+
+@query(
+    "keyword_search_and",
+    survey="ext-search ext-text A2 A6 P7",
+    tags=("llmops",),
+    oracle=text_analysis.keyword_search_sql(["stream", "join", "filter"]),
+)
+def keyword_search_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive keyword search ('stream' AND 'join' AND 'filter')
+    over the documents corpus via the inverted-index plan
+    (operators/text_analysis.keyword_search)."""
+    return text_analysis.keyword_search(
+        load_table(spark, sf_dir, "documents"),
+        ["stream", "join", "filter"],
+    )
+
+
+@query(
+    "bm25_top_docs",
+    survey="ext-search ext-text A2 A8 O2 W-none",
+    tags=("llmops",),
+    oracle=text_analysis.bm25_rank_sql(["stream", "shuffle", "broadcast"]),
+)
+def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for the query ('stream','shuffle','broadcast') —
+    deterministic ranking: exact-integer tf/df/dl inputs, one fixed
+    double expression per (doc, term), fixed-order per-keyword column
+    sums (see operators/text_analysis.bm25_rank)."""
+    return text_analysis.bm25_rank(
+        load_table(spark, sf_dir, "documents"),
+        ["stream", "shuffle", "broadcast"],
+    )

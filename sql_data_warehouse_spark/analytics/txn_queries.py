@@ -324,3 +324,50 @@ def txn_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents(F.col("o_totalprice")).alias("price_cents"),
         "o_orderpriority", "_change_type",
     )
+
+
+def _orders_delete_txn(spark: SparkSession, sf_dir: str) -> TxnTable:
+    """Separate session-cached table for the DELETE gate (the merge
+    fixture's version history must stay stable for time travel)."""
+    cache = getattr(spark, "_wh_txn_tables", None)
+    if cache is None:
+        cache = {}
+        spark._wh_txn_tables = cache
+    tbl = cache.get(("orders_delete", sf_dir))
+    if tbl is None:
+        root = tempfile.mkdtemp(prefix="wh_txn_del_")
+        tbl = TxnTable(root)
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice",
+        )
+        tbl.overwrite(o.repartitionByRange(8, "o_orderkey"),
+                      stat_cols=("o_orderkey",))
+        doomed = o.filter(F.col("o_orderkey") % 13 == 0).select("o_orderkey")
+        tbl.delete(doomed, key="o_orderkey")
+        cache[("orders_delete", sf_dir)] = tbl
+    return tbl
+
+
+@query(
+    "txn_delete_orders",
+    survey="ext-acid ext-gdpr S2 J6",
+    oracle=f"""
+        SELECT o_orderkey, o_orderstatus,
+               {CENTS_SQL.format(expr="o_totalprice")} AS price_cents
+        FROM orders WHERE o_orderkey % 13 != 0
+    """,
+    tags=("txn",),
+)
+def txn_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE as a table operation (``TxnTable.delete`` — the GDPR
+    verb): every 13th order erased via a file-pruned anti-join
+    rewrite, then the published snapshot read back. The oracle is the
+    relational complement, so a single surviving deleted row (or a
+    lost innocent one) breaks the hash. Only files whose key range
+    intersects the deleted keys were rewritten; the rest carried
+    over by manifest reference."""
+    tbl = _orders_delete_txn(spark, sf_dir)
+    return tbl.read(spark).select(
+        "o_orderkey", "o_orderstatus",
+        cents(F.col("o_totalprice")).alias("price_cents"),
+    )

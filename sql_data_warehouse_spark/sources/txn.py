@@ -285,6 +285,45 @@ class TxnTable:
         new_files = self._write_files(merged, scols)
         return self._commit("merge", untouched + new_files, base)
 
+    def delete(self, keys: DataFrame, key: str) -> int:
+        """DELETE WHERE key IN (...) as a table op — the GDPR /
+        right-to-be-forgotten verb. Same file-pruned rewrite shape as
+        :meth:`merge`: files whose [min,max] key range cannot contain
+        a deleted key carry over untouched; touched files are read,
+        anti-joined against the (broadcast) key set, and rewritten
+        without the deleted rows. Files left empty by the rewrite are
+        simply dropped from the manifest. ``read_changes`` over the
+        interval surfaces exactly the deleted rows as
+        ``_change_type='delete'``."""
+        spark = keys.sparkSession
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no commits at {self.root}")
+        kdf = keys.select(F.col(keys.columns[0]).alias(key)).distinct()
+        bounds = kdf.agg(
+            F.min(key).alias("lo"), F.max(key).alias("hi")).collect()[0]
+        lo, hi = bounds["lo"], bounds["hi"]
+        snapshot = self._files(base)
+        # recover the snapshot's stat columns so rewritten files keep
+        # pruning power
+        scols = tuple(
+            sorted({c for f in snapshot for c in f.stats})
+        ) or (key,)
+        touched, untouched = [], []
+        for f in snapshot:
+            if lo is not None and _may_intersect(f, key, lo, hi):
+                touched.append(f)
+            else:
+                untouched.append(f)
+        new_files: list[FileEntry] = []
+        if touched:
+            tdf = spark.read.parquet(
+                *[os.path.join(self.root, f.path) for f in touched])
+            kept = tdf.join(F.broadcast(kdf), key, "left_anti")
+            new_files = self._write_files(kept, scols)
+            new_files = [f for f in new_files if f.rows > 0]
+        return self._commit("delete", untouched + new_files, base)
+
     def merge_additive(self, partials: DataFrame, key_cols: list[str],
                        sum_cols: list[str],
                        prune_col: str | None = None) -> int:

@@ -269,3 +269,37 @@ def test_change_feed_pure_rewrite_is_empty(spark, root):
     # rewrite the same rows into a different file layout (compaction)
     tbl.overwrite(df.repartitionByRange(3, "k"), stat_cols=("k",))
     assert tbl.read_changes(spark, from_version=1).count() == 0
+
+
+def test_delete_removes_keys_and_prunes_files(spark, root):
+    tbl = TxnTable(root)
+    tbl.overwrite(
+        spark.createDataFrame([Row(k=i, v=i * 10) for i in range(40)])
+        .repartitionByRange(4, "k"), stat_cols=("k",))
+    n_before = len(tbl._files(tbl.latest_version()))
+    tbl.delete(spark.createDataFrame([Row(k=3)]), key="k")
+    got = {r["k"] for r in tbl.read(spark).collect()}
+    assert got == set(range(40)) - {3}
+    # only the one file containing k=3 was rewritten; the rest are
+    # carried over by reference
+    hist = tbl.history()[-1]
+    assert hist["op"] == "delete"
+    after = {f.path for f in tbl._files(tbl.latest_version())}
+    before = {f.path for f in tbl._files(tbl.latest_version() - 1)}
+    assert len(before & after) == n_before - 1
+    # change feed over the delete surfaces exactly the deleted row
+    feed = tbl.read_changes(spark, from_version=tbl.latest_version() - 1)
+    assert {(r["k"], r["_change_type"]) for r in feed.collect()} == {
+        (3, "delete")
+    }
+
+
+def test_delete_can_empty_every_row_of_a_file(spark, root):
+    tbl = TxnTable(root)
+    tbl.overwrite(
+        spark.createDataFrame([Row(k=i, v=i) for i in range(10)])
+        .repartitionByRange(2, "k"), stat_cols=("k",))
+    tbl.delete(
+        spark.createDataFrame([Row(k=i) for i in range(5)]), key="k")
+    kept = sorted(r["k"] for r in tbl.read(spark).collect())
+    assert kept == [5, 6, 7, 8, 9]
