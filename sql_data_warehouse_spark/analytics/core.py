@@ -901,3 +901,44 @@ def spark_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders="td_orders", customer="td_customer", nation="td_nation"
         )
     )
+
+
+_GROUPING_SETS_TEXT = """
+    SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+           CAST({gid} AS BIGINT) AS grouping_id,
+           CAST(SUM(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS total_revenue
+    FROM {orders} o
+    JOIN {customer} c ON o.o_custkey = c.c_custkey
+    JOIN {nation} n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY GROUPING SETS ((n.n_name), (c.c_mktsegment), ())
+"""
+
+
+@query(
+    "revenue_grouping_sets",
+    survey="ext-groupingsets ext-rollup A2 A7",
+    # same text modulo the bit-packing function name: Spark spells it
+    # GROUPING_ID(a, b), DuckDB GROUPING(a, b) — identical bit vector
+    oracle=_GROUPING_SETS_TEXT.format(
+        orders="orders", customer="customer", nation="nation",
+        gid="GROUPING(n.n_name, c.c_mktsegment)",
+    ),
+)
+def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the hand-picked lattice ((nation),
+    (segment), ()) rather than the full CUBE (`revenue_cube`) or a
+    hierarchy ROLLUP (`revenue_rollup`): only the three requested
+    groupings are expanded. Same literal SQL text runs on both
+    engines (Spark's ``grouping()``/DuckDB's ``GROUPING()`` pack the
+    same bits); physically one Expand node feeds ONE partially
+    aggregated shuffle — 3 grouping sets cost 3× the group rows, not
+    3 scans of orders."""
+    for t in ("orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"td_{t}")
+    return spark.sql(
+        _GROUPING_SETS_TEXT.format(
+            orders="td_orders", customer="td_customer", nation="td_nation",
+            gid="GROUPING_ID(n.n_name, c.c_mktsegment)",
+        )
+    )
