@@ -95,11 +95,23 @@ continuous aggregate `cagg_hourly_refresh` and its STREAMING twin
 `stream_cagg_refresh`, a custom Python DataSource
 `txn_datasource_scan` exposing snapshots through
 ``spark.read.format("txn")``, and Z-order layout with
-two-dimensional manifest pruning `zorder_pruned_scan`),
+two-dimensional manifest pruning `zorder_pruned_scan`, and
+bin-packing OPTIMIZE compaction `txn_compact_orders` — small-file
+tail rewritten into range-partitioned files, CDF-empty, prune power
+restored),
 time-series (bucketized interval range join
 `events_range_join_attribution` and the REAL stream-stream join
 `stream_click_purchase_join`, hour→day→month cascade
-`events_rollup_cascade`, gap fill, as-of join), TPC-H classics
+`events_rollup_cascade`, gap fill + last-observation-carried-forward
+`events_hourly_locf`, as-of join, rolling extrema
+`rolling_daily_minmax`), event/product analytics (ordered conversion
+funnel `funnel_view_click_purchase`, weekly retention cohorts
+`user_retention_cohorts`, full-outer monthly reconciliation
+`monthly_orders_vs_events`, inter-arrival histogram
+`order_gap_histogram`, distribution ranks
+`nation_revenue_percentile`, heavy hitters via the Spark 4
+`approx_top_k` sketch `heavy_hitter_event_types`, blocked
+Levenshtein entity-resolution pairs `supplier_fuzzy_pairs`), TPC-H classics
 (every query expressible on the available columns: Q1
 `lineitem_pricing_summary`, Q3 `shipping_priority_top10`, Q4
 `order_priority_late_ship`, Q5 `local_supplier_revenue`, Q6

@@ -1,0 +1,485 @@
+"""Advanced analytics surface: funnel / retention / time-series LOCF /
+full-outer reconciliation / rolling extrema / distribution ranks /
+blocked fuzzy matching / inter-arrival histograms.
+
+These extend the reference's analysis-query families (ranking
+`/root/reference/scripts/analysis/06_ranking_analysis.sql`, change-
+over-time `07_change_over_time_analysis.sql`, part-to-whole
+`11_part_to_whole_analysis.sql`) with the event-funnel / cohort /
+gap-fill shapes a warehouse grows next, each expressed as a single
+declarative plan Catalyst can push down and each gated by a DuckDB
+oracle.
+
+Scale notes per query; the common rules: every grid / cohort matrix
+is derived from an aggregate (rows ≈ span, never ≈ events), window
+functions over global grids only when the grid is aggregate-sized,
+self-joins only within blocks (Σ block², never n²).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import query
+from .xengine import CENTS_SQL, MICRO_SUM_SQL, MONEY_SUM_SQL, cents, micros, money_sum
+
+
+# ------------------------------------------------------------------ funnel
+
+
+@query(
+    "funnel_view_click_purchase",
+    survey="ext-funnel A1 A2 J5",
+    tags=("events", "funnel"),
+    oracle="""
+        WITH fv AS (
+          SELECT user_id, MIN(ts) AS first_view
+          FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        fc AS (
+          SELECT e.user_id, MIN(e.ts) AS first_click
+          FROM events e JOIN fv ON e.user_id = fv.user_id
+                        AND e.ts > fv.first_view
+          WHERE e.event_type = 'click' GROUP BY e.user_id
+        ),
+        fp AS (
+          SELECT e.user_id, MIN(e.ts) AS first_purchase
+          FROM events e JOIN fc ON e.user_id = fc.user_id
+                        AND e.ts > fc.first_click
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id
+        )
+        SELECT CAST((SELECT COUNT(*) FROM fv) AS BIGINT) AS n_view,
+               CAST((SELECT COUNT(*) FROM fc) AS BIGINT) AS n_click,
+               CAST((SELECT COUNT(*) FROM fp) AS BIGINT) AS n_purchase
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: a user
+    advances a stage only with an event STRICTLY AFTER their first
+    event of the previous stage (the classic in-order funnel, not
+    set-intersection).
+
+    Plan: three user_id-keyed aggregations, each consuming the
+    previous stage's (user_id, first_ts) relation — every join and
+    groupBy shuffles on the same key so AQE reuses the exchange; the
+    stage relations shrink monotonically. No window over raw events,
+    no per-user collect_list. At 100 TB: identical shape, stage
+    relations ≈ |users| rows."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    fv = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    fc = (
+        e.filter(F.col("event_type") == "click")
+        .join(fv, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(fc, "user_id")
+        .filter(F.col("ts") > F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return (
+        fv.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(fc.agg(F.count(F.lit(1)).alias("n_click")))
+        .crossJoin(fp.agg(F.count(F.lit(1)).alias("n_purchase")))
+    )
+
+
+# ---------------------------------------------------------------- cohorts
+
+
+@query(
+    "user_retention_cohorts",
+    survey="ext-cohort A4 A5 W1",
+    tags=("events", "funnel"),
+    oracle="""
+        WITH cohort AS (
+          SELECT user_id,
+                 MIN(date_trunc('week', ts)) AS cohort_week
+          FROM events GROUP BY user_id
+        ),
+        active AS (
+          SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+          FROM events
+        )
+        SELECT CAST(c.cohort_week AS TIMESTAMP) AS cohort_week,
+               CAST(datediff('day', CAST(c.cohort_week AS DATE),
+                             CAST(a.week AS DATE)) // 7 AS INTEGER)
+                   AS week_offset,
+               CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+        FROM active a JOIN cohort c ON a.user_id = c.user_id
+        GROUP BY 1, 2
+    """,
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: cohort = week of a user's first
+    event; cell (cohort, k) counts cohort members active k weeks
+    later. Two user_id aggregations plus one user_id join — the
+    cohort matrix is |weeks|² rows regardless of event volume."""
+    e = load_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    cohort = e.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    active = e.select("user_id", wk.alias("week")).distinct()
+    offset = F.expr(
+        "CAST(datediff(CAST(week AS DATE), CAST(cohort_week AS DATE)) div 7 AS INT)"
+    )
+    return (
+        active.join(cohort, "user_id")
+        .groupBy("cohort_week", offset.alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+# ------------------------------------------------------------- LOCF fill
+
+
+@query(
+    "events_hourly_locf",
+    survey="ext-timeseries A4 W-none",
+    tags=("events", "timeseries"),
+    oracle="""
+        WITH bounds AS (
+          SELECT date_trunc('hour', MIN(ts)) AS t0,
+                 date_trunc('hour', MAX(ts)) AS t1
+          FROM events
+        ),
+        grid AS (
+          SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS hour_start
+          FROM bounds
+        ),
+        agg AS (
+          SELECT date_trunc('hour', ts) AS hour_start,
+                 SUM({micros}) AS v_micros
+          FROM events
+          WHERE event_type = 'purchase' AND value > 18.0
+          GROUP BY 1
+        )
+        SELECT g.hour_start,
+               a.v_micros IS NULL AS was_gap,
+               CAST(last_value(a.v_micros IGNORE NULLS) OVER (
+                     ORDER BY g.hour_start
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS DOUBLE) / 1000000.0 AS locf_value
+        FROM grid g LEFT JOIN agg a USING (hour_start)
+    """.format(micros="CAST(floor((value) * 1000000.0 + 0.5) AS BIGINT)"),
+)
+def events_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill with last-observation-carried-forward: dense hourly
+    grid over the event span, sparse hourly sums (purchases > 18.0
+    leave ~14% of hours empty at sf0.01), empty hours inherit the
+    previous populated hour's value (`last(..., ignorenulls=True)`).
+
+    The LOCF window is a GLOBAL order — safe here because it runs on
+    the grid (rows = span hours, an aggregate-sized relation), never
+    on raw events. At 100 TB the grid for a decade of hours is 87 k
+    rows; partition the window by month and carry one boundary row
+    per partition if the span itself ever becomes large."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias(
+            "hour_start"
+        )
+    )
+    agg = (
+        e.filter((F.col("event_type") == "purchase") & (F.col("value") > 18.0))
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_start"))
+        .agg(F.sum(micros(F.col("value"))).alias("v_micros"))
+    )
+    w = Window.orderBy("hour_start").rowsBetween(Window.unboundedPreceding, 0)
+    return grid.join(agg, "hour_start", "left").select(
+        "hour_start",
+        F.col("v_micros").isNull().alias("was_gap"),
+        (
+            F.last("v_micros", ignorenulls=True).over(w).cast("double")
+            / F.lit(1000000.0)
+        ).alias("locf_value"),
+    )
+
+
+# ---------------------------------------------------- full-outer reconcile
+
+
+@query(
+    "monthly_orders_vs_events",
+    survey="ext-fullouter J-full A4 U1",
+    tags=("events",),
+    oracle=f"""
+        WITH om AS (
+          SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 {MONEY_SUM_SQL.format(expr="o_totalprice")} AS order_value
+          FROM orders GROUP BY 1
+        ),
+        em AS (
+          SELECT date_trunc('month', ts) AS month,
+                 CAST(COUNT(*) AS BIGINT) AS n_events,
+                 {MICRO_SUM_SQL.format(expr="value")} AS event_value
+          FROM events GROUP BY 1
+        )
+        SELECT COALESCE(om.month, em.month) AS month,
+               CAST(COALESCE(om.n_orders, 0) AS BIGINT) AS n_orders,
+               CAST(COALESCE(om.order_value, 0.0) AS DOUBLE) AS order_value,
+               CAST(COALESCE(em.n_events, 0) AS BIGINT) AS n_events,
+               CAST(COALESCE(em.event_value, 0.0) AS DOUBLE) AS event_value
+        FROM om FULL JOIN em ON om.month = em.month
+    """,
+)
+def monthly_orders_vs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer reconciliation of two independent monthly rollups
+    (orders 1995–2001 vs events 2024 — the calendars are disjoint, so
+    every row is one-sided and the FULL join semantics are actually
+    exercised, zero-filling the absent side). Both inputs aggregate
+    before the join: the full-outer runs on |months| rows."""
+    o = load_table(spark, sf_dir, "orders")
+    e = load_table(spark, sf_dir, "events")
+    om = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum(F.col("o_totalprice")).alias("order_value"),
+    )
+    em = e.groupBy(F.date_trunc("month", "ts").alias("month")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(micros(F.col("value"))).cast("double") / F.lit(1000000.0)).alias(
+            "event_value"
+        ),
+    )
+    return om.join(em, "month", "full_outer").select(
+        "month",
+        F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+        F.coalesce("order_value", F.lit(0.0)).cast("double").alias("order_value"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce("event_value", F.lit(0.0)).cast("double").alias("event_value"),
+    )
+
+
+# ------------------------------------------------------- rolling extrema
+
+
+@query(
+    "rolling_daily_minmax",
+    survey="ext-rolling W6 W7 A4",
+    tags=("tpch",),
+    oracle=f"""
+        WITH daily AS (
+          SELECT CAST(date_trunc('day', l_shipdate) AS TIMESTAMP) AS day,
+                 SUM({CENTS_SQL.format(expr="l_extendedprice * (1.0 - l_discount)")})
+                     AS day_cents
+          FROM lineitem
+          WHERE l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1996-03-31'
+          GROUP BY 1
+        )
+        SELECT day,
+               CAST(day_cents AS DOUBLE) / 100.0 AS revenue,
+               CAST(MIN(day_cents) OVER w AS DOUBLE) / 100.0 AS roll_min_3d,
+               CAST(MAX(day_cents) OVER w AS DOUBLE) / 100.0 AS roll_max_3d
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_daily_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 3-day revenue extrema over a daily rollup (Q1-1996
+    quarter): aggregate first (90 rows), then a ROWS-frame min/max
+    window on the rollup — the window never touches raw lineitem.
+    Shipdate filter pushes to the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.filter(
+            F.col("l_shipdate").between("1996-01-01", "1996-03-31")
+        )
+        .groupBy(F.date_trunc("day", "l_shipdate").alias("day"))
+        .agg(
+            F.sum(
+                cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            ).alias("day_cents")
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-2, 0)
+    return daily.select(
+        "day",
+        (F.col("day_cents").cast("double") / F.lit(100.0)).alias("revenue"),
+        (F.min("day_cents").over(w).cast("double") / F.lit(100.0)).alias(
+            "roll_min_3d"
+        ),
+        (F.max("day_cents").over(w).cast("double") / F.lit(100.0)).alias(
+            "roll_max_3d"
+        ),
+    )
+
+
+# ------------------------------------------------------ distribution ranks
+
+
+@query(
+    "nation_revenue_percentile",
+    survey="ext-rank W3 A2 J4",
+    tags=("tpch",),
+    oracle=f"""
+        WITH nat AS (
+          SELECT n.n_name AS nation,
+                 SUM({CENTS_SQL.format(expr="l.l_extendedprice * (1.0 - l.l_discount)")})
+                     AS rev_cents
+          FROM lineitem l
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+          GROUP BY n.n_name
+        )
+        SELECT nation,
+               CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
+               percent_rank() OVER (ORDER BY rev_cents) AS pct_rank,
+               cume_dist() OVER (ORDER BY rev_cents) AS cume_dist
+        FROM nat
+    """,
+)
+def nation_revenue_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist over per-nation revenue: the rank
+    window runs on the 25-row nation rollup (supplier→nation joins
+    broadcast). Both engines compute percent_rank as
+    (rank-1)/(n-1) over exact int64 cents, so the doubles are
+    bit-identical."""
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    nat = (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            ).alias("rev_cents")
+        )
+    )
+    w = Window.orderBy("rev_cents")
+    return nat.select(
+        "nation",
+        (F.col("rev_cents").cast("double") / F.lit(100.0)).alias("revenue"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_dist"),
+    )
+
+
+# --------------------------------------------------- blocked fuzzy match
+
+
+@query(
+    "supplier_fuzzy_pairs",
+    survey="ext-fuzzy J-self P8",
+    tags=("dedup",),
+    oracle="""
+        SELECT a.s_name AS name_a, b.s_name AS name_b,
+               CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS edit_dist
+        FROM supplier a JOIN supplier b
+          ON a.s_nationkey = b.s_nationkey AND a.s_name < b.s_name
+        WHERE levenshtein(a.s_name, b.s_name) <= 2
+    """,
+)
+def supplier_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate pairs by blocked fuzzy matching:
+    self-join suppliers WITHIN a nation block (Σ block², never n²),
+    keep pairs within Levenshtein distance 2. Classic
+    blocking+verification — the block key caps the join volume the
+    same way LSH bands do for documents (operators/dedup.py). Both
+    engines implement textbook Levenshtein, so the distance is
+    engine-independent."""
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    a = s.alias("a")
+    b = s.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.s_nationkey") == F.col("b.s_nationkey"))
+            & (F.col("a.s_name") < F.col("b.s_name")),
+        )
+        .select(
+            F.col("a.s_name").alias("name_a"),
+            F.col("b.s_name").alias("name_b"),
+            F.levenshtein(F.col("a.s_name"), F.col("b.s_name")).alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 2)
+    )
+
+
+# ---------------------------------------------------------- heavy hitters
+
+
+@query(
+    "heavy_hitter_event_types",
+    survey="ext-sketch A1 O2",
+    tags=("events", "sketch"),
+    oracle="""
+        SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS est_count
+        FROM events GROUP BY event_type
+        ORDER BY est_count DESC LIMIT 3
+    """,
+)
+def heavy_hitter_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via Spark 4's ``approx_top_k`` frequency sketch
+    (mergeable Misra-Gries-style summary — one pass, map-side partial
+    sketches, tiny merge). With ``maxItemsTracked`` ≥ the true
+    cardinality the sketch is EXACT, so the DuckDB exact top-k gates
+    it; at 100 TB the same plan holds with bounded error and fixed
+    sketch memory per partition. Top-3 counts are distinct in the
+    testdata, so the cutoff is tie-free."""
+    e = load_table(spark, sf_dir, "events")
+    sk = e.select(
+        F.expr("approx_top_k(event_type, 3, 100000)").alias("topk")
+    ).select(F.explode("topk").alias("kv"))
+    return sk.select(
+        F.col("kv.item").alias("item"),
+        F.col("kv.count").cast("long").alias("est_count"),
+    )
+
+
+# ------------------------------------------------- inter-arrival histogram
+
+
+@query(
+    "order_gap_histogram",
+    survey="ext-gaps W5 A4 A2",
+    tags=("tpch",),
+    oracle="""
+        WITH gaps AS (
+          SELECT datediff('day',
+                   lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate),
+                   o_orderdate) AS gap_days
+          FROM orders
+        )
+        SELECT CAST(gap_days // 30 AS INTEGER) AS gap_months,
+               CAST(COUNT(*) AS BIGINT) AS n_gaps
+        FROM gaps WHERE gap_days IS NOT NULL
+        GROUP BY 1
+    """,
+)
+def order_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer inter-arrival analysis: day gaps between a customer's
+    consecutive orders (LAG over the per-customer date sequence),
+    bucketed into 30-day months. Ordering by date alone is
+    tie-ambiguous but gap-multiset-deterministic: equal dates
+    contribute gap 0 in any tie order. One shuffle on o_custkey."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    gaps = o.select(
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias(
+            "gap_days"
+        )
+    ).filter(F.col("gap_days").isNotNull())
+    return gaps.groupBy(
+        F.expr("CAST(gap_days div 30 AS INT)").alias("gap_months")
+    ).agg(F.count(F.lit(1)).alias("n_gaps"))

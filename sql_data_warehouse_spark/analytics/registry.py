@@ -73,7 +73,7 @@ def _run_priority(item: tuple[str, Query]) -> tuple[int, str]:
 
 def all_queries() -> dict[str, Query]:
     """Import all query modules and return the full registry."""
-    from . import core, curation, extended, incremental, llmops, reports, star, streaming_live, tpch, txn_queries  # noqa: F401  (side-effect: registration)
+    from . import advanced, core, curation, extended, incremental, llmops, reports, star, streaming_live, tpch, txn_queries  # noqa: F401  (side-effect: registration)
     from ..medallion import analysis as _medallion_analysis  # noqa: F401
     from ..medallion import quality as _medallion_quality  # noqa: F401
     from ..medallion import queries as _medallion  # noqa: F401

@@ -371,3 +371,56 @@ def txn_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderstatus",
         cents(F.col("o_totalprice")).alias("price_cents"),
     )
+
+
+def _orders_compact_txn(spark: SparkSession, sf_dir: str) -> TxnTable:
+    """Session-cached build: a streaming-ingest-shaped append tail —
+    orders appended in 4 chunks of 4 files each (16 small files with
+    overlapping o_orderkey ranges) — then ``compact`` bin-packs the
+    snapshot back to a handful of range-partitioned files."""
+    cache = getattr(spark, "_wh_txn_tables", None)
+    if cache is None:
+        cache = {}
+        spark._wh_txn_tables = cache
+    tbl = cache.get(("orders_compact", sf_dir))
+    if tbl is None:
+        root = tempfile.mkdtemp(prefix="wh_txn_compact_")
+        tbl = TxnTable(root)
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice")
+        for chunk in range(4):
+            batch = o.filter(F.col("o_orderkey") % 4 == chunk)
+            tbl.append(batch.repartition(4), stat_cols=("o_orderkey",))
+        tbl.compact(spark, target_rows=1 << 30,
+                    stat_cols=("o_orderkey",))
+        cache[("orders_compact", sf_dir)] = tbl
+    return tbl
+
+
+@query(
+    "txn_compact_orders",
+    survey="ext-acid ext-optimize S2",
+    oracle=f"""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM({CENTS_SQL.format(expr="o_totalprice")}) AS BIGINT)
+                   AS price_cents
+        FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("txn",),
+)
+def txn_compact_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE/compaction as a table op: 4 appends × 4 round-robin
+    files leave 16 small files with fully-overlapping key ranges (a
+    streaming ingest tail — manifest pruning is useless against it);
+    ``TxnTable.compact`` bin-packs them into range-partitioned files
+    and THIS query reads the compacted snapshot, so the oracle hash
+    proves compaction is pure reorganization (identical row multiset).
+    tests/test_txn.py additionally asserts the file count drops, the
+    rewritten files have disjoint key ranges, and the change feed
+    across the compact commit is empty."""
+    tbl = _orders_compact_txn(spark, sf_dir)
+    return tbl.read(spark).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents(F.col("o_totalprice"))).alias("price_cents"),
+    )

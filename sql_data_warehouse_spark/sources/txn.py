@@ -409,6 +409,42 @@ class TxnTable:
             "_change_type", F.lit("delete"))
         return inserts.unionByName(deletes)
 
+    # ------------------------------------------------------------ compact
+
+    def compact(self, spark: SparkSession, target_rows: int,
+                stat_cols: tuple[str, ...] = ()) -> int:
+        """OPTIMIZE (bin-packing compaction): rewrite the snapshot's
+        small files (< ``target_rows`` rows) into ~``target_rows``-row
+        files; files already at target are carried by reference and
+        never read. The commit is pure reorganization — ``read()``
+        before and after returns the identical multiset of rows, and
+        ``read_changes`` across a compact commit is EMPTY (the CDF
+        diffs row multisets, not files).
+
+        When ``stat_cols`` is given, the rewrite is range-partitioned
+        on the first stat column so compacted files keep disjoint
+        min/max ranges — compaction *restores* manifest-prune power
+        that a long append tail of overlapping small files destroyed.
+        At 100 TB this is the nightly OPTIMIZE that keeps a streaming
+        ingest's small-file count bounded: cost ∝ small-file bytes,
+        untouched data is metadata-only.
+        """
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no commits at {self.root}")
+        files = self._files(base)
+        small = [f for f in files if f.rows < target_rows]
+        keep = [f for f in files if f.rows >= target_rows]
+        if len(small) <= 1:
+            return base  # nothing to bin-pack
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(self.root, f.path) for f in small])
+        n_out = max(1, -(-sum(f.rows for f in small) // target_rows))
+        packed = (df.repartitionByRange(n_out, stat_cols[0])
+                  if stat_cols else df.repartition(n_out))
+        new = self._write_files(packed, stat_cols)
+        return self._commit("compact", keep + new, base)
+
     # ------------------------------------------------------------- vacuum
 
     def vacuum(self, keep_last: int = 1) -> list[str]:

@@ -303,3 +303,37 @@ def test_delete_can_empty_every_row_of_a_file(spark, root):
         spark.createDataFrame([Row(k=i) for i in range(5)]), key="k")
     kept = sorted(r["k"] for r in tbl.read(spark).collect())
     assert kept == [5, 6, 7, 8, 9]
+
+
+def test_compact_binpacks_and_preserves_data(spark, root):
+    tbl = TxnTable(root)
+    base = spark.createDataFrame([Row(k=i, v=i * 3) for i in range(1200)])
+    # 4 appends x 3 round-robin files each -> 12 small overlapping files
+    for chunk in range(4):
+        tbl.append(base.filter(F.col("k") % 4 == chunk).repartition(3),
+                   stat_cols=("k",))
+    before = tbl._files(tbl.latest_version())
+    assert len(before) == 12
+    pre_rows = _rows(tbl.read(spark))
+    pre_version = tbl.latest_version()
+
+    v = tbl.compact(spark, target_rows=600, stat_cols=("k",))
+    after = tbl._files(v)
+    # 1200 rows / 600 target -> 2 files
+    assert len(after) == 2
+    assert _rows(tbl.read(spark)) == pre_rows
+    # range partitioning -> disjoint key ranges (prune power restored)
+    ranges = sorted((f.stats["k"]["min"], f.stats["k"]["max"]) for f in after)
+    assert ranges[0][1] < ranges[1][0]
+    # pure reorganization -> empty change feed across the compact commit
+    assert tbl.read_changes(spark, pre_version, v).count() == 0
+    # old snapshot still time-travels
+    assert len(_rows(tbl.read(spark, version=pre_version))) == 1200
+
+
+def test_compact_noop_when_already_packed(spark, root):
+    tbl = TxnTable(root)
+    tbl.overwrite(spark.createDataFrame([Row(k=i) for i in range(100)])
+                  .coalesce(1), stat_cols=("k",))
+    v1 = tbl.latest_version()
+    assert tbl.compact(spark, target_rows=10) == v1  # all files >= target
