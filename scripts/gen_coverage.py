@@ -111,7 +111,14 @@ funnel `funnel_view_click_purchase`, weekly retention cohorts
 `order_gap_histogram`, distribution ranks
 `nation_revenue_percentile`, heavy hitters via the Spark 4
 `approx_top_k` sketch `heavy_hitter_event_types`, blocked
-Levenshtein entity-resolution pairs `supplier_fuzzy_pairs`), TPC-H classics
+Levenshtein entity-resolution pairs `supplier_fuzzy_pairs`,
+recursive-CTE BOM subtree rollup `bom_subtree_rollup` — Spark 4
+``WITH RECURSIVE``, same SQL text in both engines, correlated
+EXISTS/NOT EXISTS through the SQL surface `orders_exists_no_returns`
+(decorrelated to LeftSemi+LeftAnti), first/last-value frames
+`customer_first_last_order`, pivot→unpivot roundtrip
+`nation_segment_unpivot`, one-pass column profiler
+`profile_orders_columns`), TPC-H classics
 (every query expressible on the available columns: Q1
 `lineitem_pricing_summary`, Q3 `shipping_priority_top10`, Q4
 `order_priority_late_ship`, Q5 `local_supplier_revenue`, Q6

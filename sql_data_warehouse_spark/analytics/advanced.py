@@ -483,3 +483,249 @@ def order_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gaps.groupBy(
         F.expr("CAST(gap_days div 30 AS INT)").alias("gap_months")
     ).agg(F.count(F.lit(1)).alias("n_gaps"))
+
+
+# ------------------------------------------------------- recursive CTE
+
+_BOM_RECURSIVE_TEXT = """
+    WITH RECURSIVE bom (root, part_key, lvl) AS (
+        SELECT p_partkey, p_partkey, 0
+        FROM {part} WHERE p_partkey BETWEEN 1 AND 8
+        UNION ALL
+        SELECT b.root, p.p_partkey, b.lvl + 1
+        FROM bom b JOIN {part} p
+          ON p.p_partkey = b.part_key * 2
+          OR p.p_partkey = b.part_key * 2 + 1
+        WHERE b.lvl < 30
+    )
+    SELECT b.root AS root_part,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(MAX(b.lvl) AS INTEGER) AS max_depth,
+           CAST(SUM(CAST(floor(p.p_retailprice * 100.0 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS subtree_value
+    FROM bom b JOIN {part} p ON b.part_key = p.p_partkey
+    GROUP BY b.root
+"""
+
+
+@query(
+    "bom_subtree_rollup",
+    survey="ext-recursive A2 A7",
+    tags=("tpch", "sql"),
+    oracle=_BOM_RECURSIVE_TEXT.format(part="part"),
+)
+def bom_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 ``WITH RECURSIVE``): bill-of-materials
+    subtree rollup over the implicit binary part hierarchy
+    (children of k are 2k and 2k+1 — deterministic, no extra edge
+    table needed), counting parts / depth / retail value per root
+    1–8. The SAME literal SQL text runs in DuckDB — the gate covers
+    Spark's iterative recursion execution (each step is one keyed
+    join against the static part table; the frontier relation stays
+    tiny) against DuckDB's recursive evaluator. Depth guard 30 bounds
+    the iteration at any scale factor; at 100 TB a real BOM would
+    carry an edge table bucketed on the parent key so every step's
+    join is co-partitioned."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("td_part")
+    return spark.sql(_BOM_RECURSIVE_TEXT.format(part="td_part"))
+
+
+# ------------------------------------------------- first/last per group
+
+
+@query(
+    "customer_first_last_order",
+    survey="ext-firstlast W1 W-frame A2",
+    tags=("tpch",),
+    oracle=f"""
+        WITH w AS (
+          SELECT o_custkey,
+                 first_value({CENTS_SQL.format(expr="o_totalprice")}) OVER win
+                     AS first_cents,
+                 last_value({CENTS_SQL.format(expr="o_totalprice")}) OVER win
+                     AS last_cents,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS rn,
+                 COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders
+          FROM orders
+          WINDOW win AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND UNBOUNDED FOLLOWING)
+        )
+        SELECT o_custkey, first_cents, last_cents,
+               CAST(n_orders AS BIGINT) AS n_orders
+        FROM w WHERE rn = 1
+    """,
+)
+def customer_first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First and last order value per customer via ``first_value`` /
+    ``last_value`` over an UNBOUNDED-to-UNBOUNDED frame (ordering
+    made total with the unique o_orderkey tiebreak, so both engines
+    pick identical rows). One shuffle on o_custkey shared by all
+    three windows — Catalyst collapses same-partitioning windows
+    into a single sort+exchange."""
+    o = load_table(spark, sf_dir, "orders")
+    ordering = [F.col("o_orderdate"), F.col("o_orderkey")]
+    base = Window.partitionBy("o_custkey").orderBy(*ordering)
+    full = base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w = o.select(
+        "o_custkey",
+        F.first(cents(F.col("o_totalprice"))).over(full).alias("first_cents"),
+        F.last(cents(F.col("o_totalprice"))).over(full).alias("last_cents"),
+        F.row_number().over(base).alias("rn"),
+        F.count(F.lit(1)).over(base.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )).alias("n_orders"),
+    )
+    return w.filter(F.col("rn") == 1).select(
+        "o_custkey", "first_cents", "last_cents",
+        F.col("n_orders").cast("long").alias("n_orders"),
+    )
+
+
+# --------------------------------------------------- pivot → unpivot
+
+
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+@query(
+    "nation_segment_unpivot",
+    survey="ext-unpivot ext-pivot A3",
+    tags=("tpch",),
+    oracle="""
+        SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+               CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'FURNITURE',
+                                 'HOUSEHOLD', 'MACHINERY')
+        GROUP BY 1, 2
+    """,
+)
+def nation_segment_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long): pivot customers per nation × segment into
+    5 segment columns, then ``unpivot`` back to (nation, segment,
+    count) — the oracle is the direct two-key group-by, so the gate
+    proves pivot∘unpivot is the identity on populated cells (NULL
+    cells from absent combinations are dropped, matching the group-by
+    which never emits them). The pivot's column list is explicit, so
+    no collect-distinct pre-pass; both steps are one shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    wide = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .pivot("c_mktsegment", _SEGMENTS)
+        .agg(F.count(F.lit(1)))
+    )
+    return (
+        wide.unpivot(
+            ids=["nation"], values=_SEGMENTS,
+            variableColumnName="segment", valueColumnName="n_customers",
+        )
+        .filter(F.col("n_customers").isNotNull())
+        .select("nation", "segment", F.col("n_customers").cast("long"))
+    )
+
+
+# ------------------------------------------------- correlated EXISTS
+
+
+_EXISTS_TEXT = """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM {orders} o
+    WHERE EXISTS (SELECT 1 FROM {lineitem} l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_extendedprice > 55000.0)
+      AND NOT EXISTS (SELECT 1 FROM {lineitem} l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_returnflag = 'R')
+    GROUP BY o.o_orderpriority
+"""
+
+
+@query(
+    "orders_exists_no_returns",
+    survey="ext-sql J6 A2 P8",
+    tags=("tpch", "sql"),
+    oracle=_EXISTS_TEXT.format(orders="orders", lineitem="lineitem"),
+)
+def orders_exists_no_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + NOT EXISTS through the raw SQL surface
+    (same literal text both engines): orders containing a >55k line
+    and no returned line, counted by priority. Catalyst decorrelates
+    both subqueries into one LeftSemi and one LeftAnti hash join on
+    l_orderkey — no per-row subquery execution; the two lineitem
+    scans carry their pushed filters."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("td_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("td_lineitem")
+    return spark.sql(_EXISTS_TEXT.format(orders="td_orders",
+                                         lineitem="td_lineitem"))
+
+
+# ---------------------------------------------------- column profiler
+
+
+@query(
+    "profile_orders_columns",
+    survey="ext-profile S8 A1 U1",
+    tags=("quality",),
+    oracle="""
+        SELECT 'o_orderkey' AS col_name,
+               CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+               CAST(MIN(o_orderkey) AS VARCHAR) AS min_val,
+               CAST(MAX(o_orderkey) AS VARCHAR) AS max_val
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus',
+               CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+               CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+               MIN(o_orderstatus), MAX(o_orderstatus)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate',
+               CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT),
+               CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+               CAST(MIN(o_orderdate) AS VARCHAR),
+               CAST(MAX(o_orderdate) AS VARCHAR)
+        FROM orders
+    """,
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic column profiler (the reference's quality checks
+    generalized, scripts/tests/quality_check_silver.sql): null count,
+    exact distinct count, min/max per column — computed in ONE pass
+    over the table (all aggregates in a single groupBy-less agg, then
+    exploded into one row per column), where the UNION-ALL oracle
+    scans once per column. At 100 TB the single-scan shape is the
+    whole point; swap exact COUNT(DISTINCT) for approx_count_distinct
+    when a 2% error is acceptable (`approx_distinct_users` gates that
+    path)."""
+    o = load_table(spark, sf_dir, "orders")
+    prof = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            a
+            for col in ("o_orderkey", "o_orderstatus", "o_orderdate")
+            for a in (
+                F.count(col).alias(f"nn_{col}"),
+                F.countDistinct(col).alias(f"nd_{col}"),
+                F.min(col).cast("string").alias(f"mn_{col}"),
+                F.max(col).cast("string").alias(f"mx_{col}"),
+            )
+        ],
+    )
+    rows = [
+        F.struct(
+            F.lit(col).alias("col_name"),
+            (F.col("n_rows") - F.col(f"nn_{col}")).alias("n_nulls"),
+            F.col(f"nd_{col}").alias("n_distinct"),
+            F.col(f"mn_{col}").alias("min_val"),
+            F.col(f"mx_{col}").alias("max_val"),
+        )
+        for col in ("o_orderkey", "o_orderstatus", "o_orderdate")
+    ]
+    return prof.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
