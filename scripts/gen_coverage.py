@@ -111,7 +111,10 @@ funnel `funnel_view_click_purchase`, weekly retention cohorts
 `order_gap_histogram`, distribution ranks
 `nation_revenue_percentile`, heavy hitters via the Spark 4
 `approx_top_k` sketch `heavy_hitter_event_types`, blocked
-Levenshtein entity-resolution pairs `supplier_fuzzy_pairs`,
+Levenshtein entity-resolution pairs `supplier_fuzzy_pairs` (exact
+verifier role) and the scale path `supplier_fuzzy_pairs_banded`
+(Pass-Join-style interleaved segment blocking, banded == naive
+asserted),
 recursive-CTE BOM subtree rollup `bom_subtree_rollup` — Spark 4
 ``WITH RECURSIVE``, same SQL text in both engines, correlated
 EXISTS/NOT EXISTS through the SQL surface `orders_exists_no_returns`

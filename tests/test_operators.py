@@ -149,3 +149,18 @@ def test_simhash_banding_full_recall(spark):
     )
     expected = {(r["doc_a"], r["doc_b"]) for r in brute.collect()}
     assert banded == expected
+
+
+def test_banded_fuzzy_equals_naive_blocked(spark):
+    """Pass-Join segment blocking must recover every naive
+    nation-blocked Levenshtein<=2 pair on the oracle-scale data."""
+    from sql_data_warehouse_spark.analytics import all_queries
+
+    reg = all_queries()
+    sf = "/root/testdata/sf0.01"
+    key = lambda df: sorted(
+        map(tuple, df.toPandas().astype(str).values.tolist())
+    )
+    banded = key(reg["supplier_fuzzy_pairs_banded"].builder(spark, sf))
+    naive = key(reg["supplier_fuzzy_pairs"].builder(spark, sf))
+    assert banded == naive and len(banded) > 0
