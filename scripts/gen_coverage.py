@@ -102,7 +102,12 @@ restored),
 time-series (bucketized interval range join
 `events_range_join_attribution` and the REAL stream-stream join
 `stream_click_purchase_join`, hour→day→month cascade
-`events_rollup_cascade`, gap fill + last-observation-carried-forward
+`events_rollup_cascade`, built-in ``session_window`` cross-gated
+against the gaps-and-islands form `events_session_window_builtin`,
+VARIANT semi-structured analytics `events_variant_props` (parse
+once, typed ``variant_get`` access), JSONL ingestion roundtrip with
+explicit schema `etl_json_events`, deterministic string aggregation
+`part_type_brand_concat`, gap fill + last-observation-carried-forward
 `events_hourly_locf`, as-of join, rolling extrema
 `rolling_daily_minmax`), event/product analytics (ordered conversion
 funnel `funnel_view_click_purchase`, weekly retention cohorts

@@ -818,3 +818,103 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         for col in ("o_orderkey", "o_orderstatus", "o_orderdate")
     ]
     return prof.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+# ------------------------------------------------ string aggregation
+
+
+@query(
+    "part_type_brand_concat",
+    survey="ext-stringagg A2 P9",
+    tags=("tpch",),
+    oracle="""
+        SELECT p_type,
+               string_agg(DISTINCT p_brand, ',' ORDER BY p_brand) AS brands,
+               CAST(COUNT(DISTINCT p_brand) AS BIGINT) AS n_brands
+        FROM part GROUP BY p_type
+    """,
+)
+def part_type_brand_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic string aggregation (LISTAGG/STRING_AGG): the
+    distinct brands per part type, sorted then joined — Spark's
+    ``collect_set`` is order-nondeterministic, so ``sort_array``
+    before ``concat_ws`` is what makes the result (and the hash
+    gate) stable; the oracle's ORDER BY inside string_agg is the
+    same contract. Set sizes are bounded by the brand domain (25),
+    so the collected arrays never approach executor memory."""
+    p = load_table(spark, sf_dir, "part")
+    return p.groupBy("p_type").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("p_brand"))).alias("brands"),
+        F.countDistinct("p_brand").alias("n_brands"),
+    )
+
+
+# ------------------------------------------------ JSON-lines roundtrip
+
+
+@query(
+    "etl_json_events",
+    survey="ext-json-source S1 S3 A2",
+    tags=("etl",),
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1000000.0 AS total_value,
+               CAST(MIN(epoch_us(ts)) AS BIGINT) AS first_ts_us,
+               CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_ts_us
+        FROM events GROUP BY event_type
+    """,
+)
+def etl_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines ingestion roundtrip: the events table is exported
+    once per session to JSONL (timestamps as integer microseconds —
+    the lossless wire form; Spark's default JSON timestamp format
+    truncates to millis) and read back through ``spark.read.json``
+    with an EXPLICIT schema (no inference pass — schema-on-read the
+    way a production bronze layer declares it, reference
+    scripts/bronze/ddl_bronze.sql). The aggregate over the re-read
+    JSON must hash-equal the DuckDB aggregate over the original
+    parquet — proving the export/ingest cycle loses nothing."""
+    import os
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    cache = getattr(spark, "_wh_json_landing", None)
+    if cache is None:
+        cache = {}
+        spark._wh_json_landing = cache
+    path = cache.get(sf_dir)
+    if path is None:
+        path = os.path.join(tempfile.mkdtemp(prefix="wh_json_events_"), "j")
+        e = load_table(spark, sf_dir, "events")
+        e.select(
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        ).write.mode("overwrite").json(path)
+        cache[sf_dir] = path
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ])
+    j = spark.read.schema(schema).json(path)
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.sum(F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5))
+                  .cast("long")).cast("double") / F.lit(1000000.0)
+        ).alias("total_value"),
+        F.min("ts_us").alias("first_ts_us"),
+        F.max("ts_us").alias("last_ts_us"),
+    )

@@ -511,3 +511,88 @@ def event_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_session_window_builtin",
+    survey="ext-stream ext-sessionwindow A7",
+    tags=("streaming",),
+    oracle="""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        islands AS (
+          SELECT user_id, ts,
+                 SUM(new_session) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+          FROM flagged
+        )
+        SELECT user_id,
+               CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM islands GROUP BY user_id, sid
+    """,
+)
+def events_session_window_builtin(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Spark's BUILT-IN ``session_window`` operator (batch mode, same
+    operator the streaming engine uses for stateful session
+    aggregation) gated against the gaps-and-islands oracle: a session
+    merges events closer than 30 min to the PREVIOUS event, so the
+    island boundary is ``diff >= gap`` — the exact semantics of
+    ``session_window(ts, '30 minutes')`` (window end = last + gap,
+    exclusive). Cross-checks the hand-rolled LAG/SUM form
+    (`events_sessionized`) against the engine-native operator;
+    physically one shuffle on user_id then in-partition merge."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "events_variant_props",
+    survey="ext-variant ext-json A2",
+    tags=("streaming",),
+    oracle="""
+        SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 7 AS k_mod7,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER)
+                   AS max_k
+        FROM events
+        WHERE CAST(json_extract(props, '$.k') AS INTEGER) IS NOT NULL
+        GROUP BY 1
+    """,
+)
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through the VARIANT type (Spark 4):
+    ``parse_json`` once into a variant, typed access via
+    ``variant_get`` — the open-format answer to a JSON column that
+    avoids per-access string re-parsing (contrast
+    `events_json_props`, which re-runs get_json_object per
+    extraction). At 100 TB the variant column is parsed once at
+    ingest and stored binary (Parquet variant shredding); every
+    downstream read is a typed field access."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(F.parse_json("props").alias("vp"))
+    k = F.expr("variant_get(vp, '$.k', 'int')")
+    return (
+        v.filter(k.isNotNull())
+        .groupBy((k % 7).alias("k_mod7"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(k).alias("max_k"),
+        )
+    )
