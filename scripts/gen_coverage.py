@@ -126,7 +126,9 @@ EXISTS/NOT EXISTS through the SQL surface `orders_exists_no_returns`
 (decorrelated to LeftSemi+LeftAnti), first/last-value frames
 `customer_first_last_order`, pivot→unpivot roundtrip
 `nation_segment_unpivot`, one-pass column profiler
-`profile_orders_columns`), TPC-H classics
+`profile_orders_columns`, GROUPED_AGG pandas-UDF robust statistics
+`part_type_price_mad` — exact-integer MAD hash-gated against
+DuckDB's mad()), TPC-H classics
 (every query expressible on the available columns: Q1
 `lineitem_pricing_summary`, Q3 `shipping_priority_top10`, Q4
 `order_priority_late_ship`, Q5 `local_supplier_revenue`, Q6

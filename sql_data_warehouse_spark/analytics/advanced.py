@@ -918,3 +918,59 @@ def etl_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts_us").alias("first_ts_us"),
         F.max("ts_us").alias("last_ts_us"),
     )
+
+
+# ------------------------------------- grouped-agg pandas UDF (MAD)
+
+
+@query(
+    "part_type_price_mad",
+    survey="ext-pandasudf A2 A8",
+    tags=("tpch", "pandas"),
+    oracle="""
+        SELECT p_type,
+               mad(CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT))
+                   AS mad_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_parts
+        FROM part GROUP BY p_type
+    """,
+)
+def part_type_price_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per part type via a GROUPED_AGG
+    pandas UDF — the robust-statistics aggregate Spark has no
+    built-in for, computed on Arrow-batched numpy per group (the
+    remaining Pandas-API flavor after mapInPandas /
+    applyInPandasWithState / scalar pandas_udf elsewhere in this
+    package). Input is exact integer cents, and both numpy and DuckDB
+    interpolate even-count medians as the mean of the two middle
+    values, so the result is .0/.5-exact and hash-gated.
+
+    The UDF is a NESTED closure referencing only numpy (cloudpickle
+    ships it by value — workers can't import this package when the
+    driver loads __spark_entry__ by path). Groups are type-bounded
+    (150 parts/type at sf1); a group too large for one Arrow batch
+    would switch to the two-pass percentile_approx plan instead."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: the module's `from __future__ import
+    # annotations` turns type hints into strings the UDF-type
+    # inference can't resolve for a nested function
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def mad_cents(v):  # Series -> scalar
+        a = v.to_numpy(dtype="int64")
+        med = np.median(a)
+        return float(np.median(np.abs(a - med)))
+
+    # Spark disallows mixing a GROUPED_AGG pandas UDF with built-in
+    # aggregates in one agg(), so the count is a pandas aggregate too
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def n_rows(v):
+        return len(v)
+
+    p = load_table(spark, sf_dir, "part")
+    c = cents(F.col("p_retailprice"))
+    return p.groupBy("p_type").agg(
+        mad_cents(c).alias("mad_cents"),
+        n_rows(c).alias("n_parts"),
+    )
