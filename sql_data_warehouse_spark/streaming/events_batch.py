@@ -584,15 +584,22 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     `events_json_props`, which re-runs get_json_object per
     extraction). At 100 TB the variant column is parsed once at
     ingest and stored binary (Parquet variant shredding); every
-    downstream read is a typed field access."""
+    downstream read is a typed field access.
+
+    The extraction is ONE projection (``variant_get(parse_json(..))``
+    aliased to a column; filter/key/max all reference the attribute):
+    rebuilding the variant expression in each consumer made Catalyst
+    evaluate the interpreted variant path 3x per row — measured
+    4.7 s vs 1.7 s at sf1 for the single-eval projection."""
     e = load_table(spark, sf_dir, "events")
-    v = e.select(F.parse_json("props").alias("vp"))
-    k = F.expr("variant_get(vp, '$.k', 'int')")
+    kk = e.select(
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k")
+    )
     return (
-        v.filter(k.isNotNull())
-        .groupBy((k % 7).alias("k_mod7"))
+        kk.filter(F.col("k").isNotNull())
+        .groupBy((F.col("k") % 7).alias("k_mod7"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.max(k).alias("max_k"),
+            F.max("k").alias("max_k"),
         )
     )

