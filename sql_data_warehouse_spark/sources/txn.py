@@ -231,6 +231,21 @@ class TxnTable:
         return spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(self.root, f.path) for f in files])
 
+    def version_asof(self, ts: float) -> int:
+        """Resolve ``AS OF TIMESTAMP`` semantics: the newest version
+        whose commit time is <= ts (commit times are the manifest's
+        ``ts`` field, recorded at publish). Raises if ts precedes the
+        first commit — same contract as Delta/Iceberg timestamp
+        travel. O(versions) manifest-header reads, no data I/O."""
+        best = None
+        for v in self.versions():
+            if self._load_manifest(v)["ts"] <= ts:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no snapshot at or before ts={ts} in {self.root}")
+        return best
+
     # -------------------------------------------------------------- merge
 
     def merge(self, updates: DataFrame, key: str,

@@ -337,3 +337,17 @@ def test_compact_noop_when_already_packed(spark, root):
                   .coalesce(1), stat_cols=("k",))
     v1 = tbl.latest_version()
     assert tbl.compact(spark, target_rows=10) == v1  # all files >= target
+
+
+def test_version_asof_timestamp_travel(spark, root):
+    tbl = TxnTable(root)
+    tbl.overwrite(spark.createDataFrame([Row(k=1)]))
+    t1 = tbl._load_manifest(1)["ts"]
+    tbl.append(spark.createDataFrame([Row(k=2)]))
+    t2 = tbl._load_manifest(2)["ts"]
+    assert tbl.version_asof(t1) == 1
+    assert tbl.version_asof((t1 + t2) / 2) == 1
+    assert tbl.version_asof(t2 + 1) == 2
+    assert _rows(tbl.read(spark, version=tbl.version_asof(t1))) == [(1,)]
+    with pytest.raises(ValueError):
+        tbl.version_asof(t1 - 10)
