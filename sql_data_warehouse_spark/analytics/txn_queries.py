@@ -424,3 +424,29 @@ def txn_compact_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(cents(F.col("o_totalprice"))).alias("price_cents"),
     )
+
+
+@query(
+    "txn_time_travel_asof",
+    survey="ext-acid S2",
+    oracle=f"""
+        SELECT o_orderkey, o_orderstatus, o_orderpriority,
+               {CENTS_SQL.format(expr="o_totalprice")} AS price_cents
+        FROM orders
+    """,
+    tags=("txn",),
+)
+def txn_time_travel_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF TIMESTAMP time travel: resolve the snapshot current just
+    after v1's commit instant via ``version_asof`` (the newest commit
+    with ts <= probe — Delta/Iceberg timestamp-travel semantics) and
+    recover the pre-merge orders bit-for-bit. Uses v1's own recorded
+    commit time as the probe, so the gate proves the resolution rule,
+    not a lucky margin."""
+    tbl = _orders_txn(spark, sf_dir)
+    v = tbl.version_asof(tbl._load_manifest(1)["ts"])
+    assert v == 1, f"asof resolved v{v}, expected 1"
+    return tbl.read(spark, version=v).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority",
+        cents(F.col("o_totalprice")).alias("price_cents"),
+    )

@@ -98,3 +98,28 @@ def test_q20_in_subqueries_are_semi_joins(spark):
     plan = _plan(df)
     assert "LeftSemi" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_new_advanced_queries_avoid_nested_loops(spark):
+    """The session's new self-join / reconciliation queries must all
+    compile to hash/sort-merge joins — a BroadcastNestedLoopJoin in
+    any of them is the O(n*m) failure mode the sf1 sweep caught in
+    the first recursive-CTE formulation."""
+    from sql_data_warehouse_spark.analytics import all_queries
+
+    reg = all_queries()
+    sf = "/root/testdata/sf0.001"
+    # funnel_view_click_purchase is excluded: its final combine is
+    # two crossJoins of SINGLE-ROW aggregates (the scalar-broadcast
+    # pattern, intentionally a 1x1 nested loop).
+    for name in (
+        "supplier_fuzzy_pairs_banded",
+        "monthly_orders_vs_events",
+        "user_retention_cohorts",
+        "events_hourly_locf",
+        "customer_first_last_order",
+        "orders_exists_no_returns",
+    ):
+        plan = reg[name].builder(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
