@@ -171,11 +171,18 @@ def dedup_pipeline_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH self-join (Σ bucket²), candidate-only verification (two
     doc_id joins + per-row array_intersect), O(log diameter)
     label propagation, and a per-cluster window over the tiny
-    cluster relation. Nothing touches n²."""
+    cluster relation. Nothing touches n². The normalize+shingle
+    scan — the dominant per-byte cost — runs ONCE: the shingle-set
+    relation is persisted and feeds both the OPH/LSH stage and the
+    two verifier joins (previously three full text passes; the
+    connected-components loop materializes eagerly at build time,
+    so the cache is released before the result is returned)."""
     docs = load_table(spark, sf_dir, "documents")
-    candidates = dedup.minhash_candidate_pairs(docs)
+    n_part = spark.sparkContext.defaultParallelism
+    sets = dedup.shingle_sets(docs.repartition(n_part)).persist()
+    candidates = dedup.minhash_candidate_pairs_from_sets(sets)
     verified = (
-        dedup.jaccard_verify(candidates, docs)
+        dedup.jaccard_verify_sets(candidates, sets)
         .filter(F.col("jaccard") >= 0.35)
         .select("doc_a", "doc_b")
     )
@@ -184,6 +191,9 @@ def dedup_pipeline_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     # iterative frame must be ∝ |edges|, not |corpus| — singletons
     # rejoin afterwards with label = own id via one left join.
     cc = dedup.connected_components(verified, src="doc_a", dst="doc_b")
+    # cc's edge frontier is localCheckpoint-ed eagerly above, so the
+    # shingle cache has served every consumer by this point.
+    sets.unpersist()
     labeled = (
         docs.select("doc_id", "n_chars")
         .join(cc.select(F.col("id").alias("doc_id"),

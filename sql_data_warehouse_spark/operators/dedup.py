@@ -128,6 +128,16 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
         ).alias("i"),
     )
     h = sh.select("doc_id", F.md5(F.expr(f"substring(norm, i, {k})")).alias("h"))
+    return _oph_signatures(h, n_perm)
+
+
+def _oph_signatures(h: DataFrame, n_perm: int = N_PERMUTATIONS) -> DataFrame:
+    """OPH aggregation over exploded (doc_id, h=md5(shingle)) rows:
+    nibble-binned conditional MINs + densification. MIN is duplicate-
+    insensitive, so feeding distinct-set elements (the
+    ``*_from_sets`` path) or position-exploded shingles (the text
+    path, which the DuckDB twin mirrors) yields identical
+    signatures."""
     bin_idx = F.instr(F.lit("0123456789abcdef"), F.substring("h", 1, 1)) - 1
     mins = [
         F.coalesce(
@@ -165,6 +175,19 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     )
 
 
+def minhash_signatures_from_sets(sets: DataFrame,
+                                 n_perm: int = N_PERMUTATIONS) -> DataFrame:
+    """OPH signatures from a precomputed (doc_id, sh) shingle-set
+    relation (see :func:`shingle_sets`) — lets one persisted
+    normalize+shingle pass feed BOTH the LSH bucketing and the exact
+    verifier in :func:`~..analytics.llmops.dedup_pipeline_keep_best`,
+    instead of re-scanning the corpus text per stage."""
+    h = sets.select("doc_id", F.explode("sh").alias("s")).select(
+        "doc_id", F.md5("s").alias("h")
+    )
+    return _oph_signatures(h, n_perm)
+
+
 def minhash_band_hashes(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id",
                         n_perm: int = N_PERMUTATIONS,
@@ -173,6 +196,11 @@ def minhash_band_hashes(df: DataFrame, text_col: str = "text",
     """(doc_id, band_idx, band_hash) — the LSH bucketing relation.
     Documents sharing any band hash are near-dup candidates."""
     sigs = minhash_signatures(df, text_col, id_col, n_perm, k)
+    return _band_hashes(sigs, n_perm, band_size)
+
+
+def _band_hashes(sigs: DataFrame, n_perm: int = N_PERMUTATIONS,
+                 band_size: int = BAND_SIZE) -> DataFrame:
     n_bands = n_perm // band_size
     bands = F.array(
         *[
@@ -200,7 +228,19 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
     The self-join is on (band_idx, band_hash) — shuffle is keyed by
     bucket, so cost is Σ bucket² (bounded by collision rate), never
     the full n² product."""
-    bands = minhash_band_hashes(df, text_col, id_col)
+    return _candidate_pairs_from_bands(minhash_band_hashes(df, text_col, id_col))
+
+
+def minhash_candidate_pairs_from_sets(sets: DataFrame) -> DataFrame:
+    """LSH candidate pairs from a precomputed (persisted) shingle-set
+    relation — same Σ bucket² self-join as
+    :func:`minhash_candidate_pairs`, minus the corpus re-scan."""
+    return _candidate_pairs_from_bands(
+        _band_hashes(minhash_signatures_from_sets(sets))
+    )
+
+
+def _candidate_pairs_from_bands(bands: DataFrame) -> DataFrame:
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -687,7 +727,14 @@ def jaccard_verify(pairs: DataFrame, docs: DataFrame,
     path, and the only shuffles are the two doc_id joins. Integer
     set sizes divide once into the jaccard double, so the value is
     bit-identical cross-engine."""
-    sets = shingle_sets(docs, text_col, id_col, k)
+    return jaccard_verify_sets(pairs, shingle_sets(docs, text_col, id_col, k))
+
+
+def jaccard_verify_sets(pairs: DataFrame, sets: DataFrame) -> DataFrame:
+    """:func:`jaccard_verify` over a precomputed (doc_id, sh)
+    relation. Persist ``sets`` when it also feeds the LSH stage — the
+    two per-side joins here would otherwise each re-run the
+    normalize+shingle scan."""
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
