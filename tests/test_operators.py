@@ -164,3 +164,27 @@ def test_banded_fuzzy_equals_naive_blocked(spark):
     banded = key(reg["supplier_fuzzy_pairs_banded"].builder(spark, sf))
     naive = key(reg["supplier_fuzzy_pairs"].builder(spark, sf))
     assert banded == naive and len(banded) > 0
+
+
+def test_minhash_from_sets_identical_to_text_path(spark):
+    """The shared-shingle OPH path (minhash_signatures_from_sets,
+    used by dedup_pipeline_keep_best) must produce bit-identical
+    signatures to the position-explode text path the DuckDB twin
+    mirrors — MIN over duplicate shingles == MIN over the distinct
+    set."""
+    from sql_data_warehouse_spark.operators import dedup
+
+    docs = load_table(spark, SF_SMOKE, "documents").filter(
+        F.col("doc_id") < 60
+    )
+    via_text = {
+        r["doc_id"]: tuple(r["signature"])
+        for r in dedup.minhash_signatures(docs).collect()
+    }
+    via_sets = {
+        r["doc_id"]: tuple(r["signature"])
+        for r in dedup.minhash_signatures_from_sets(
+            dedup.shingle_sets(docs)
+        ).collect()
+    }
+    assert via_sets == via_text and len(via_sets) > 0
