@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..sources import load_table
 from .registry import query
+from ..tmputil import scratch_dir
 from .xengine import CENTS_SQL, MICRO_SUM_SQL, MONEY_SUM_SQL, cents, micros, money_sum
 
 
@@ -889,7 +890,7 @@ def etl_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark._wh_json_landing = cache
     path = cache.get(sf_dir)
     if path is None:
-        path = os.path.join(tempfile.mkdtemp(prefix="wh_json_events_"), "j")
+        path = os.path.join(scratch_dir("wh_json_events_"), "j")
         e = load_table(spark, sf_dir, "events")
         e.select(
             "event_id",

@@ -116,14 +116,41 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     "simhash_near_dup_pairs",
     survey="ext-dedup J-self",
     tags=("llmops",),
-    oracle=dedup.simhash_pairs_sql(),
+    oracle=dedup.simhash_pairs_sql(doc_filter="doc_id < 2000"),
 )
 def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash hamming-band near-dup pairs. Banded join with
-    ``max_hamming <= n_bands - 1`` has full recall by pigeonhole, so
-    the approximate-looking LSH plan yields an EXACT result — hence
-    the hash gate."""
-    return dedup.simhash_near_dup_pairs(load_table(spark, sf_dir, "documents"))
+    """SimHash hamming-band near-dup pairs — the BOUNDED VERIFIER form
+    (2000-doc sample, like ``jaccard_pairs_sample`` /
+    ``supplier_fuzzy_pairs``). Banded join with ``max_hamming <=
+    n_bands - 1`` has full recall by pigeonhole, so the
+    approximate-looking LSH plan yields an EXACT result — hence the
+    hash gate. The full-corpus production form is
+    ``simhash_near_dup_clusters``: pair output grows Σ cluster²
+    (43 M pairs at sf1), so at scale the pair list is never
+    materialized — candidates pipe straight into connected
+    components."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    return dedup.simhash_near_dup_pairs(docs)
+
+
+@query(
+    "simhash_near_dup_clusters",
+    survey="ext-dedup J-self A2",
+    tags=("llmops",),
+    oracle=dedup.simhash_clusters_sql(),
+)
+def simhash_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus simhash dedup, scale-safe: collapse docs to one
+    representative per DISTINCT signature (kills the Σ cluster²
+    quadratic core — identical docs share a simhash), banded
+    hamming join over distinct signatures only, connected components
+    over the representative graph, labels fanned back per doc.
+    Output is one (doc_id, cluster_id) row per document — ∝ corpus
+    size by construction. Exact (full-recall banding + exact CC),
+    hence the hash gate."""
+    return dedup.simhash_near_dup_clusters(
+        load_table(spark, sf_dir, "documents")
+    )
 
 
 @query(
@@ -180,20 +207,24 @@ def dedup_pipeline_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     n_part = spark.sparkContext.defaultParallelism
     sets = dedup.shingle_sets(docs.repartition(n_part)).persist()
-    candidates = dedup.minhash_candidate_pairs_from_sets(sets)
-    verified = (
-        dedup.jaccard_verify_sets(candidates, sets)
-        .filter(F.col("jaccard") >= 0.35)
-        .select("doc_a", "doc_b")
-    )
-    # Propagate labels over edge ENDPOINTS only (nodes=None): in a
-    # deduped corpus ~90 % of docs are singletons, and at 100 TB the
-    # iterative frame must be ∝ |edges|, not |corpus| — singletons
-    # rejoin afterwards with label = own id via one left join.
-    cc = dedup.connected_components(verified, src="doc_a", dst="doc_b")
-    # cc's edge frontier is localCheckpoint-ed eagerly above, so the
-    # shingle cache has served every consumer by this point.
-    sets.unpersist()
+    try:
+        candidates = dedup.minhash_candidate_pairs_from_sets(sets)
+        verified = (
+            dedup.jaccard_verify_sets(candidates, sets)
+            .filter(F.col("jaccard") >= 0.35)
+            .select("doc_a", "doc_b")
+        )
+        # Propagate labels over edge ENDPOINTS only (nodes=None): in a
+        # deduped corpus ~90 % of docs are singletons, and at 100 TB the
+        # iterative frame must be ∝ |edges|, not |corpus| — singletons
+        # rejoin afterwards with label = own id via one left join.
+        cc = dedup.connected_components(verified, src="doc_a", dst="doc_b")
+        # cc's edge frontier is localCheckpoint-ed eagerly above, so the
+        # shingle cache has served every consumer by this point; a
+        # failed job inside the try releases it too instead of leaking
+        # the cached relation for the session lifetime.
+    finally:
+        sets.unpersist()
     labeled = (
         docs.select("doc_id", "n_chars")
         .join(cc.select(F.col("id").alias("doc_id"),

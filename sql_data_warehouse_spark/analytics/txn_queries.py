@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from ..sources import load_table
 from ..sources.txn import TxnTable
 from .registry import query
+from ..tmputil import scratch_dir
 from .xengine import cents, CENTS_SQL
 
 
@@ -37,7 +38,7 @@ def _orders_txn(spark: SparkSession, sf_dir: str) -> TxnTable:
         spark._wh_txn_tables = cache
     tbl = cache.get(("orders", sf_dir))
     if tbl is None:
-        root = tempfile.mkdtemp(prefix="wh_txn_orders_")
+        root = scratch_dir("wh_txn_orders_")
         tbl = TxnTable(root)
         o = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderstatus", "o_totalprice",
@@ -164,7 +165,7 @@ def cagg_hourly_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark._wh_txn_tables = cache
     tbl = cache.get(("cagg_hourly", sf_dir))
     if tbl is None:
-        root = tempfile.mkdtemp(prefix="wh_cagg_hourly_")
+        root = scratch_dir("wh_cagg_hourly_")
         tbl = TxnTable(root)
         events = load_table(spark, sf_dir, "events")
         for batch_no in range(3):
@@ -213,7 +214,7 @@ def zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     if tbl is None:
         from ..sources.layout import zorder_frame
 
-        root = tempfile.mkdtemp(prefix="wh_txn_zorder_")
+        root = scratch_dir("wh_txn_zorder_")
         tbl = TxnTable(root)
         o = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_custkey",
@@ -335,7 +336,7 @@ def _orders_delete_txn(spark: SparkSession, sf_dir: str) -> TxnTable:
         spark._wh_txn_tables = cache
     tbl = cache.get(("orders_delete", sf_dir))
     if tbl is None:
-        root = tempfile.mkdtemp(prefix="wh_txn_del_")
+        root = scratch_dir("wh_txn_del_")
         tbl = TxnTable(root)
         o = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderstatus", "o_totalprice",
@@ -384,7 +385,7 @@ def _orders_compact_txn(spark: SparkSession, sf_dir: str) -> TxnTable:
         spark._wh_txn_tables = cache
     tbl = cache.get(("orders_compact", sf_dir))
     if tbl is None:
-        root = tempfile.mkdtemp(prefix="wh_txn_compact_")
+        root = scratch_dir("wh_txn_compact_")
         tbl = TxnTable(root)
         o = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderstatus", "o_totalprice")

@@ -30,8 +30,13 @@ views inline into consumers at plan time like any catalog view.
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+import subprocess
+import sys
+from pathlib import Path
 
+from pyspark.sql import DataFrame, SparkSession
+
+from ..tmputil import scratch_dir
 from .schemas import BRONZE_TABLES
 from .silver import _TRANSFORMS, bronze_df
 from .gold import DIM_CUSTOMERS_BODY, DIM_PRODUCTS_BODY, FACT_SALES_BODY
@@ -100,3 +105,67 @@ def load_warehouse(spark: SparkSession) -> dict[str, dict[str, int]]:
         spark.sql(f"CREATE OR REPLACE VIEW gold.{view} AS {body}")
         counts["gold"][view] = spark.table(f"gold.{view}").count()
     return counts
+
+
+# ------------------------------------------------------- durability probe
+
+# Q05a (reference scripts/analysis/05_magnitude_analysis.sql:16-21)
+# as run by a RECONNECTING user: plain spark.sql over the persistent
+# gold view, no loader imports in the second session.
+_ROUNDTRIP_QUERY = (
+    "SELECT country, COUNT(customer_key) AS total_customers "
+    "FROM gold.dim_customers GROUP BY country "
+    "ORDER BY total_customers DESC"
+)
+
+_RT_PHASE1 = """
+import sys
+from sql_data_warehouse_spark.medallion.catalog import warehouse_session, load_warehouse
+spark = warehouse_session(sys.argv[1], master="local[8]",
+                          **{"spark.ui.enabled": "false"})
+load_warehouse(spark)
+spark.stop()
+"""
+
+_RT_PHASE2 = f"""
+import sys
+from sql_data_warehouse_spark.medallion.catalog import warehouse_session, _ROUNDTRIP_QUERY
+spark = warehouse_session(sys.argv[1], master="local[8]",
+                          **{{"spark.ui.enabled": "false"}})
+assert {{d.name for d in spark.catalog.listDatabases()}} >= {{"bronze", "silver", "gold"}}
+spark.sql(_ROUNDTRIP_QUERY).coalesce(1).write.mode("overwrite").parquet(sys.argv[2])
+spark.stop()
+"""
+
+
+def catalog_roundtrip_df(spark: SparkSession) -> DataFrame:
+    """The durable-catalog path behind the hard oracle gate: phase 1
+    builds the Hive-backed warehouse (CSV → bronze/silver tables →
+    gold permanent views) and exits; phase 2 is a brand-new process —
+    separate JVM, separate Derby connection, nothing in memory — that
+    reopens the same root and answers Q05a straight off
+    ``gold.dim_customers``. Each phase is a subprocess because a
+    second SparkContext cannot coexist with the caller's, and an
+    in-process restart would not prove durability anyway (same shape
+    as tests/test_catalog.py). The caller's session only reads the
+    written result. Cached per session — the warehouse is immutable
+    once loaded."""
+    out = getattr(spark, "_wh_catalog_roundtrip", None)
+    if out is None:
+        root = scratch_dir("wh_catalog_rt_")
+        out = f"{root}/q05a_result"
+        repo = str(Path(__file__).resolve().parents[2])
+        for code in (_RT_PHASE1, _RT_PHASE2):
+            proc = subprocess.run(
+                [sys.executable, "-c", code, f"{root}/wh", out],
+                capture_output=True,
+                text=True,
+                timeout=600,
+                cwd=repo,
+            )
+            if proc.returncode != 0:
+                raise RuntimeError(
+                    f"catalog roundtrip phase failed:\n{proc.stderr[-4000:]}"
+                )
+        spark._wh_catalog_roundtrip = out
+    return spark.read.parquet(out)

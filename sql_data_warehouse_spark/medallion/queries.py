@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..analytics.registry import query
+from ..tmputil import scratch_dir
 from .gold import gold_df, gold_sql
 from .schemas import BRONZE_TABLES, duckdb_read_csv
 from .silver import SILVER_SQL, silver_df
@@ -106,7 +107,7 @@ def _bronze_warehouse(spark: SparkSession) -> str:
     if wh is None:
         from .load import load_bronze
 
-        wh = tempfile.mkdtemp(prefix="wh_bronze_")
+        wh = scratch_dir("wh_bronze_")
         load_bronze(spark, wh)
         spark._wh_bronze_dir = wh
     return wh
@@ -160,6 +161,38 @@ for _t in BRONZE_TABLES:
         survey="S1 S2 S3 S6 S9",
         tags=("medallion", "bronze"),
     )(_mkb(_t))
+
+
+# ---------------------------------------------------- catalog roundtrip
+#
+# Hard-signal row for the DURABLE deployment shape (reference
+# scripts/database.sql:31-38 CREATE SCHEMA + load_gold.sql:18-22
+# CREATE VIEW): build the Hive-metastore warehouse in one process,
+# reopen it in another, and answer Q05a over the persistent
+# gold.dim_customers view — hash-gated against the same DuckDB oracle
+# the session-path wh_q05_customers_by_country uses. Previously this
+# path was pytest-only (tests/test_catalog.py).
+
+from .gold import GOLD_CTES  # noqa: E402
+
+
+@query(
+    "catalog_roundtrip",
+    oracle=f"""
+        WITH {GOLD_CTES}
+        SELECT country, CAST(COUNT(customer_key) AS BIGINT) AS total_customers
+        FROM g_dim_customers GROUP BY country ORDER BY total_customers DESC
+    """,
+    survey="S5 S6 S8",
+    tags=("medallion", "catalog"),
+)
+def catalog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q05a answered by a RECONNECTING session over the persistent
+    ``gold.dim_customers`` view (two subprocess SparkSessions: build,
+    then reopen — see medallion/catalog.py:catalog_roundtrip_df)."""
+    from .catalog import catalog_roundtrip_df
+
+    return catalog_roundtrip_df(spark)
 
 
 _GOLD_SURVEY = {

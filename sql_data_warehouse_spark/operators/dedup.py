@@ -106,7 +106,6 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     regex evaluations per row, ~100× slower at sf0.1); the aggregation
     is whole-stage-codegen'd with map-side partial mins, so the
     shuffle carries one n_perm-wide row per doc."""
-    assert n_perm <= 16, "nibble binning supports up to 16 bins"
     # Explode shingle POSITIONS (cheap int sequence), not shingle
     # strings: Generate evaluates its child row once, so the regex
     # normalization runs once per document, and the per-shingle work
@@ -137,7 +136,10 @@ def _oph_signatures(h: DataFrame, n_perm: int = N_PERMUTATIONS) -> DataFrame:
     insensitive, so feeding distinct-set elements (the
     ``*_from_sets`` path) or position-exploded shingles (the text
     path, which the DuckDB twin mirrors) yields identical
-    signatures."""
+    signatures. Guard lives here (not only in the text entry point)
+    so the ``*_from_sets`` path can't silently leave bins >= 16
+    permanently empty behind the densification salt."""
+    assert n_perm <= 16, "nibble binning supports up to 16 bins"
     bin_idx = F.instr(F.lit("0123456789abcdef"), F.substring("h", 1, 1)) - 1
     mins = [
         F.coalesce(
@@ -473,10 +475,14 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
     )
 
 
-SIMHASH_SQL = f"""
+def simhash_sql(doc_filter: str = "TRUE") -> str:
+    return _SIMHASH_SQL_TEMPLATE.format(doc_filter=doc_filter)
+
+
+_SIMHASH_SQL_TEMPLATE = f"""
     WITH toks AS (
       SELECT doc_id, md5(unnest(string_split({NORMALIZE_SQL.format(col="text")}, ' '))) AS h
-      FROM documents
+      FROM documents WHERE {{doc_filter}}
     ),
     votes AS (
       SELECT doc_id, bit,
@@ -492,6 +498,8 @@ SIMHASH_SQL = f"""
                          ELSE 0 END) AS BIGINT) AS simhash
     FROM bitsums GROUP BY doc_id
 """
+
+SIMHASH_SQL = simhash_sql()
 
 
 # ------------------------------------------------- SimHash hamming-band LSH
@@ -560,11 +568,12 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
 
 def simhash_pairs_sql(n_bits: int = SIMHASH_BITS,
                       band_bits: int = SIMHASH_BAND_BITS,
-                      max_hamming: int = 3) -> str:
+                      max_hamming: int = 3,
+                      doc_filter: str = "TRUE") -> str:
     n_bands = n_bits // band_bits
     mask = (1 << band_bits) - 1
     return f"""
-        WITH sigs AS ({SIMHASH_SQL}),
+        WITH sigs AS ({simhash_sql(doc_filter)}),
         bands AS (
           SELECT doc_id, simhash, band_idx,
                  (simhash >> (band_idx * {band_bits})) & {mask} AS band_val
@@ -578,6 +587,135 @@ def simhash_pairs_sql(n_bits: int = SIMHASH_BITS,
           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
          AND a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+def simhash_near_dup_clusters(df: DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id",
+                              n_bits: int = SIMHASH_BITS,
+                              band_bits: int = SIMHASH_BAND_BITS,
+                              max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup CLUSTER labels — the scale-safe registered
+    form of :func:`simhash_near_dup_pairs`. Production dedup never
+    materializes the pair list (Σ cluster² rows: 43 M pairs at sf1,
+    quadratic in cluster size at 100 TB); it pipes candidates straight
+    into connected components and emits one (doc_id, cluster_id) row
+    per document — output is ∝ corpus size by construction.
+
+    The quadratic core is killed BEFORE the join: documents collapse
+    to one representative per DISTINCT signature (exact duplicates —
+    the dominant duplicate class — share a simhash, so a k-doc
+    identical cluster contributes 1 node instead of k(k-1)/2 pairs).
+    The banded self-join then runs over distinct signatures only
+    (full recall for hamming ≤ n_bands-1 by pigeonhole, same as the
+    pair form), CC label-propagates over the tiny representative
+    graph, and labels broadcast back to docs through their signature.
+    cluster_id = min doc_id in the component (representatives are
+    per-signature min doc_ids, so the component min over reps IS the
+    overall min).
+
+    Cf. reference silver dedup (scripts/silver/proc_load_silver.sql
+    ROW_NUMBER keep-latest) for the collapse-then-keep shape; the
+    hamming clustering itself follows Manku/Jain/Sarma's simhash
+    web-dedup design."""
+    n_bands = n_bits // band_bits
+    assert max_hamming <= n_bands - 1, "banding loses recall past n_bands-1"
+    mask = (1 << band_bits) - 1
+    sigs = simhash_signatures(df, text_col, id_col, n_bits)
+    # One signature pass feeds the rep collapse, the CC edge build,
+    # AND the final label fan-out (which is evaluated after this
+    # function returns — so eager localCheckpoint, not persist+
+    # unpersist: blocks outlive the call and are freed on GC).
+    sigs = sigs.localCheckpoint(eager=True)
+    return _simhash_clusters_from_sigs(
+        sigs, n_bands, band_bits, mask, max_hamming
+    )
+
+
+def _simhash_clusters_from_sigs(sigs: DataFrame, n_bands: int,
+                                band_bits: int, mask: int,
+                                max_hamming: int) -> DataFrame:
+    reps = sigs.groupBy("simhash").agg(F.min("doc_id").alias("rep_id"))
+    bands = reps.select(
+        "rep_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.expr(
+                            f"shiftright(simhash, {b * band_bits}) & {mask}"
+                        ).alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("rep_id", "simhash", "band.band_idx", "band.band_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.rep_id") < F.col("b.rep_id")),
+        )
+        .filter(
+            F.expr("bit_count(a.simhash ^ b.simhash)") <= max_hamming
+        )
+        .select(
+            F.col("a.rep_id").alias("src"), F.col("b.rep_id").alias("dst")
+        )
+        .distinct()
+    )
+    # CC over edge endpoints only; singleton reps rejoin as their own
+    # label (same shape as dedup_clusters / dedup_pipeline_keep_best).
+    cc = connected_components(edges, src="src", dst="dst")
+    rep_labels = reps.join(
+        cc.select(F.col("id").alias("rep_id"), F.col("label").alias("cluster_id")),
+        "rep_id",
+        "left",
+    ).select("simhash", F.coalesce("cluster_id", "rep_id").alias("cluster_id"))
+    return sigs.join(rep_labels, "simhash").select("doc_id", "cluster_id")
+
+
+def simhash_clusters_sql(n_bits: int = SIMHASH_BITS,
+                         max_hamming: int = 3) -> str:
+    """DuckDB twin of :func:`simhash_near_dup_clusters`: distinct
+    signatures → naive all-pairs hamming filter over reps (the oracle
+    may be O(m²); it is the spec, not the plan) → recursive-CTE
+    transitive closure → labels fanned back to docs."""
+    return f"""
+        WITH RECURSIVE sigs AS MATERIALIZED ({SIMHASH_SQL}),
+        reps AS MATERIALIZED (
+          SELECT simhash, MIN(doc_id) AS rep_id FROM sigs GROUP BY simhash
+        ),
+        pairs AS MATERIALIZED (
+          SELECT a.rep_id AS src, b.rep_id AS dst
+          FROM reps a JOIN reps b
+            ON a.rep_id < b.rep_id
+           AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+        ),
+        edges AS (
+          SELECT src, dst FROM pairs
+          UNION ALL
+          SELECT dst, src FROM pairs
+        ),
+        reach(id, label) AS (
+          SELECT rep_id, rep_id FROM reps
+          UNION
+          SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+        ),
+        rep_labels AS (
+          SELECT id AS rep_id, MIN(label) AS cluster_id
+          FROM reach GROUP BY id
+        )
+        SELECT s.doc_id, rl.cluster_id
+        FROM sigs s
+        JOIN reps rp ON rp.simhash = s.simhash
+        JOIN rep_labels rl ON rl.rep_id = rp.rep_id
     """
 
 

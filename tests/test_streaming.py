@@ -167,3 +167,42 @@ def test_transform_with_state_compiles(spark):
 
     import pytest
     pytest.importorskip("google.protobuf")
+
+
+def test_replay_resumes_exactly_once(spark):
+    """Exactly-once RESUME across genuine query restarts (VERDICT r2
+    scope split: the registered ``stream_replay_user_totals`` entry is
+    the single-drain form; the restart semantics live here). Two
+    offset-managed micro-batches through the ``events_replay`` custom
+    streaming source — Python stream sources run one batch per
+    availableNow start, so the second batch is a real restart against
+    the same checkpoint: offsets must resume (no loss) and the parquet
+    sink log must dedup (no dup). Final per-user totals == batch
+    aggregation bit-for-bit."""
+    from sql_data_warehouse_spark.analytics.streaming_live import (
+        replay_user_totals,
+    )
+
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in replay_user_totals(spark, SF_SMOKE, n_batches=2).collect()
+    }
+    want = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in (
+            load_table(spark, SF_SMOKE, "events")
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                (
+                    F.sum(
+                        F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5))
+                        .cast("long")
+                    ).cast("double")
+                    / F.lit(1000000.0)
+                ).alias("total_value"),
+            )
+            .collect()
+        )
+    }
+    assert got == want
