@@ -60,11 +60,19 @@ written audit stamps counted against the transform row counts),
 pytest-exercised by `tests/test_medallion.py::test_load_all_*`, and
 `medallion/catalog.py` adds the persistent multi-schema catalog
 (`bronze`/`silver`/`gold` databases + permanent views that survive a
-session, `tests/test_catalog.py`).
+session, `tests/test_catalog.py`); since round 3 the durable path is
+driver-gated too — `catalog_roundtrip` builds the warehouse in one
+subprocess session, reopens it in another, and hash-checks Q05a over
+the persistent `gold.dim_customers` view.
 
 Beyond-reference operator families (`ext-*` ids): streaming
 (`streaming/jobs.py` + batch twins), dedup (exact/fingerprint/
-MinHash-OPH/Jaccard/SimHash + connected-components clustering,
+MinHash-OPH/Jaccard/SimHash + connected-components clustering —
+`simhash_near_dup_clusters` is the scale-safe full-corpus form:
+docs collapse to one representative per distinct signature before
+the banded hamming join, so output stays linear in corpus size
+while the bounded pair-list form `simhash_near_dup_pairs` serves as
+the 2000-doc exact verifier —
 the end-to-end keep-best pipeline `dedup_pipeline_keep_best`:
 LSH candidates → per-pair exact-Jaccard verification →
 components → best-doc-per-cluster, and its STREAMING twin
@@ -74,7 +82,13 @@ similarity (cosine top-k, LSH ANN, IVF / learned-k-means IVF,
 product quantization `pq_ann_topk`: sampled driver-side codebook
 fit + distributed multi-subspace Lloyd alternative, unrolled-codegen
 encode to M-byte codes, ADC lookup scoring with exact re-rank of
-the shortlist, recall-gated; embedding near-dup), multimodal (`operators/multimodal.py`), text
+the shortlist, recall-gated; embedding near-dup), multimodal
+(`operators/multimodal.py`: opaque-binary payload plumbing, frame
+sampling, media embedding retrieval, and — since round 3 — a REAL
+pure-stdlib PNG/WAV codec: zlib inflate + scanline unfilter + CRC
+verification and RIFF/PCM16 parsing, oracle-gated per doc by
+`media_real_decode_stats`; video decode remains a documented fake —
+no stdlib container parser), text
 (BPE tokens, lang-ID, doc stats, conjunctive inverted-index search
 `keyword_search_and`, deterministic BM25 ranking `bm25_top_docs`
 (rational-idf variant — exact-integer tf/df/dl, fixed-order sums), exact-integer-variance 3-sigma anomaly report

@@ -81,6 +81,7 @@ _TIER2 = frozenset({
     "star_integrity_check",          # QC2
     "catalog_roundtrip",             # S5 S6 durable-catalog path
     "simhash_near_dup_clusters",     # scale-safe simhash (r3)
+    "media_real_decode_stats",       # real stdlib PNG/WAV codec (r3)
 })
 
 

@@ -53,8 +53,89 @@ def test_multimodal_resize_and_real_decode(spark):
     assert rows and all(r["resized_to"] == 128 for r in rows)
     n_images = media.filter(F.col("media_type") == "image").count()
     assert len(rows) == n_images
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_real(b"x", "image", "png")
+    # decode_real is a REAL stdlib decoder since r3: garbage must be
+    # rejected loudly, not silently faked.
+    with pytest.raises(ValueError):
+        multimodal.decode_real(b"x", "image")
+
+
+def test_png_codec_roundtrip_and_filters():
+    """PNG decode correctness beyond what the encoder emits: the
+    encoder writes filter type 0 only, so Sub/Up/Average/Paeth
+    unfiltering is exercised by hand-built filtered scanlines."""
+    import struct
+    import zlib
+
+    # Encoder→decoder roundtrip preserves every pixel.
+    w, h = 7, 5
+    pix = lambda x, y: (13 * x + 41 * y + 5) % 256  # noqa: E731
+    got_w, got_h, got = multimodal.decode_png(
+        multimodal.encode_png(w, h, pix)
+    )
+    assert (got_w, got_h) == (w, h)
+    assert list(got) == [pix(x, y) for y in range(h) for x in range(w)]
+
+    # Hand-filter the same image with each filter type per row
+    # (cycling 1,2,3,4) and require identical recovered pixels.
+    rows = [[pix(x, y) for x in range(w)] for y in range(h)]
+    raw = bytearray()
+    prev = [0] * w
+    for y, line in enumerate(rows):
+        ftype = (y % 4) + 1
+        raw.append(ftype)
+        for x in range(w):
+            a = line[x - 1] if x else 0
+            b = prev[x]
+            c = prev[x - 1] if x else 0
+            if ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            raw.append((line[x] - pred) & 0xFF)
+        prev = line
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + chunk(b"IEND", b""))
+    fw, fh, fpix = multimodal.decode_png(png)
+    assert (fw, fh) == (w, h)
+    assert list(fpix) == [p for line in rows for p in line]
+
+    # A flipped payload byte must fail the CRC check.
+    bad = bytearray(multimodal.encode_png(4, 4, lambda x, y: x * y))
+    bad[40] ^= 0xFF
+    with pytest.raises(ValueError):
+        multimodal.decode_png(bytes(bad))
+
+
+def test_wav_codec_roundtrip():
+    samples = [0, 1, -1, 32767, -32768, 12345, -12345]
+    rate, got = multimodal.decode_wav(multimodal.encode_wav(samples, 44100))
+    assert rate == 44100
+    assert list(got) == samples
+    # Odd-length chunk padding: an extra word-aligned chunk before
+    # data must be skipped correctly.
+    import struct
+
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+    wav = bytearray(multimodal.encode_wav(samples))
+    wav[12:12] = extra  # splice between RIFF header and fmt chunk
+    wav[4:8] = struct.pack("<I", struct.unpack("<I", bytes(wav[4:8]))[0] + len(extra))
+    rate2, got2 = multimodal.decode_wav(bytes(wav))
+    assert rate2 == 8000 and list(got2) == samples
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(b"RIFFxxxxNOPE")
 
 
 def test_fake_decode_batch_shape():

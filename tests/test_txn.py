@@ -351,3 +351,58 @@ def test_version_asof_timestamp_travel(spark, root):
     assert _rows(tbl.read(spark, version=tbl.version_asof(t1))) == [(1,)]
     with pytest.raises(ValueError):
         tbl.version_asof(t1 - 10)
+
+
+def test_concurrent_writers_retry_to_serializable(spark, root):
+    """Multi-writer stress (VERDICT r2 #7): four writers commit
+    interleaved additive merges against one table, each retrying on
+    CommitConflict. A barrier aligns every round so several writers
+    compute against the SAME base version — at least one must lose
+    the os.link race or the expected_base check and retry. The final
+    state must equal the serial application (additive merges commute)
+    and the manifest log must be gap-free: optimistic concurrency
+    yields a serializable history, never a lost update."""
+    import threading
+
+    tbl = TxnTable(root)
+    tbl.merge_additive(
+        spark.createDataFrame([Row(k=i, n=0) for i in range(10)]),
+        key_cols=["k"], sum_cols=["n"],
+    )
+    n_writers, n_rounds = 4, 3
+    barrier = threading.Barrier(n_writers)
+    retries: list[int] = []
+    errors: list[BaseException] = []
+
+    def writer(wid: int) -> None:
+        try:
+            for _ in range(n_rounds):
+                df = spark.createDataFrame(
+                    [Row(k=i, n=1) for i in range(10)])
+                barrier.wait(timeout=120)
+                while True:
+                    try:
+                        tbl.merge_additive(df, key_cols=["k"],
+                                           sum_cols=["n"])
+                        break
+                    except CommitConflict:
+                        retries.append(wid)
+        except BaseException as exc:  # surface thread failures
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(w,))
+               for w in range(n_writers)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors, errors
+    assert retries, "contended rounds must force at least one retry"
+    # Serializability: no lost update — every one of the 12 batches
+    # landed exactly once.
+    got = {r["k"]: r["n"] for r in tbl.read(spark).collect()}
+    assert got == {i: n_writers * n_rounds for i in range(10)}
+    # Gap-free, linear history: one version per successful commit.
+    n_commits = 1 + n_writers * n_rounds
+    assert tbl.versions() == list(range(1, n_commits + 1))
+    assert all(h["op"] == "merge_additive" for h in tbl.history())
