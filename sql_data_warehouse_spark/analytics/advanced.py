@@ -468,7 +468,15 @@ def _fuzzy_bands_sql(supplier: str) -> str:
     positions, touching <=2 parts — so >=2 of the 4 parts are
     untouched, and the pair shares the concatenated key of at least
     one of the C(4,2)=6 part-combinations (pigeonhole). Block key =
-    (nation, combo, key)."""
+    (nation, combo, key).
+
+    The band join runs over DISTINCT (nation, name) values, not
+    supplier rows: the output is distinct name pairs either way, but
+    with d duplicate rows per name the row-level join pays d² per
+    true pair before its DISTINCT — the sf10 sweep measured 65×
+    wall for 10× data (100 copies/name), vs 1.3× after the collapse.
+    Same lesson as simhash_near_dup_clusters: collapse exact
+    duplicates before any pairwise stage."""
     import itertools
 
     parts = {0: [1, 5, 9], 1: [2, 6], 2: [3, 7], 3: [4, 8]}
@@ -478,12 +486,15 @@ def _fuzzy_bands_sql(supplier: str) -> str:
 
     selects = [
         f"SELECT s_nationkey, s_name, {bid} AS band,"
-        f" {expr(parts[i] + parts[j])} AS bkey FROM {supplier}"
+        f" {expr(parts[i] + parts[j])} AS bkey FROM names"
         for bid, (i, j) in enumerate(itertools.combinations(range(4), 2))
     ]
     bands = "\n          UNION ALL\n          ".join(selects)
     return f"""
-        WITH bands AS (
+        WITH names AS (
+          SELECT DISTINCT s_nationkey, s_name FROM {supplier}
+        ),
+        bands AS (
           {bands}
         ),
         cand AS (
@@ -616,6 +627,14 @@ def bom_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     — O(frontier × parts) per level, measured 14.8 s → 832 s for
     sf0.1 → sf1 (56× for 10× data). The exploded-equi form hash-joins
     every level: 832 s → 10.3 s at sf1."""
+    # Spark guards runaway recursion with a 1M-row accumulator cap
+    # (spark.sql.cteRecursionRowLimit) — an anti-footgun default, not
+    # a capacity bound. The sf10 sweep tripped it at 2M parts; the
+    # real termination guard here is the depth<30 predicate, so size
+    # the row cap to the data (left set: the DataFrame executes after
+    # this builder returns, and raising the cap never loosens the
+    # depth guard).
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(2**31 - 1))
     load_table(spark, sf_dir, "part").createOrReplaceTempView("td_part")
     return spark.sql(_BOM_RECURSIVE_TEXT.format(part="td_part"))
 

@@ -410,24 +410,27 @@ def jaccard_pairs_sql(doc_filter: str = "TRUE", k: int = SHINGLE_K,
 
 # ----------------------------------------------------------------- SimHash
 
-# 32-bit signature: md5 hex has 32 nibbles, one vote column per bit.
-# Width matters for the banded self-join, not just recall — with b-bit
-# bands the bucket count per band is 2^b, and Σ bucket² is what the
-# join pays: 16 bits / 4-bit bands = 16 buckets → ~n²/16 at corpus
-# scale (measured 275 s at sf1, 39× the sf0.1 time); 32 bits / 8-bit
-# bands = 256 buckets keeps the same hamming≤3 pigeonhole guarantee
-# at ~1/16 the join volume. At 100 TB: 64-bit simhash, 16-bit bands.
-SIMHASH_BITS = 32
+# 64-bit signature. Width matters for the banded self-join, not just
+# recall — with b-bit bands the bucket count per band is 2^b, and
+# Σ bucket² is what the join pays. The measured arc: 16 bits / 4-bit
+# bands = 16 buckets → ~n²/16 (275 s at sf1, 39× the sf0.1 time);
+# 32 / 8-bit = 256 buckets fixed sf1 (49 s) but still degenerates at
+# sf10's 500k distinct signatures (500k²/256 candidate pairs); 64 /
+# 16-bit = 65 536 buckets per band holds the same hamming≤3
+# pigeonhole guarantee (4 bands, max_hamming <= 3) through another
+# two decades of corpus growth. Bits 0-31 vote on the TOP bit of md5
+# hex nibble b; bits 32-63 vote on bit 2 of nibble b-32 (independent
+# digest bits, same ±1 vote semantics).
+SIMHASH_BITS = 64
 
 
 def simhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
                        n_bits: int = SIMHASH_BITS) -> DataFrame:
     """SimHash signature from token-hash bit votes: each token's md5
-    contributes ±1 per bit position (top bit of each hex nibble);
-    positive vote sum ⇒ bit set. Two aggregations, both keyed by
-    doc_id — scales linearly. (Production swaps the bit loop into a
-    pandas_udf; this formulation is the oracle-checkable one.)"""
+    contributes ±1 per bit position; positive vote sum ⇒ bit set.
+    One token scan + one aggregation keyed by doc_id — scales
+    linearly with map-side partial aggregation."""
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
@@ -444,41 +447,71 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
         ).alias("tok"),
     )
     toks = toks.withColumn("h", F.md5("tok"))
-    votes = toks.select(
+    # One aggregation, n_bits vote columns: SUM(±1) per bit with
+    # map-side partial aggregation, then assemble the signature from
+    # the n_bits sums row-locally. The earlier formulation exploded
+    # every token ×n_bits (doc_id, bit, vote) rows — 32× the shuffle
+    # volume and an extra aggregation round (measured 15.0 s → 4.4 s
+    # for the sf1 signature pass). The DuckDB twin keeps the
+    # relational explode form; results are identical integers.
+    # Bit b < 32 votes on the TOP bit (bit 3) of hex nibble b; bit
+    # b >= 32 on bit 2 of nibble b-32. Parse the digest in
+    # 8-char/32-bit chunks (fits a long safely — 16-char chunks could
+    # exceed 2^63 and null out on the cast), then each vote is one
+    # shift-and: SUM(±1) == 2*SUM(bit) - COUNT(*).
+    chunked = toks.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("bit"),
-        "h",
-    ).select(
-        "doc_id",
-        "bit",
-        F.when(
-            F.instr(
-                F.lit("89abcdef"),
-                F.col("h").substr(F.col("bit") + F.lit(1), F.lit(1)),
-            )
-            > 0,
-            1,
-        )
-        .otherwise(-1)
-        .alias("vote"),
+        *[
+            F.conv(F.substring("h", 8 * c + 1, 8), 16, 10)
+            .cast("long")
+            .alias(f"c{c}")
+            for c in range(4)
+        ],
     )
-    bitsums = votes.groupBy("doc_id", "bit").agg(F.sum("vote").alias("s"))
-    return (
-        bitsums.groupBy("doc_id")
+
+    def vote_bit(b: int):
+        nib = b if b < 32 else b - 32
+        bitpos = 3 if b < 32 else 2
+        shift = 4 * (7 - nib % 8) + bitpos
+        return F.shiftright(F.col(f"c{nib // 8}"), shift).bitwiseAND(F.lit(1))
+
+    bitsums = (
+        chunked.groupBy("doc_id")
         .agg(
-            F.sum(
-                F.when(
-                    F.col("s") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("long")
-                ).otherwise(F.lit(0).cast("long"))
-            ).alias("simhash")
+            F.count(F.lit(1)).alias("n_tok"),
+            *[F.sum(vote_bit(b)).alias(f"b{b}") for b in range(n_bits)],
+        )
+        .select(
+            "doc_id",
+            *[
+                (2 * F.col(f"b{b}") - F.col("n_tok")).alias(f"s{b}")
+                for b in range(n_bits)
+            ],
         )
     )
+    # Assemble with bitwise OR, not +: bit 63's term is
+    # shiftleft(1L, 63) == Long.MIN_VALUE (two's complement), which
+    # a SUM under ANSI mode would treat as an overflowing add.
+    sig = None
+    for b in range(n_bits):
+        term = F.when(
+            F.col(f"s{b}") > 0,
+            F.shiftleft(F.lit(1).cast("long"), b),
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return bitsums.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_sql(doc_filter: str = "TRUE") -> str:
     return _SIMHASH_SQL_TEMPLATE.format(doc_filter=doc_filter)
 
 
+# Relational explode twin of the chunked-vote Spark aggregation:
+# bits 0-31 test nibble bit's top bit (char in '89abcdef'); bits
+# 32-63 test bit 2 of nibble bit-32 (char in '4567cdef'). Bit 63's
+# weight is the two's-complement sign term: SUM over disjoint bit
+# weights equals the bitwise OR, and -2^63 + positives stays inside
+# BIGINT range (DuckDB sums in HUGEINT, cast at the end).
 _SIMHASH_SQL_TEMPLATE = f"""
     WITH toks AS (
       SELECT doc_id, md5(unnest(string_split({NORMALIZE_SQL.format(col="text")}, ' '))) AS h
@@ -486,7 +519,8 @@ _SIMHASH_SQL_TEMPLATE = f"""
     ),
     votes AS (
       SELECT doc_id, bit,
-             CASE WHEN instr('89abcdef', substr(h, CAST(bit + 1 AS INTEGER), 1)) > 0
+             CASE WHEN instr(CASE WHEN bit < 32 THEN '89abcdef' ELSE '4567cdef' END,
+                             substr(h, CAST((bit % 32) + 1 AS INTEGER), 1)) > 0
                   THEN 1 ELSE -1 END AS vote
       FROM toks, (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS bit)
     ),
@@ -494,8 +528,10 @@ _SIMHASH_SQL_TEMPLATE = f"""
       SELECT doc_id, bit, SUM(vote) AS s FROM votes GROUP BY doc_id, bit
     )
     SELECT doc_id,
-           CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << CAST(bit AS INTEGER)
-                         ELSE 0 END) AS BIGINT) AS simhash
+           CAST(SUM(CASE WHEN s <= 0 THEN 0
+                         WHEN bit = 63 THEN -9223372036854775808
+                         ELSE 1::BIGINT << CAST(bit AS INTEGER)
+                    END) AS BIGINT) AS simhash
     FROM bitsums GROUP BY doc_id
 """
 
@@ -504,7 +540,7 @@ SIMHASH_SQL = simhash_sql()
 
 # ------------------------------------------------- SimHash hamming-band LSH
 
-SIMHASH_BAND_BITS = 8
+SIMHASH_BAND_BITS = 16
 
 
 def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
@@ -523,9 +559,9 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
     the result is exact (hence oracle-gated), while the join is still
     keyed on (band_idx, band_val): cost is Σ bucket², never n².
 
-    At 100 TB you widen the signature (64-bit simhash, 4×16-bit
-    bands → ~65k buckets per band) so buckets stay small; the 16-bit
-    default here matches the oracle-checkable signature above."""
+    The 64-bit/4×16-bit-band default keeps ~65k buckets per band so
+    buckets stay small through sf10-scale distinct-signature counts
+    (see the width-arc note above SIMHASH_BITS)."""
     n_bands = n_bits // band_bits
     assert max_hamming <= n_bands - 1, "banding loses recall past n_bands-1"
     mask = (1 << band_bits) - 1
