@@ -242,6 +242,26 @@ def dedup_pipeline_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_keep_best_chain",
+    survey="ext-dedup ext-pipeline ext-sketch W3 A7",
+    tags=("llmops",),
+    oracle=dedup.dedup_keep_best_chain_sql(min_jaccard=0.35),
+)
+def dedup_keep_best_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LINEAR-VOLUME keep-best dedup (extreme-duplication path):
+    fingerprint collapse → per-bucket CHAIN candidates (m-1 edges per
+    m-doc LSH bucket, never m²/2) → bottom-k sketch Jaccard verify
+    (fixed-size payload per doc) → connected components → keep
+    longest per cluster. ``dedup_pipeline_keep_best`` (exact-verify)
+    remains the moderate-duplication form; this one's verify shuffle
+    stays ∝ corpus at ANY duplication density — the sf10 sweep
+    (100 copies/doc) killed the exact form on local disk and runs
+    this one in minutes (BASELINE.md round 3). Deterministic
+    end-to-end, so the DuckDB twin hash-gates the estimator too."""
+    return dedup.dedup_keep_best_chain(load_table(spark, sf_dir, "documents"))
+
+
 # -------------------------------------------------------------- similarity
 
 @query(

@@ -82,6 +82,7 @@ _TIER2 = frozenset({
     "catalog_roundtrip",             # S5 S6 durable-catalog path
     "simhash_near_dup_clusters",     # scale-safe simhash (r3)
     "media_real_decode_stats",       # real stdlib PNG/WAV codec (r3)
+    "dedup_keep_best_chain",         # linear-volume dedup pipeline (r3)
 })
 
 

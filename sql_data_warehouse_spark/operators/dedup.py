@@ -24,7 +24,7 @@ the pipeline shape is identical.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import NORMALIZE_SQL, char_shingles, normalize_text
@@ -243,8 +243,13 @@ def minhash_candidate_pairs_from_sets(sets: DataFrame) -> DataFrame:
 
 
 def _candidate_pairs_from_bands(bands: DataFrame) -> DataFrame:
+    # Both sides are the corpus-sized band relation: pin a sort-merge
+    # join. An auto-broadcast (the optimizer's serialized-size
+    # estimate can sit under the threshold while the in-heap hashed
+    # relation is GBs) OOM'd the driver at sf10 — corpus-derived
+    # relations are never broadcast in the dedup path.
     a = bands.alias("a")
-    b = bands.alias("b")
+    b = bands.hint("merge").alias("b")
     return (
         a.join(
             b,
@@ -260,7 +265,8 @@ def _candidate_pairs_from_bands(bands: DataFrame) -> DataFrame:
     )
 
 
-def _minhash_sig_sql(n_perm: int = N_PERMUTATIONS, k: int = SHINGLE_K) -> str:
+def _minhash_sig_sql(n_perm: int = N_PERMUTATIONS, k: int = SHINGLE_K,
+                     doc_filter: str = "TRUE") -> str:
     """DuckDB twin of the one-permutation-hashing signature."""
     norm = NORMALIZE_SQL.format(col="text")
     shingles = (
@@ -289,6 +295,7 @@ def _minhash_sig_sql(n_perm: int = N_PERMUTATIONS, k: int = SHINGLE_K) -> str:
     return f"""
         WITH sh AS (
           SELECT doc_id, unnest({shingles}) AS s FROM documents
+          WHERE {doc_filter}
         ),
         hashed AS (SELECT doc_id, md5(s) AS h FROM sh),
         mins AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id)
@@ -300,7 +307,8 @@ MINHASH_SIG_SQL = _minhash_sig_sql()
 
 
 def _minhash_bands_sql(n_perm: int = N_PERMUTATIONS,
-                       band_size: int = BAND_SIZE) -> str:
+                       band_size: int = BAND_SIZE,
+                       doc_filter: str = "TRUE") -> str:
     n_bands = n_perm // band_size
     band_rows = " UNION ALL ".join(
         "SELECT doc_id, {b} AS band_idx, md5({concat}) AS band_hash FROM sigs".format(
@@ -311,7 +319,10 @@ def _minhash_bands_sql(n_perm: int = N_PERMUTATIONS,
         )
         for b in range(n_bands)
     )
-    return f"WITH sigs AS ({_minhash_sig_sql()}) {band_rows}"
+    return (
+        f"WITH sigs AS ({_minhash_sig_sql(n_perm, doc_filter=doc_filter)})"
+        f" {band_rows}"
+    )
 
 
 MINHASH_PAIRS_SQL = f"""
@@ -690,7 +701,7 @@ def _simhash_clusters_from_sigs(sigs: DataFrame, n_bands: int,
         ).alias("band"),
     ).select("rep_id", "simhash", "band.band_idx", "band.band_val")
     a = bands.alias("a")
-    b = bands.alias("b")
+    b = bands.hint("merge").alias("b")
     edges = (
         a.join(
             b,
@@ -714,7 +725,9 @@ def _simhash_clusters_from_sigs(sigs: DataFrame, n_bands: int,
         "rep_id",
         "left",
     ).select("simhash", F.coalesce("cluster_id", "rep_id").alias("cluster_id"))
-    return sigs.join(rep_labels, "simhash").select("doc_id", "cluster_id")
+    return sigs.join(rep_labels.hint("merge"), "simhash").select(
+        "doc_id", "cluster_id"
+    )
 
 
 def simhash_clusters_sql(n_bits: int = SIMHASH_BITS,
@@ -803,7 +816,7 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
             sym.join(
                 labels.select(
                     F.col("id").alias("src"), F.col("label").alias("src_label")
-                ),
+                ).hint("merge"),
                 "src",
             )
             .groupBy(F.col("dst").alias("id"))
@@ -819,7 +832,8 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
             F.col("id").alias("p_id"), F.col("label").alias("p_label")
         )
         labels = (
-            hopped.join(parents, hopped["label"] == parents["p_id"], "left")
+            hopped.join(parents.hint("merge"),
+                        hopped["label"] == parents["p_id"], "left")
             .select(
                 "id",
                 F.least(
@@ -909,8 +923,12 @@ def jaccard_verify_sets(pairs: DataFrame, sets: DataFrame) -> DataFrame:
     relation. Persist ``sets`` when it also feeds the LSH stage — the
     two per-side joins here would otherwise each re-run the
     normalize+shingle scan."""
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # Corpus-sized shingle relations: sort-merge, never broadcast
+    # (see _candidate_pairs_from_bands).
+    sa = sets.select(F.col("doc_id").alias("doc_a"),
+                     F.col("sh").alias("sh_a")).hint("merge")
+    sb = sets.select(F.col("doc_id").alias("doc_b"),
+                     F.col("sh").alias("sh_b")).hint("merge")
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
@@ -973,4 +991,198 @@ def dedup_keep_best_sql(min_jaccard: float = 0.35,
                   PARTITION BY l.cluster_id
                   ORDER BY d.n_chars DESC, l.doc_id) = 1) AS is_kept
         FROM labels l JOIN documents d ON d.doc_id = l.doc_id
+    """
+
+
+# ------------------------- scale path: chain candidates + bottom-k verify
+#
+# The exact keep-best pipeline's verify stage ships both documents'
+# full shingle sets once per candidate pair; candidates grow
+# Σ cluster² and sets are tens of KB, so at extreme duplication the
+# verify shuffle is quadratic-in-cluster-size × set-width (the sf10
+# sweep — 100 near-identical copies per doc, 1 % unique — hit 175 GB
+# of spill and died on local disk; BASELINE.md round 3). This is the
+# LINEAR-volume variant production crawls run:
+#
+#   fingerprint collapse  → exact duplicates become one representative
+#   chain candidates      → within each LSH bucket, only CONSECUTIVE
+#                           doc_ids pair up: m-1 edges per m-doc
+#                           bucket instead of m(m-1)/2. Connected
+#                           components only needs a spanning
+#                           structure per bucket, and the chain IS
+#                           one — cluster recovery is unchanged
+#                           whenever chain neighbors pass the verify
+#                           threshold (true near-dup buckets do).
+#   bottom-k sketch verify → Jaccard estimated from the k smallest
+#                           md5(shingle) values per doc (fixed-size
+#                           payload), J ≈ |B_k(A∪B) ∩ A_k ∩ B_k| /
+#                           |B_k(A∪B)| — exact when a pair's union
+#                           fits in k, ±~1/√k otherwise.
+#
+# Everything is a deterministic function of the input, so the DuckDB
+# twin replays the estimator bit-for-bit and the hash gate holds.
+
+BOTTOM_K = 256
+
+
+def bottomk_sketches(sets: DataFrame, k: int = BOTTOM_K) -> DataFrame:
+    """(doc_id, sk): bottom-k of md5-hashed shingles, ascending."""
+    return sets.select(
+        "doc_id",
+        F.expr(
+            f"slice(array_sort(transform(sh, s -> md5(s))), 1, {k})"
+        ).alias("sk"),
+    )
+
+
+def chain_candidate_pairs_from_sets(sets: DataFrame) -> DataFrame:
+    """Chain candidates: (doc_a, doc_b) consecutive by doc_id within
+    each (band_idx, band_hash) LSH bucket. Output is ≤ |bands| rows —
+    linear in corpus size by construction."""
+    bands = _band_hashes(minhash_signatures_from_sets(sets))
+    w = Window.partitionBy("band_idx", "band_hash").orderBy("doc_id")
+    return (
+        bands.withColumn("doc_b", F.lead("doc_id").over(w))
+        .filter(F.col("doc_b").isNotNull())
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_bottomk_verify(pairs: DataFrame, sketches: DataFrame,
+                           k: int = BOTTOM_K) -> DataFrame:
+    """Bottom-k Jaccard estimate for an explicit candidate list.
+    Payload per pair is two fixed-size sketches, never the full
+    shingle sets; the estimate is exact whenever |A ∪ B| <= k."""
+    sa = sketches.select(F.col("doc_id").alias("doc_a"),
+                         F.col("sk").alias("sk_a")).hint("merge")
+    sb = sketches.select(F.col("doc_id").alias("doc_b"),
+                         F.col("sk").alias("sk_b")).hint("merge")
+    u = F.expr(f"slice(array_sort(array_union(sk_a, sk_b)), 1, {k})")
+    joined = pairs.join(sa, "doc_a").join(sb, "doc_b").withColumn("_u", u)
+    est = (
+        F.size(F.array_intersect(F.array_intersect("_u", "sk_a"), "sk_b"))
+        .cast("double")
+        / F.size("_u").cast("double")
+    )
+    return joined.select("doc_a", "doc_b", est.alias("jaccard_est"))
+
+
+def dedup_keep_best_chain(docs: DataFrame, min_jaccard: float = 0.35,
+                          k_sketch: int = BOTTOM_K) -> DataFrame:
+    """Linear-volume keep-best dedup (see the section note above):
+    fingerprint collapse → OPH/LSH chain candidates over
+    representatives → bottom-k sketch verify → connected components →
+    keep the longest doc per cluster (doc_id tiebreak). Same output
+    shape as ``dedup_pipeline_keep_best``; every stage's cost is
+    ∝ corpus size regardless of duplication density."""
+    spark = docs.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
+    fp = docs.select(
+        "doc_id", "n_chars",
+        F.md5(normalize_text(F.col("text"))).alias("fp"),
+    )
+    reps = fp.groupBy("fp").agg(F.min("doc_id").alias("rep_id"))
+    rep_docs = docs.join(
+        reps.select(F.col("rep_id").alias("doc_id")).hint("merge"), "doc_id"
+    ).select("doc_id", "text")
+    sets = shingle_sets(rep_docs.repartition(n_part)).persist()
+    try:
+        cands = chain_candidate_pairs_from_sets(sets)
+        sk = bottomk_sketches(sets, k_sketch)
+        verified = (
+            jaccard_bottomk_verify(cands, sk, k_sketch)
+            .filter(F.col("jaccard_est") >= min_jaccard)
+            .select("doc_a", "doc_b")
+        )
+        # Eagerly materialized inside connected_components, so the
+        # shingle cache has served every consumer when this returns.
+        cc = connected_components(verified, src="doc_a", dst="doc_b")
+    finally:
+        sets.unpersist()
+    rep_labels = reps.join(
+        cc.select(F.col("id").alias("rep_id"),
+                  F.col("label").alias("cluster_id")).hint("merge"),
+        "rep_id",
+        "left",
+    ).select("fp", F.coalesce("cluster_id", "rep_id").alias("cluster_id"))
+    labeled = fp.join(rep_labels.hint("merge"), "fp")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return labeled.select(
+        "doc_id",
+        "cluster_id",
+        (F.row_number().over(w) == 1).alias("is_kept"),
+    )
+
+
+def dedup_keep_best_chain_sql(min_jaccard: float = 0.35,
+                              k_sketch: int = BOTTOM_K,
+                              k: int = SHINGLE_K) -> str:
+    """DuckDB twin of :func:`dedup_keep_best_chain` — replays the
+    fingerprint collapse, the per-bucket lead() chain, the bottom-k
+    estimator, and the recursive-CTE components bit-for-bit."""
+    rep_filter = ("doc_id IN (SELECT MIN(doc_id) FROM documents "
+                  f"GROUP BY md5({NORMALIZE_SQL.format(col='text')}))")
+    bands = _minhash_bands_sql(doc_filter=rep_filter)
+    return f"""
+        WITH RECURSIVE fp AS MATERIALIZED (
+          SELECT doc_id, n_chars,
+                 md5({NORMALIZE_SQL.format(col="text")}) AS fp
+          FROM documents
+        ),
+        reps AS MATERIALIZED (
+          SELECT fp, MIN(doc_id) AS rep_id FROM fp GROUP BY fp
+        ),
+        bands AS MATERIALIZED (SELECT * FROM ({bands})),
+        chain AS MATERIALIZED (
+          SELECT doc_a, doc_b FROM (
+            SELECT doc_id AS doc_a,
+                   lead(doc_id) OVER (PARTITION BY band_idx, band_hash
+                                      ORDER BY doc_id) AS doc_b
+            FROM bands
+          ) WHERE doc_b IS NOT NULL
+          GROUP BY doc_a, doc_b
+        ),
+        sk AS MATERIALIZED (
+          SELECT doc_id,
+                 list_slice(list_sort(list_transform({shingle_set_sql(k)},
+                                                     s -> md5(s))),
+                            1, {k_sketch}) AS sk
+          FROM documents WHERE {rep_filter}
+        ),
+        verified AS MATERIALIZED (
+          SELECT doc_a, doc_b FROM (
+            SELECT c.doc_a, c.doc_b, a.sk AS ska, b.sk AS skb,
+                   list_slice(list_sort(list_distinct(a.sk || b.sk)),
+                              1, {k_sketch}) AS u
+            FROM chain c
+            JOIN sk a ON a.doc_id = c.doc_a
+            JOIN sk b ON b.doc_id = c.doc_b
+          )
+          WHERE CAST(len(list_intersect(list_intersect(u, ska), skb))
+                     AS DOUBLE) / CAST(len(u) AS DOUBLE) >= {min_jaccard}
+        ),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM verified
+          UNION ALL
+          SELECT doc_b, doc_a FROM verified
+        ),
+        reach(id, label) AS (
+          SELECT rep_id, rep_id FROM reps
+          UNION
+          SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+        ),
+        rep_labels AS (
+          SELECT id AS rep_id, MIN(label) AS cluster_id
+          FROM reach GROUP BY id
+        )
+        SELECT f.doc_id, rl.cluster_id,
+               (row_number() OVER (
+                  PARTITION BY rl.cluster_id
+                  ORDER BY f.n_chars DESC, f.doc_id) = 1) AS is_kept
+        FROM fp f
+        JOIN reps r ON r.fp = f.fp
+        JOIN rep_labels rl ON rl.rep_id = r.rep_id
     """

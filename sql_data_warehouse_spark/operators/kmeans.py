@@ -74,14 +74,6 @@ def _dist_structs_sql(vec_sql: str, centroids: list[list[float]]) -> str:
     return f"array({structs})"
 
 
-def _nearest(vec_sql: str, centroids: list[list[float]]):
-    """Column: id of the nearest centroid (min squared-L2, ties to
-    the lowest cluster id via struct ordering)."""
-    return F.expr(
-        f"array_min({_dist_structs_sql(vec_sql, centroids)}).cluster_id"
-    )
-
-
 def kmeans_fit(embeddings: DataFrame, k: int = 8, n_iter: int = 4,
                vec_col: str = "embedding",
                id_col: str = "vec_id") -> list[list[float]]:
@@ -200,9 +192,23 @@ def _lloyd_step(corpus: DataFrame,
 def kmeans_assign(embeddings: DataFrame, centroids: list[list[float]],
                   vec_col: str = "embedding") -> DataFrame:
     """Add ``cluster_id`` (nearest learned centroid) — one projection,
-    no shuffle; at scale this is the write-time clustering key."""
+    no shuffle; at scale this is the write-time clustering key.
+
+    The k·dim argmin is one ``array_min(array(structs…))``
+    expression. At k=8, dim=64 that tree exceeds janino's 64 KB
+    method limit, so Spark logs ``ERROR CodeGenerator`` and runs the
+    stage INTERPRETED — cosmetic but known: a CASE/least two-
+    projection split was tried and rejected (CollapseProject re-
+    inlines the distance columns into every least() reference,
+    ~9×-duplicating the k·dim terms — OOM'd a 1 GB default driver at
+    plan time). pq.py's per-subspace split works because its encode
+    relation is localCheckpoint-ed — a real barrier; here the assign
+    feeds a join directly and has none."""
     return embeddings.withColumn(
-        "cluster_id", _nearest(vec_col, centroids)
+        "cluster_id",
+        F.expr(
+            f"array_min({_dist_structs_sql(vec_col, centroids)}).cluster_id"
+        ),
     )
 
 

@@ -187,22 +187,27 @@ def pq_encode(embeddings: DataFrame,
               codebooks: list[list[list[float]]],
               vec_col: str = "embedding",
               id_col: str = "vec_id") -> DataFrame:
-    """(id, codes array<int>): nearest codeword per subspace, as one
-    unrolled whole-stage-codegen projection (ties → lowest code via
-    struct ordering)."""
+    """(id, _c0.._c{m-1}): nearest codeword per subspace, ONE COLUMN
+    PER SUBSPACE (ties → lowest code via struct ordering).
+
+    Wide columns, not one ``array(...)`` of all m subspace argmins:
+    Project codegen gives each output column its own Java method, so
+    every subspace expression (k structs × ds-term dots) compiles,
+    while the single-array form is one m·k·ds expression tree that
+    blows janino's 64 KB method limit (m=16, k=16, ds=4 tripped it —
+    silent fall-back to interpreted for the stage). Assemble the
+    array AFTER materializing (see pq_ann_topk) — a pre-checkpoint
+    select would be CollapseProject'd right back into one tree."""
     ds = len(codebooks[0][0])
-    subs = []
+    cols = []
     for s, book in enumerate(codebooks):
         structs = ", ".join(
             f"named_struct('dist', {_sub_dist_sql(vec_col, s, ds, c)}, "
             f"'code', CAST({code} AS INT))"
             for code, c in enumerate(book)
         )
-        subs.append(f"array_min(array({structs})).code")
-    codes = F.expr(f"array({', '.join(subs)})")
-    return embeddings.select(
-        F.col(id_col).alias("id"), codes.alias("codes")
-    )
+        cols.append(F.expr(f"array_min(array({structs})).code").alias(f"_c{s}"))
+    return embeddings.select(F.col(id_col).alias("id"), *cols)
 
 
 def _l2_rank_sql(vec_sql: str, q: list[float]) -> str:
@@ -243,8 +248,16 @@ def pq_ann_topk(embeddings: DataFrame, queries: list[tuple[int, list[float]]],
     # scans it (in production the codes are a stored table; here the
     # local checkpoint stands in for that materialization). Without
     # it each per-query branch would re-run the fit-scoring encode.
-    codes = pq_encode(embeddings, codebooks, vec_col, id_col)
-    codes = codes.localCheckpoint(eager=True)
+    # The codes array is assembled AFTER the checkpoint: over
+    # materialized ints it is a trivial projection, and building it
+    # pre-checkpoint would let CollapseProject fuse all m subspace
+    # argmins back into one >64 KB expression (see pq_encode).
+    m = len(codebooks)
+    wide = pq_encode(embeddings, codebooks, vec_col, id_col)
+    wide = wide.localCheckpoint(eager=True)
+    codes = wide.select(
+        "id", F.array(*[f"_c{s}" for s in range(m)]).alias("codes")
+    )
     vecs = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("_v")
     )
