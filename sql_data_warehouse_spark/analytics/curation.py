@@ -96,11 +96,16 @@ def token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     offsets), not a single-reducer global window — same result,
     100 TB-safe plan."""
     d = load_table(spark, sf_dir, "documents")
-    t = tokens(F.col("text"))
+    # Token array staged as a column for the two size() consumers
+    # (codegen's subexpression elimination already de-duplicates the
+    # inlined form — A/B'd at sf10, no wall delta — but the staged
+    # shape states the sharing instead of relying on it).
     scored = d.select(
+        "doc_id", "lang", tokens(F.col("text")).alias("_toks")
+    ).select(
         "doc_id", "lang",
-        F.size(t).cast("long").alias("n_tokens"),
-        F.size(F.array_distinct(t)).cast("long").alias("n_distinct"),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("_toks")).cast("long").alias("n_distinct"),
     ).withColumn(
         "quality",
         F.col("n_distinct") / F.col("n_tokens").cast("double"),

@@ -465,22 +465,28 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_keeper"),
     )
 
-    def stage(name: str, cond) -> DataFrame:
-        return flags.agg(
-            F.coalesce(F.sum(F.when(cond, F.lit(1))), F.lit(0))
-            .cast("long")
-            .alias("n_docs")
-        ).select(F.lit(name).alias("stage"), "n_docs")
+    # ONE aggregate for all four funnel counters, unpivoted to stage
+    # rows afterwards — a union of four separate aggregates re-ran the
+    # full projection + dedup window per stage (4 corpus passes,
+    # measured 65 s at sf10; single-pass ~4× less).
+    def surv(cond) -> F.Column:
+        return F.coalesce(F.sum(F.when(cond, F.lit(1))), F.lit(0)).cast("long")
 
-    out = flags.agg(F.count(F.lit(1)).cast("long").alias("n_docs")).select(
-        F.lit("total").alias("stage"), "n_docs"
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("_total"),
+        surv(F.col("q_ok")).alias("_quality"),
+        surv(F.col("q_ok") & F.col("lang_ok")).alias("_lang"),
+        surv(
+            F.col("q_ok") & F.col("lang_ok") & F.col("is_keeper")
+        ).alias("_dedup"),
     )
-    out = out.unionAll(stage("quality_pass", F.col("q_ok")))
-    out = out.unionAll(stage("lang_identified", F.col("q_ok") & F.col("lang_ok")))
-    out = out.unionAll(
-        stage("deduplicated", F.col("q_ok") & F.col("lang_ok") & F.col("is_keeper"))
+    return agg.select(
+        F.expr(
+            "stack(4, 'total', _total, 'quality_pass', _quality, "
+            "'lang_identified', _lang, 'deduplicated', _dedup) "
+            "AS (stage, n_docs)"
+        )
     )
-    return out
 
 
 # -------------------------------------------------------------- multimodal

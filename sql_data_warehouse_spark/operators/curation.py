@@ -128,6 +128,11 @@ def global_running_sum(df: DataFrame, order_cols: list[Column],
     w = Window.partitionBy("_pid").orderBy(*order_cols) \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     local = part.withColumn("_local_sum", F.sum(value_col).over(w))
+    # Two consumers (the totals collect below AND the final join)
+    # would otherwise each re-run the caller's upstream projection +
+    # the range shuffle — for token_budget_pack that upstream is the
+    # full tokenizer, measured as 2 corpus passes (73 s at sf10).
+    local = local.localCheckpoint(eager=True)
 
     totals = (
         local.groupBy("_pid").agg(F.sum(value_col).alias("_tot"))

@@ -182,13 +182,22 @@ def bm25_rank(docs: DataFrame, keywords: list[str], k: int = 20,
         F.col(id_col).alias("doc_id"),
         tokens(F.col(text_col)).alias("_toks"),
     ).select(
-        "doc_id", "_toks", F.size("_toks").cast("long").alias("dl")
+        "doc_id",
+        F.size("_toks").cast("long").alias("dl"),
+        F.filter("_toks", lambda t: t.isin(*keywords)).alias("_ktoks"),
     )
+    # ONE tokenization pass feeds BOTH the corpus stats and the
+    # postings: the full token arrays are dropped before the eager
+    # materialization (each row keeps dl + the ≤|keywords|-distinct
+    # surviving occurrences), so the checkpoint is a few bytes per
+    # doc. Unmaterialized, the corpus aggregate and the posting
+    # explode each re-ran the regex tokenizer over the whole corpus —
+    # the sweep measured it as 2 full passes (123 s at sf10).
+    staged = staged.localCheckpoint(eager=True)
     postings = (
         staged.select(
-            "doc_id", "dl", F.explode("_toks").alias("tok")
+            "doc_id", "dl", F.explode("_ktoks").alias("tok")
         )
-        .filter(F.col("tok").isin(*keywords))
         .groupBy("doc_id", "dl", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
