@@ -333,6 +333,22 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "semantic_dedup_clusters",
+    survey="ext-dedup ext-semdedup ext-sim A2 J-self",
+    tags=("llmops",),
+    oracle=similarity.semantic_dedup_sql(threshold=0.35),
+)
+def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: exact cosine pairs within
+    coarse cells (the label column; kmeans_assign cells at scale) →
+    connected components → min-id keeper per semantic cluster.
+    Σ cell² pairwise work, never n²; hash-gated end-to-end."""
+    return similarity.semantic_dedup_clusters(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+
+
+@query(
     "label_centroid_similarity",
     survey="ext-sim A7",
     tags=("llmops",),

@@ -83,6 +83,7 @@ _TIER2 = frozenset({
     "simhash_near_dup_clusters",     # scale-safe simhash (r3)
     "media_real_decode_stats",       # real stdlib PNG/WAV codec (r3)
     "dedup_keep_best_chain",         # linear-volume dedup pipeline (r3)
+    "semantic_dedup_clusters",       # SemDeDup within-cell dedup (r3)
 })
 
 

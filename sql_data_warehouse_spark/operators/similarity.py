@@ -562,3 +562,90 @@ def ivf_topk_sql(query_filter: str, k: int = 10, nprobe: int = 2) -> str:
           FROM scored
         ) WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------- semantic dedup
+
+def semantic_dedup_clusters(embeddings: DataFrame,
+                            threshold: float = 0.35,
+                            cell_col: str = "label",
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            dim: int = SIM_DIM) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    pairwise exact cosine WITHIN coarse cells only, near-dup edges →
+    connected components → one keeper per semantic cluster
+    (min vec_id). Output: (vec_id, cluster_id, is_kept) for every
+    vector — singletons keep themselves.
+
+    The cell column is the coarse quantizer: here the embeddings
+    table's ``label`` (so the DuckDB twin can replay the exact same
+    partition); at 100 TB you produce it with ``kmeans_assign`` over
+    learned centroids — identical plan shape, cells sized so
+    Σ cell² stays tractable while cross-cell pairs (already far in
+    embedding space by construction) are never scored."""
+    from ..functions.vectors import cosine_prenormed
+    from .dedup import connected_components
+
+    e = embeddings.select(
+        F.col(cell_col).alias("_cell"),
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        norm_fixed(vec_col, dim).alias("nrm"),
+    )
+    a = e.alias("a")
+    b = e.hint("merge").alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a._cell") == F.col("b._cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("src"),
+            F.col("b.vec_id").alias("dst"),
+            cosine_prenormed("a.vec", "b.vec", "a.nrm", "b.nrm", dim)
+            .alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("src", "dst")
+    )
+    cc = connected_components(edges, src="src", dst="dst")
+    return (
+        embeddings.select(F.col(id_col).alias("vec_id"))
+        .join(
+            cc.select(
+                F.col("id").alias("vec_id"), F.col("label").alias("cluster_id")
+            ).hint("merge"),
+            "vec_id",
+            "left",
+        )
+        .withColumn("cluster_id", F.coalesce("cluster_id", "vec_id"))
+        .withColumn("is_kept", F.col("vec_id") == F.col("cluster_id"))
+    )
+
+
+def semantic_dedup_sql(threshold: float = 0.35) -> str:
+    """DuckDB twin: same within-cell pairs, recursive-CTE closure,
+    min-id keeper rule."""
+    return f"""
+        WITH RECURSIVE pairs AS MATERIALIZED (
+          SELECT a.vec_id AS src, b.vec_id AS dst
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE {cosine_sql("a.embedding", "b.embedding")} >= {threshold}
+        ),
+        edges AS (
+          SELECT src, dst FROM pairs
+          UNION ALL
+          SELECT dst, src FROM pairs
+        ),
+        reach(id, lab) AS (
+          SELECT vec_id, vec_id FROM embeddings
+          UNION
+          SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+        )
+        SELECT id AS vec_id, MIN(lab) AS cluster_id,
+               (id = MIN(lab)) AS is_kept
+        FROM reach GROUP BY id
+    """
