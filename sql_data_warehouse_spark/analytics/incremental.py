@@ -279,3 +279,78 @@ def approx_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("approx_p")[1].alias("p90"),
         F.col("approx_p")[2].alias("p99"),
     )
+
+
+_N_SHARDS = 32
+
+
+@query(
+    "training_shard_manifest",
+    survey="ext-shard ext-split A2 W3",
+    tags=("llmops",),
+    oracle=f"""
+        WITH assigned AS (
+          SELECT doc_id, n_chars,
+                 md5(CAST(doc_id AS VARCHAR)) AS h
+          FROM documents
+          WHERE {_SPLIT_CASE_SQL} = 'train'
+        ),
+        sharded AS (
+          SELECT doc_id, n_chars, h,
+                 CAST(instr('0123456789abcdef', substr(h, 3, 1)) - 1
+                      AS INTEGER)
+                 + 16 * CAST(substr(h, 4, 1) < '8' AS INTEGER) AS shard
+          FROM assigned
+        ),
+        with_first AS (
+          SELECT shard, n_chars,
+                 FIRST_VALUE(doc_id) OVER (
+                   PARTITION BY shard ORDER BY h, doc_id) AS first_doc
+          FROM sharded
+        )
+        SELECT CAST(shard AS INTEGER) AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               MIN(first_doc) AS first_doc
+        FROM with_first GROUP BY shard
+    """,
+)
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shuffle-and-shard step a tokenizer pipeline runs before
+    writing training shards: train-split docs are hash-assigned to
+    32 shards and ORDERED WITHIN EACH SHARD by a second hash
+    (a deterministic global shuffle — no seed state, stable across
+    reruns and cluster sizes), reported as a shard manifest
+    (doc count, byte budget, first doc in shuffle order). At scale
+    the same expressions feed ``df.repartitionByRange(shard, h)`` +
+    ``sortWithinPartitions`` and a partitioned parquet write — the
+    manifest here IS the plan's verification surface.
+
+    Shard id = md5 hex chars 3-4 (nibble 3 + high-bit of nibble 4 →
+    0..31); shuffle order = (full digest, doc_id). Everything derives
+    from md5 so the DuckDB twin replays it bit-for-bit."""
+    d = load_table(spark, sf_dir, "documents")
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    train = d.filter(
+        F.when(prefix < "cd", "train")
+        .when(prefix < "e6", "val")
+        .otherwise("test")
+        == "train"
+    ).select(
+        "doc_id", "n_chars", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    shard = (
+        (F.instr(F.lit("0123456789abcdef"), F.substring("h", 3, 1)) - 1)
+        + 16 * (F.substring("h", 4, 1) < "8").cast("int")
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        train.withColumn("shard", shard)
+        .withColumn("first_doc", F.first_value("doc_id").over(w))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("first_doc").alias("first_doc"),
+        )
+    )

@@ -84,6 +84,7 @@ _TIER2 = frozenset({
     "media_real_decode_stats",       # real stdlib PNG/WAV codec (r3)
     "dedup_keep_best_chain",         # linear-volume dedup pipeline (r3)
     "semantic_dedup_clusters",       # SemDeDup within-cell dedup (r3)
+    "training_shard_manifest",       # shuffle-and-shard writer (r3)
 })
 
 
@@ -95,9 +96,9 @@ def _run_priority(item: tuple[str, Query]) -> tuple[int, str]:
     surface) without a hard-signal row; round 2's wh_*-first fix then
     pushed the etl_*/gold_* ids out of the window instead. Three
     tiers: (a) the 32 wh_* rows, (b) the _TIER2 set-cover of every
-    remaining SURVEY §2 id, (c) the rest alphabetically. 32 + 14 = 46
-    of the 50 slots; a driver that sorts independently is
-    unaffected."""
+    remaining SURVEY §2 id plus the round-3 first-time queries,
+    (c) the rest alphabetically. 32 + 18 fills the 50-slot window
+    exactly; a driver that sorts independently is unaffected."""
     name, _ = item
     tier = 0 if name.startswith("wh_") else (1 if name in _TIER2 else 2)
     return (tier, name)
