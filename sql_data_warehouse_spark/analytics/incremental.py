@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import TOKENS_SQL, tokens
 from ..sources import load_table
 from .registry import query
 from .xengine import cents, CENTS_SQL
@@ -353,4 +354,96 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
             F.min("first_doc").alias("first_doc"),
         )
+    )
+
+
+_SEQ_LEN = 2048
+
+
+@query(
+    "sequence_packing_manifest",
+    survey="ext-pack ext-shard W6 A2",
+    tags=("llmops",),
+    oracle=f"""
+        WITH train AS (
+          SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+                 CAST(len({TOKENS_SQL.format(col="text")}) AS BIGINT)
+                   AS n_tokens
+          FROM documents
+          WHERE {_SPLIT_CASE_SQL} = 'train'
+        ),
+        sharded AS (
+          SELECT doc_id, n_tokens, h,
+                 CAST(instr('0123456789abcdef', substr(h, 3, 1)) - 1
+                      AS INTEGER)
+                 + 16 * CAST(substr(h, 4, 1) < '8' AS INTEGER) AS shard
+          FROM train
+        ),
+        packed AS (
+          SELECT shard, n_tokens,
+                 CAST((SUM(n_tokens) OVER (
+                         PARTITION BY shard ORDER BY h, doc_id
+                         ROWS UNBOUNDED PRECEDING) - 1)
+                      // {_SEQ_LEN} AS BIGINT) AS seq_idx
+          FROM sharded
+        )
+        SELECT CAST(shard AS INTEGER) AS shard,
+               CAST(MAX(seq_idx) + 1 AS BIGINT) AS n_sequences,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(MAX(per_seq) AS BIGINT) AS max_docs_per_seq
+        FROM (
+          SELECT shard, seq_idx, SUM(n_tokens) AS n_tokens,
+                 COUNT(*) AS per_seq
+          FROM packed GROUP BY shard, seq_idx
+        )
+        GROUP BY shard
+    """,
+)
+def sequence_packing_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-split sequence packing: train docs in
+    deterministic shuffle order (hash order within hash shards, as in
+    ``training_shard_manifest``) are concatenated and cut into
+    2048-token sequences — ``seq_idx = (running_tokens - 1) div
+    2048``. Reported per shard: sequence count, token total, max docs
+    landing in one sequence. The running sum is a within-shard window
+    (shards are the parallel unit — no global order, no single
+    reducer), exactly the job that writes packed training records at
+    100 TB; the manifest is its verification surface."""
+    d = load_table(spark, sf_dir, "documents")
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    train = d.filter(
+        F.when(prefix < "cd", "train")
+        .when(prefix < "e6", "val")
+        .otherwise("test")
+        == "train"
+    ).select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    shard = (
+        (F.instr(F.lit("0123456789abcdef"), F.substring("h", 3, 1)) - 1)
+        + 16 * (F.substring("h", 4, 1) < "8").cast("int")
+    ).cast("int")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = (
+        train.withColumn("shard", shard)
+        .withColumn(
+            "seq_idx",
+            ((F.sum("n_tokens").over(w) - 1) / _SEQ_LEN)
+            .cast("long"),
+        )
+    )
+    per_seq = packed.groupBy("shard", "seq_idx").agg(
+        F.sum("n_tokens").alias("n_tokens"),
+        F.count(F.lit(1)).alias("per_seq"),
+    )
+    return per_seq.groupBy("shard").agg(
+        (F.max("seq_idx") + 1).alias("n_sequences"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.max("per_seq").alias("max_docs_per_seq"),
     )
