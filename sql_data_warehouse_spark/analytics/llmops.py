@@ -714,3 +714,95 @@ def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"),
         ["stream", "shuffle", "broadcast"],
     )
+
+
+# ---------------------------------------------------- split leakage audit
+
+_LEAK_MIN_JACCARD = 0.5
+
+
+@query(
+    "split_leakage_pairs",
+    survey="ext-dedup ext-decon ext-split J-self A8",
+    tags=("llmops",),
+    oracle=f"""
+        WITH bands AS ({dedup._minhash_bands_sql()}),
+        splits AS (
+          SELECT doc_id,
+                 CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                        THEN 'train'
+                      WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                        THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS train_doc, b.doc_id AS test_doc
+          FROM bands a
+          JOIN splits sa ON sa.doc_id = a.doc_id AND sa.split = 'train'
+          JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+          JOIN splits sb ON sb.doc_id = b.doc_id AND sb.split = 'test'
+        ),
+        sets AS MATERIALIZED (
+          SELECT doc_id, {dedup.shingle_set_sql()} AS sh FROM documents
+        )
+        SELECT c.train_doc, c.test_doc,
+               CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / CAST(len(a.sh) + len(b.sh)
+                        - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 AS jaccard
+        FROM cand c
+        JOIN sets a ON a.doc_id = c.train_doc
+        JOIN sets b ON b.doc_id = c.test_doc
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / CAST(len(a.sh) + len(b.sh)
+                     - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              >= {_LEAK_MIN_JACCARD}
+    """,
+)
+def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set leakage audit: near-duplicate (train, test) document
+    pairs across the content-hash split boundary — the check a
+    training pipeline runs before shipping a dataset version, since
+    exact-hash splits keep EXACT duplicates together... in the same
+    split only when texts are identical; near-duplicates of a test
+    doc can land in train and leak the benchmark. MinHash-LSH
+    candidates restricted to cross-split collisions (never a
+    train×test product), then exact-Jaccard verification ≥ 0.5. The
+    whole path is a deterministic function of the corpus, so it is
+    hash-gated like the dedup pipelines."""
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(prefix < "cd", "train")
+        .when(prefix < "e6", "val")
+        .otherwise("test")
+    )
+    labeled = docs.select("doc_id", split.alias("split"))
+    bands = dedup.minhash_band_hashes(docs).join(labeled.hint("merge"),
+                                                 "doc_id")
+    a = bands.filter(F.col("split") == "train").alias("a")
+    b = bands.filter(F.col("split") == "test").hint("merge").alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    verified = dedup.jaccard_verify(cand, docs).filter(
+        F.col("jaccard") >= _LEAK_MIN_JACCARD
+    )
+    return verified.select(
+        F.col("doc_a").alias("train_doc"),
+        F.col("doc_b").alias("test_doc"),
+        "n_common",
+        "jaccard",
+    )
