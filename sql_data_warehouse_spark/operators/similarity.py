@@ -579,36 +579,31 @@ def semantic_dedup_clusters(embeddings: DataFrame,
     (min vec_id). Output: (vec_id, cluster_id, is_kept) for every
     vector — singletons keep themselves.
 
-    The cell is (label, subcell): the label column stands in for the
-    learned k-means coarse quantizer (``kmeans_assign`` at 100 TB —
-    identical plan shape), and the subcell is
-    ``ceil(log2(n / target_cell))`` deterministic sign bits
-    (coordinate-pair comparisons ``v[2i] > v[2i+1]``) so the CELL
-    COUNT GROWS WITH THE CORPUS — the defining SemDeDup property.
-    With a fixed cell count Σ cell² is quadratic across scale
-    factors (measured: 349 s at sf1 for label-only cells vs 31 s
-    subdivided); with cells sized ~target_cell it is linear, at the
-    standard SemDeDup price that cross-cell pairs are never scored
-    (quantization recall — the algorithm's documented trade, not an
-    engine approximation). At sf0.01 (n ≤ target_cell) zero sign
-    bits are used, so the DuckDB twin replays the label-only
-    partition exactly and the hash gate is exact."""
-    import math
+    The cell column is the coarse quantizer — here the embeddings
+    table's ``label`` so the DuckDB twin replays the exact same
+    partition and the hash gate is exact. Two measured facts shape
+    the scale story (BASELINE.md round 3):
 
+    - Fixed cell CARDINALITY makes Σ cell² quadratic across scale
+      factors (349 s at sf1 for these label cells). At 100 TB the
+      cells must come from a quantizer whose k grows with n —
+      ``kmeans_assign`` over learned centroids (identical plan
+      shape, cells ≈ constant size).
+    - Data-independent subdivision does NOT work in this similarity
+      regime: ceil(log2(n/target_cell)) coordinate-sign bits were
+      tried and kept only 15 % of the exact form's near-dup pairs
+      co-located (pairs at cosine 0.35-0.5 sit ~60-70° apart, so
+      each hyperplane bit disagrees almost half the time). Density-
+      adaptive cells (k-means) or OR-amplified banding
+      (``embedding_near_dup_pairs_lsh``, the rows-only scale path)
+      are the only recall-preserving subdivisions; ``target_cell``
+      is kept in the signature as the knob the learned-quantizer
+      deployment sizes k with."""
     from ..functions.vectors import cosine_prenormed
     from .dedup import connected_components
 
-    n = embeddings.count()
-    bits = max(0, math.ceil(math.log2(max(n / target_cell, 1))))
-    sub = [
-        (F.col(vec_col)[2 * i] > F.col(vec_col)[2 * i + 1])
-        .cast("int")
-        .cast("string")
-        for i in range(bits)
-    ]
-    cell = F.concat_ws("|", F.col(cell_col).cast("string"), *sub)
     e = embeddings.select(
-        cell.alias("_cell"),
+        F.col(cell_col).cast("string").alias("_cell"),
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
         norm_fixed(vec_col, dim).alias("nrm"),

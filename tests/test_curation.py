@@ -97,3 +97,71 @@ def test_winnow_pairs_doc_freq_guard(spark):
     pairs = winnow_near_dup_pairs(df, min_shared=1, max_doc_freq=3)
     # every shared fp has doc-frequency 6 > 3 -> no candidate pairs
     assert pairs.count() == 0
+
+
+def test_shard_and_split_stable_across_corpus_growth(spark):
+    """Content-addressed split/shard assignments must never move a
+    document as the corpus grows — the property that prevents
+    test-set leakage across dataset versions. The sf0.001 corpus is a
+    subset of sf0.01's id space; every shared doc_id must land in the
+    same split and the same shard at both scales."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_spark.sources import load_table
+
+    def assignments(sf_dir):
+        d = load_table(spark, sf_dir, "documents")
+        h = F.md5(F.col("doc_id").cast("string"))
+        prefix = F.substring(h, 1, 2)
+        split = (
+            F.when(prefix < "cd", "train")
+            .when(prefix < "e6", "val")
+            .otherwise("test")
+        )
+        shard = (
+            (F.instr(F.lit("0123456789abcdef"), F.substring(h, 3, 1)) - 1)
+            + 16 * (F.substring(h, 4, 1) < "8").cast("int")
+        )
+        return {
+            r["doc_id"]: (r["split"], r["shard"])
+            for r in d.select(
+                "doc_id", split.alias("split"), shard.alias("shard")
+            ).collect()
+        }
+
+    small = assignments("/root/testdata/sf0.001")
+    big = assignments("/root/testdata/sf0.01")
+    shared = set(small) & set(big)
+    assert shared, "corpora must overlap in doc_id space"
+    assert all(small[d] == big[d] for d in shared)
+
+
+def test_semantic_dedup_cells_are_label_exact(spark):
+    """The registered semantic-dedup form partitions by label ONLY —
+    a data-independent sign-bit subdivision was tried and measured at
+    15 % pair recall in this similarity regime (cosine 0.35-0.5 pairs
+    sit ~60-70 deg apart; every hyperplane bit flips almost half the
+    time), so it was removed. Pin the exactness: every within-label
+    pair of the exact all-pairs form must be co-clustered by the
+    registered operator."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_spark.operators.similarity import (
+        embedding_near_dup_pairs, semantic_dedup_clusters,
+    )
+    from sql_data_warehouse_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    clusters = {
+        r["vec_id"]: r["cluster_id"]
+        for r in semantic_dedup_clusters(emb, threshold=0.35).collect()
+    }
+    labels = {r["vec_id"]: r["label"]
+              for r in emb.select("vec_id", "label").collect()}
+    pairs = [
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in embedding_near_dup_pairs(emb, threshold=0.35).collect()
+        if labels[r["vec_id_a"]] == labels[r["vec_id_b"]]
+    ]
+    assert pairs, "sf0.01 embeddings must contain within-label near-dups"
+    assert all(clusters[a] == clusters[b] for a, b in pairs)
