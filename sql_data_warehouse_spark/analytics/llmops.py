@@ -349,6 +349,38 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_lsh_clusters",
+    survey="ext-dedup ext-sim ext-semdedup J-self A2",
+    tags=("llmops",),
+    oracle=similarity.lsh_clusters_sql(threshold=0.35),
+)
+def embedding_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-amplified LSH near-dup clusters — the recall-preserving,
+    HASH-GATED scale path for semantic dedup (cell partitioning
+    loses 58-85% of pairs in this similarity regime, measured in
+    BASELINE.md): 8 bands × 4 deterministic hyperplane sign bits,
+    candidates verified by exact cosine ≥ 0.35, connected
+    components, one (vec_id, cluster_id) row per vector. Bucket
+    bits are sequential ±folds, so the DuckDB twin replays the
+    whole pipeline bit-for-bit.
+
+    Band width adapts to the corpus (adaptive_band_bits keeps
+    buckets ≈125 vectors, Σ bucket² linear); at the gate scales
+    (n ≤ 2000) that resolves to the oracle's 4 bits, so the static
+    twin stays exact. The classic trade documented in BASELINE.md
+    applies: more bits preserve per-band cost, and at WEAK
+    thresholds (0.35 ≈ 60-70°, per-bit p≈0.6) recall decays with
+    bits — sub-quadratic weak-similarity joins are intrinsically
+    recall-limited; at production semantic-dup thresholds (0.9+,
+    p≈0.92) the same shape keeps recall ≥0.95 at any width."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_lsh_clusters(
+        emb, threshold=0.35,
+        band_bits=similarity.adaptive_band_bits(emb.count()),
+    )
+
+
+@query(
     "label_centroid_similarity",
     survey="ext-sim A7",
     tags=("llmops",),

@@ -664,3 +664,171 @@ def semantic_dedup_sql(threshold: float = 0.35) -> str:
                (id = MIN(lab)) AS is_kept
         FROM reach GROUP BY id
     """
+
+
+# ------------------------------------- deterministic LSH near-dup clusters
+
+def _sign_bit_sql(vec_sql: str, plane: int, dim: int,
+                  base: int = 0) -> str:
+    """SQL text for one hyperplane sign bit as a SEQUENTIAL
+    left-to-right ±sum — the fold order both engines share, so the
+    bit is bit-identical cross-engine (the pandas_udf bucket path
+    uses a numpy matmul whose summation order differs in the low
+    bits, which is fine for rows-only recall paths but not for a
+    hash gate)."""
+    coeffs = _plane_coeffs(plane, dim)
+    # base: Spark arrays subscript from 0, DuckDB lists from 1 —
+    # the shared text is otherwise identical (same fold order).
+    terms = " + ".join(
+        f"({'' if c > 0 else '-'}CAST({vec_sql}[{i + base}] AS DOUBLE))"
+        for i, c in enumerate(coeffs)
+    )
+    return f"CAST(({terms}) > 0 AS INT)"
+
+
+def _bucket_col_sql(vec_sql: str, band: int, band_bits: int,
+                    dim: int, base: int = 0) -> str:
+    """SQL text for one band's bucket id (band_bits sign bits)."""
+    return " + ".join(
+        f"{1 << j} * {_sign_bit_sql(vec_sql, band * band_bits + j, dim, base)}"
+        for j in range(band_bits)
+    )
+
+
+def embedding_near_dup_lsh_clusters(embeddings: DataFrame,
+                                    threshold: float = 0.35,
+                                    n_bands: int = SIM_LSH_BANDS,
+                                    band_bits: int = SIM_LSH_BAND_BITS,
+                                    dim: int = SIM_DIM,
+                                    id_col: str = "vec_id",
+                                    vec_col: str = "embedding"
+                                    ) -> DataFrame:
+    """Embedding near-dup CLUSTERS via OR-amplified banding — the
+    recall-preserving scale path for semantic dedup in the
+    weak-similarity regime where cell partitioning fails (measured:
+    sign-bit subcells 15 %, k-means k=4 cells 42 % pair co-location;
+    OR-amplification gives each pair n_bands independent chances,
+    recall 1-(1-p^bits)^bands ≈ 0.7 at cosine 0.35 with the 8×4
+    default). Candidates verified by exact cosine ≥ threshold, then
+    connected components; output (vec_id, cluster_id) per vector.
+
+    Deterministic end-to-end: bucket bits are SEQUENTIAL ±folds over
+    md5-derived ±1 hyperplanes (one unrolled expression column per
+    band — codegen splits per column, so no janino blowup), so the
+    DuckDB twin replays candidates, verification, and closure
+    bit-for-bit and the driver hash gate applies — unlike the
+    rows-only matmul-bucketed pair form (`embedding_near_dup_lsh`),
+    which trades the gate for numpy throughput."""
+    from .dedup import connected_components
+    from ..functions.vectors import cosine_prenormed
+
+    bucket_cols = [
+        F.expr(_bucket_col_sql(vec_col, b, band_bits, dim)).alias(f"_b{b}")
+        for b in range(n_bands)
+    ]
+    pre = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        norm_fixed(vec_col, dim).alias("nrm"),
+        *bucket_cols,
+    )
+    # Materialization barrier: without it CollapseProject inlines all
+    # n_bands × band_bits × dim unrolled sign-bit terms into the
+    # stack() generator below AND into every downstream consumer —
+    # a ~17k-line generated class that janino refuses wholesale. With
+    # the barrier only THIS one per-vector pass still overflows the
+    # 64 KB method limit (janino then runs it interpreted — one
+    # linear pass per corpus, not the pairwise hot loop); every
+    # downstream stage reads 8 materialized ints per vector and
+    # codegens normally. The numpy-matmul bucket path
+    # (_bucket_array) stays the rows-only throughput choice.
+    pre = pre.localCheckpoint(eager=True)
+    bands = pre.select(
+        "vec_id", "vec", "nrm",
+        F.expr(
+            "stack("
+            + f"{n_bands}, "
+            + ", ".join(f"{b}, _b{b}" for b in range(n_bands))
+            + ") AS (band, bucket)"
+        ),
+    )
+    # All pairs WITHIN each (band, bucket). Candidate volume is
+    # linear by construction — adaptive_band_bits keeps buckets
+    # ≈ target size, so Σ bucket² ≈ n · target. A chain-spanning
+    # variant (consecutive ids per bucket, as in
+    # dedup_keep_best_chain) was tried and REVERTED: at weak
+    # thresholds buckets are deliberately loose (mostly unrelated
+    # vectors provide the OR-amplified recall), so a chain hop
+    # between two true near-dups almost always runs through an
+    # unrelated intermediate that fails verification — measured 4 %
+    # pair recall vs ~70 % for all-pairs (BASELINE.md round 3).
+    # Verified-EDGE count still inherits the corpus's duplication
+    # density (every true pair collides somewhere), which is
+    # inherent to emitting correct clusters.
+    a = bands.alias("a")
+    b = bands.hint("merge").alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("src"),
+            F.col("b.vec_id").alias("dst"),
+            cosine_prenormed("a.vec", "b.vec", "a.nrm", "b.nrm", dim)
+            .alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("src", "dst")
+        .distinct()
+    )
+    cc = connected_components(edges, src="src", dst="dst")
+    return (
+        embeddings.select(F.col(id_col).alias("vec_id"))
+        .join(
+            cc.select(F.col("id").alias("vec_id"),
+                      F.col("label").alias("cluster_id")).hint("merge"),
+            "vec_id",
+            "left",
+        )
+        .withColumn("cluster_id", F.coalesce("cluster_id", "vec_id"))
+    )
+
+
+def lsh_clusters_sql(threshold: float = 0.35,
+                     n_bands: int = SIM_LSH_BANDS,
+                     band_bits: int = SIM_LSH_BAND_BITS,
+                     dim: int = SIM_DIM) -> str:
+    """DuckDB twin of :func:`embedding_near_dup_lsh_clusters`."""
+    band_rows = "\n          UNION ALL\n          ".join(
+        f"SELECT vec_id, embedding, {b} AS band,"
+        f" {_bucket_col_sql('embedding', b, band_bits, dim, base=1)} AS bucket"
+        f" FROM embeddings"
+        for b in range(n_bands)
+    )
+    return f"""
+        WITH RECURSIVE bands AS MATERIALIZED (
+          {band_rows}
+        ),
+        pairs AS MATERIALIZED (
+          SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket
+           AND a.vec_id < b.vec_id
+          WHERE {cosine_sql("a.embedding", "b.embedding")} >= {threshold}
+        ),
+        edges AS (
+          SELECT src, dst FROM pairs
+          UNION ALL
+          SELECT dst, src FROM pairs
+        ),
+        reach(id, lab) AS (
+          SELECT vec_id, vec_id FROM embeddings
+          UNION
+          SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+        )
+        SELECT id AS vec_id, MIN(lab) AS cluster_id
+        FROM reach GROUP BY id
+    """

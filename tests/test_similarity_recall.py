@@ -109,3 +109,29 @@ def test_pq_search_plan_shape(spark):
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_lsh_clusters_recall_vs_exact_pairs(spark):
+    """The hash-gated OR-amplified cluster form must co-locate most
+    exact near-dup pairs — the property the cell-partitioned forms
+    measurably lack (15% sign-bit subcells / 42% k-means k=4 cells,
+    BASELINE.md round 3). 8 bands x 4 bits predicts ~0.7 recall at
+    cosine 0.35; require >= 0.6."""
+    from sql_data_warehouse_spark.operators.similarity import (
+        embedding_near_dup_pairs, embedding_near_dup_lsh_clusters,
+    )
+    from sql_data_warehouse_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    clusters = {
+        r["vec_id"]: r["cluster_id"]
+        for r in embedding_near_dup_lsh_clusters(
+            emb, threshold=0.35).collect()
+    }
+    pairs = [
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in embedding_near_dup_pairs(emb, threshold=0.35).collect()
+    ]
+    assert pairs
+    recall = sum(clusters[a] == clusters[b] for a, b in pairs) / len(pairs)
+    assert recall >= 0.6, recall
