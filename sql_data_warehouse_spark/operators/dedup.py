@@ -804,6 +804,30 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
     # and AGAIN for the first materializing round (measured 2× a 60 s
     # verify pipeline before the fix).
     sym = sym.localCheckpoint(eager=True)
+    # Size the loop's shuffles to the edge set: every round is 3
+    # joins + an aggregate + an eager checkpoint, and a small graph
+    # has no use for the session's full shuffle width (task-launch
+    # overhead × rounds; the dominant loop cost is per-JOB driver
+    # latency, so the win here is modest — A/B'd flat at sf0.1 — but
+    # the narrow setting is strictly never worse for < 1M edges and
+    # the big-graph path keeps the session width). Scoped + restored:
+    # the loop materializes every round eagerly, so nothing lazy
+    # escapes with the narrow setting.
+    spark = sym.sparkSession
+    n_edges = sym.count()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    narrow = n_edges < 1_000_000
+    if narrow:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        return _cc_loop(sym, nodes, max_iter)
+    finally:
+        if narrow:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _cc_loop(sym: DataFrame, nodes: DataFrame | None,
+             max_iter: int) -> DataFrame:
     if nodes is None:
         node_ids = sym.select(F.col("src").alias("id")).distinct()
     else:
@@ -812,11 +836,17 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
     labels = labels.localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
+        # No join-strategy hint here: the label frontier is ∝ the
+        # DUPLICATE population, which is tiny for clean corpora and
+        # large for crawl-density ones — AQE picks broadcast or
+        # shuffle per round from runtime sizes. (The corpus-sized
+        # candidate/verify joins UPSTREAM carry explicit merge hints;
+        # those were the sf10 broadcast-OOM site, not these.)
         neigh = (
             sym.join(
                 labels.select(
                     F.col("id").alias("src"), F.col("label").alias("src_label")
-                ).hint("merge"),
+                ),
                 "src",
             )
             .groupBy(F.col("dst").alias("id"))
@@ -832,8 +862,7 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
             F.col("id").alias("p_id"), F.col("label").alias("p_label")
         )
         labels = (
-            hopped.join(parents.hint("merge"),
-                        hopped["label"] == parents["p_id"], "left")
+            hopped.join(parents, hopped["label"] == parents["p_id"], "left")
             .select(
                 "id",
                 F.least(
