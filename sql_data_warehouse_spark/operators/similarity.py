@@ -718,7 +718,16 @@ def embedding_near_dup_lsh_clusters(embeddings: DataFrame,
     DuckDB twin replays candidates, verification, and closure
     bit-for-bit and the driver hash gate applies — unlike the
     rows-only matmul-bucketed pair form (`embedding_near_dup_lsh`),
-    which trades the gate for numpy throughput."""
+    which trades the gate for numpy throughput.
+
+    Measured cost of that trade: the unrolled 64-dim cosine inside a
+    join stage evaluates at ~16-20 µs/pair on this Spark build (the
+    fused stage exceeds the silent hugeMethodLimit fallback, and
+    per-element GetArrayItem dominates even pre-cast-to-double — A/B
+    21.4 s vs 16.2 s for 1 M pairs). The exact-gated forms pay it;
+    throughput-critical deployments score candidates with the Arrow
+    matmul (`_bucket_array` / pandas_udf) at the price of low-bit
+    summation-order drift, i.e. a rows-only gate."""
     from .dedup import connected_components
     from ..functions.vectors import cosine_prenormed
 
