@@ -19,7 +19,7 @@ driver-side state.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import TOKENS_SQL, tokens
@@ -360,6 +360,24 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEQ_LEN = 2048
 
 
+def seq_idx_expr(cum_col: str = "cum_tokens") -> Column:
+    """Sequence index of the token at running-total ``cum_col``:
+    ``greatest(cum - 1, 0) div SEQ_LEN``. Pure int64 on purpose —
+    a float divide-then-cast caps exactness at 2^53 cumulative
+    tokens, and without the ``greatest`` clamp the one negative
+    numerator (cum = 0: a zero-token doc first in shuffle order)
+    splits the engines: Spark's ``div`` truncates toward zero (0)
+    while DuckDB's ``//`` floors (-1). With the clamp the numerator
+    is always ≥ 0, where truncate == floor in any dialect. The
+    DuckDB twin fragment is :data:`SEQ_IDX_SQL`; cross-engine
+    agreement on the adversarial cases is pinned in
+    tests/test_curation.py."""
+    return F.expr(f"greatest({cum_col} - 1, 0L) div {_SEQ_LEN}")
+
+
+SEQ_IDX_SQL = f"CAST(GREATEST({{cum}} - 1, 0) // {_SEQ_LEN} AS BIGINT)"
+
+
 @query(
     "sequence_packing_manifest",
     survey="ext-pack ext-shard W6 A2",
@@ -381,10 +399,9 @@ _SEQ_LEN = 2048
         ),
         packed AS (
           SELECT shard, n_tokens,
-                 CAST((SUM(n_tokens) OVER (
+                 {SEQ_IDX_SQL.format(cum='''SUM(n_tokens) OVER (
                          PARTITION BY shard ORDER BY h, doc_id
-                         ROWS UNBOUNDED PRECEDING) - 1)
-                      // {_SEQ_LEN} AS BIGINT) AS seq_idx
+                         ROWS UNBOUNDED PRECEDING)''')} AS seq_idx
           FROM sharded
         )
         SELECT CAST(shard AS INTEGER) AS shard,
@@ -403,8 +420,14 @@ def sequence_packing_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-and-split sequence packing: train docs in
     deterministic shuffle order (hash order within hash shards, as in
     ``training_shard_manifest``) are concatenated and cut into
-    2048-token sequences — ``seq_idx = (running_tokens - 1) div
-    2048``. Reported per shard: sequence count, token total, max docs
+    2048-token sequences — ``seq_idx = greatest(running_tokens - 1, 0)
+    div 2048``, pure int64 arithmetic on BOTH engines: a float divide
+    would cap exactness at 2^53 cumulative tokens, and the greatest()
+    clamp removes the one negative case (a zero-token doc first in
+    shuffle order → cum 0) where Spark's truncating ``div`` and
+    DuckDB's flooring ``//`` disagree (0 vs -1). Gated by an
+    adversarial zero-token fixture in tests/test_curation.py.
+    Reported per shard: sequence count, token total, max docs
     landing in one sequence. The running sum is a within-shard window
     (shards are the parallel unit — no global order, no single
     reducer), exactly the job that writes packed training records at
@@ -432,11 +455,9 @@ def sequence_packing_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     packed = (
         train.withColumn("shard", shard)
-        .withColumn(
-            "seq_idx",
-            ((F.sum("n_tokens").over(w) - 1) / _SEQ_LEN)
-            .cast("long"),
-        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .withColumn("seq_idx", seq_idx_expr())
+        .drop("cum_tokens")
     )
     per_seq = packed.groupBy("shard", "seq_idx").agg(
         F.sum("n_tokens").alias("n_tokens"),

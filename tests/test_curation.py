@@ -165,3 +165,62 @@ def test_semantic_dedup_cells_are_label_exact(spark):
     ]
     assert pairs, "sf0.01 embeddings must contain within-label near-dups"
     assert all(clusters[a] == clusters[b] for a, b in pairs)
+
+
+def test_seq_idx_zero_token_and_int64_exactness(spark):
+    """Adversarial gate for the sequence-packing index (VERDICT r3
+    #2-wrong): a zero-token doc FIRST in shuffle order makes the
+    running total 0, where Spark's truncating ``div`` and DuckDB's
+    flooring ``//`` disagree on (cum-1)/2048 (0 vs -1) — the
+    ``greatest`` clamp in ``seq_idx_expr`` must keep both engines at
+    seq 0. Also pins pure-int64 exactness past 2^53 cumulative
+    tokens, where the old float divide-then-cast loses low bits."""
+    import duckdb
+
+    from pyspark.sql import Window
+
+    from sql_data_warehouse_spark.analytics.incremental import (
+        SEQ_IDX_SQL, seq_idx_expr,
+    )
+
+    # (shard, pos, n_tokens): shard 0 starts with a zero-token doc
+    # (cum=0 → the truncate-vs-floor divergence); shard 1 carries a
+    # cumulative total past 2^53 (float64 would round 2^53+1 → 2^53,
+    # flipping a boundary: cum = 2^53 + 2048·k + 1 cases).
+    rows = [
+        (0, 0, 0), (0, 1, 0), (0, 2, 5), (0, 3, 2043), (0, 4, 1),
+        (0, 5, 2048), (0, 6, 0),
+        (1, 0, (1 << 53) + 1), (1, 1, 2047), (1, 2, 1), (1, 3, 2048),
+    ]
+    df = spark.createDataFrame(rows, "shard int, pos int, n_tokens long")
+    w = (
+        Window.partitionBy("shard").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = {
+        (r["shard"], r["pos"]): r["seq_idx"]
+        for r in df.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .withColumn("seq_idx", seq_idx_expr())
+        .collect()
+    }
+    con = duckdb.connect()
+    try:
+        con.sql(
+            "CREATE TABLE t(shard INT, pos INT, n_tokens BIGINT)")
+        con.executemany(
+            "INSERT INTO t VALUES (?, ?, ?)", rows)
+        cum = ("SUM(n_tokens) OVER (PARTITION BY shard ORDER BY pos "
+               "ROWS UNBOUNDED PRECEDING)")
+        want = {
+            (s, p): i
+            for s, p, i in con.sql(
+                f"SELECT shard, pos, {SEQ_IDX_SQL.format(cum=cum)} FROM t"
+            ).fetchall()
+        }
+    finally:
+        con.close()
+    assert got == want
+    assert got[(0, 0)] == 0  # the clamped case: cum=0 → seq 0, not -1
+    # int64 exactness: (2^53 + 1 - 1) div 2048 — a float64 path
+    # rounds 2^53+1 down and lands one sequence earlier
+    assert got[(1, 0)] == (1 << 53) // 2048
