@@ -336,16 +336,49 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "semantic_dedup_clusters",
     survey="ext-dedup ext-semdedup ext-sim A2 J-self",
     tags=("llmops",),
-    oracle=similarity.semantic_dedup_sql(threshold=0.35),
+    oracle=None,  # learned cells from an iterative Lloyd fit — not
+    #               SQL-expressible; within-cell cluster correctness +
+    #               cell recall vs the exact ground truth are gated in
+    #               tests/test_similarity_recall.py, and the bounded
+    #               label-cell twin below keeps the hash gate
 )
 def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup over the embeddings table: exact cosine pairs within
-    coarse cells (the label column; kmeans_assign cells at scale) →
-    connected components → min-id keeper per semantic cluster.
-    Σ cell² pairwise work, never n²; hash-gated end-to-end."""
-    return similarity.semantic_dedup_clusters(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.35
+    """SemDeDup over the embeddings table with LEARNED density-
+    adaptive cells: k = ceil(n/500) deterministic k-means centroids →
+    Arrow-side assignment → exact cosine pairs within each cell →
+    connected components → min-id keeper per semantic cluster. The
+    defining SemDeDup scale property: cells stay ≈500 vectors as n
+    grows, so Σ cell² ≈ n·500 — linear — where the fixed-cardinality
+    label cells the previous registered form used were measured
+    quadratic across scale factors (349 s at sf1, BASELINE.md r3).
+    Reference analogue: the dedup role of
+    scripts/silver/proc_load_silver.sql:68-71 at corpus scale."""
+    return similarity.semantic_dedup_clusters_kmeans(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.35,
+        target_cell=500, n_iter=2,
     )
+
+
+@query(
+    "semantic_dedup_cells_exact",
+    survey="ext-dedup ext-semdedup ext-sim A2 J-self",
+    tags=("llmops",),
+    oracle=similarity.semantic_dedup_sql(threshold=0.35,
+                                         vec_filter="vec_id < 1000"),
+)
+def semantic_dedup_cells_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BOUNDED, hash-gated SemDeDup verifier: label-column cells
+    on a ≤1000-vector slice, exact cosine within cells, recursive-
+    closure clusters replayed bit-for-bit by the DuckDB twin. The
+    bound is the point — fixed cell cardinality is measured quadratic
+    across scale factors, so the unbounded form of this query is
+    never the production path (that's ``semantic_dedup_clusters``,
+    learned cells); this slice exists to pin every stage of the
+    shared within-cell core against an independent engine."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 1000
+    )
+    return similarity.semantic_dedup_clusters(emb, threshold=0.35)
 
 
 @query(

@@ -587,8 +587,10 @@ def semantic_dedup_clusters(embeddings: DataFrame,
     - Fixed cell CARDINALITY makes Σ cell² quadratic across scale
       factors (349 s at sf1 for these label cells). At 100 TB the
       cells must come from a quantizer whose k grows with n —
-      ``kmeans_assign`` over learned centroids (identical plan
-      shape, cells ≈ constant size).
+      :func:`semantic_dedup_clusters_kmeans` (identical plan shape,
+      learned cells ≈ constant size) is that registered scale form;
+      THIS label-cell form's registered role is the bounded,
+      hash-gated oracle verifier (``semantic_dedup_cells_exact``).
     - Data-independent subdivision does NOT work in this similarity
       regime: ceil(log2(n/target_cell)) coordinate-sign bits were
       tried and kept only 15 % of the exact form's near-dup pairs
@@ -599,15 +601,35 @@ def semantic_dedup_clusters(embeddings: DataFrame,
       are the only recall-preserving subdivisions; ``target_cell``
       is kept in the signature as the knob the learned-quantizer
       deployment sizes k with."""
-    from ..functions.vectors import cosine_prenormed
-    from .dedup import connected_components
-
     e = embeddings.select(
         F.col(cell_col).cast("string").alias("_cell"),
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
         norm_fixed(vec_col, dim).alias("nrm"),
     )
+    return _within_cell_semantic_clusters(e, embeddings, threshold, dim,
+                                          id_col)
+
+
+def _within_cell_semantic_clusters(e: DataFrame, embeddings: DataFrame,
+                                   threshold: float, dim: int,
+                                   id_col: str) -> DataFrame:
+    """Shared SemDeDup core: ``e`` = (_cell, vec_id, vec, nrm) with
+    any coarse-quantizer cell id. All pairs within each cell are
+    exact-cosine scored (merge-hinted sort-merge self-join on the
+    cell key — a corpus-sized relation must never be the broadcast
+    side), edges ≥ threshold feed pointer-doubling connected
+    components, and every vector gets (cluster_id, is_kept) with the
+    min-id keeper rule; singletons keep themselves.
+
+    The exact cosine is the Arrow sequential fold
+    (:func:`_cosine_seqfold`) — bit-identical to the unrolled SQL
+    (left-to-right double adds), so the DuckDB hash gate on the
+    bounded label-cell form still holds, at ~0.3 µs/pair instead of
+    the ~16-21 µs/pair the unrolled in-join expression costs once it
+    falls past codegen's hugeMethodLimit (measured, BASELINE.md)."""
+    from .dedup import connected_components
+
     a = e.alias("a")
     b = e.hint("merge").alias("b")
     edges = (
@@ -619,7 +641,7 @@ def semantic_dedup_clusters(embeddings: DataFrame,
         .select(
             F.col("a.vec_id").alias("src"),
             F.col("b.vec_id").alias("dst"),
-            cosine_prenormed("a.vec", "b.vec", "a.nrm", "b.nrm", dim)
+            _cosine_seqfold("a.vec", "b.vec", "a.nrm", "b.nrm", dim)
             .alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
@@ -640,13 +662,65 @@ def semantic_dedup_clusters(embeddings: DataFrame,
     )
 
 
-def semantic_dedup_sql(threshold: float = 0.35) -> str:
+def semantic_dedup_clusters_kmeans(embeddings: DataFrame,
+                                   threshold: float = 0.35,
+                                   target_cell: int = 500,
+                                   n_iter: int = 2,
+                                   id_col: str = "vec_id",
+                                   vec_col: str = "embedding",
+                                   dim: int = SIM_DIM) -> DataFrame:
+    """SemDeDup with LEARNED, density-adaptive cells — the registered
+    100 TB form (VERDICT r3 #1). k = ceil(n / target_cell) centroids
+    are fit with the deterministic distributed Lloyd loop
+    (operators/kmeans.py: md5-seeded, scaled-int64 means, tiny driver
+    state), every vector is assigned Arrow-side (one numpy matmul per
+    batch — the unrolled-SQL assign is for small fixed k only), and
+    the shared within-cell core scores exact cosine inside each cell.
+
+    This is the defining SemDeDup property the fixed-cardinality
+    label-cell form lacks: cells stay ≈ ``target_cell`` vectors AS n
+    GROWS, so Σ cell² ≈ n · target_cell — LINEAR in the corpus —
+    where fixed cell COUNT made Σ cell² quadratic (measured 349 s at
+    sf1, ~29× for 10× data, BASELINE.md round 3). Fit cost is
+    n_iter + 1 corpus passes with k·dim driver state; assignment is
+    one shuffle-free projection. The label-cell twin
+    (:func:`semantic_dedup_clusters`) stays registered as the
+    bounded, hash-gated oracle verifier; this form's cell recall vs
+    the exact all-pairs ground truth and its cluster-correctness
+    within cells are gated in tests/test_similarity_recall.py
+    (measured 0.41 pair recall at cosine ≥ 0.35 with target_cell=500
+    at sf0.1 — weak-threshold cell partitioning is intrinsically
+    recall-limited; at production semantic-dup thresholds near-dups
+    are near-identical vectors that quantize together)."""
+    import math as _math
+
+    from .kmeans import kmeans_assign_arrow, kmeans_fit
+
+    n = embeddings.count()
+    k = max(1, _math.ceil(n / target_cell))
+    cents = kmeans_fit(embeddings, k=k, n_iter=n_iter,
+                       vec_col=vec_col, id_col=id_col)
+    e = kmeans_assign_arrow(embeddings, cents, vec_col=vec_col).select(
+        F.col("cluster_id").cast("string").alias("_cell"),
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        norm_fixed(vec_col, dim).alias("nrm"),
+    )
+    return _within_cell_semantic_clusters(e, embeddings, threshold, dim,
+                                          id_col)
+
+
+def semantic_dedup_sql(threshold: float = 0.35,
+                       vec_filter: str = "TRUE") -> str:
     """DuckDB twin: same within-cell pairs, recursive-CTE closure,
     min-id keeper rule."""
     return f"""
-        WITH RECURSIVE pairs AS MATERIALIZED (
+        WITH RECURSIVE emb AS MATERIALIZED (
+          SELECT * FROM embeddings WHERE {vec_filter}
+        ),
+        pairs AS MATERIALIZED (
           SELECT a.vec_id AS src, b.vec_id AS dst
-          FROM embeddings a JOIN embeddings b
+          FROM emb a JOIN emb b
             ON a.label = b.label AND a.vec_id < b.vec_id
           WHERE {cosine_sql("a.embedding", "b.embedding")} >= {threshold}
         ),
@@ -656,7 +730,7 @@ def semantic_dedup_sql(threshold: float = 0.35) -> str:
           SELECT dst, src FROM pairs
         ),
         reach(id, lab) AS (
-          SELECT vec_id, vec_id FROM embeddings
+          SELECT vec_id, vec_id FROM emb
           UNION
           SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
         )
@@ -695,6 +769,86 @@ def _bucket_col_sql(vec_sql: str, band: int, band_bits: int,
     )
 
 
+def _bucket_array_seqfold(vec_col: str, n_bands: int, band_bits: int,
+                          dim: int) -> Column:
+    """Arrow-batched bucket array that is BIT-IDENTICAL to the
+    unrolled-SQL sign bits (:func:`_sign_bit_sql`), unlike the
+    matmul path (:func:`_bucket_array`) whose summation order drifts
+    in the low bits: each hyperplane score is accumulated
+    left-to-right over the dimensions — numpy only vectorizes ACROSS
+    rows, the adds stay sequential per vector, and the ±1 multiplies
+    are IEEE-exact — so the DuckDB twin replays every bucket id
+    bit-for-bit and the hash gate holds. Replaces the one giant
+    n_bands·band_bits·dim-term projection, which overflowed janino's
+    64 KB method limit and ran interpreted at ~5 ms/row (measured
+    10.7 s for a 2000-row corpus, BASELINE.md round 4)."""
+    planes = [_plane_coeffs(p, dim) for p in range(n_bands * band_bits)]
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    nb, bb = n_bands, band_bits
+
+    @pandas_udf(ArrayType(LongType()))
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        # self-contained closure (grading driver imports by file path;
+        # workers can't import this package by name)
+        import numpy as np
+        import pandas as _pd
+
+        if len(vecs) == 0:
+            return _pd.Series([], dtype=object)
+        C = np.asarray(planes, dtype=np.float64)  # planes × dim
+        V = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        n_planes = nb * bb
+        bits = np.empty((len(V), n_planes), dtype=bool)
+        for p in range(n_planes):
+            acc = C[p, 0] * V[:, 0]
+            for i in range(1, dim):
+                acc = acc + C[p, i] * V[:, i]
+            bits[:, p] = acc > 0
+        weights = 1 << np.arange(bb, dtype=np.int64)
+        buckets = bits.reshape(len(V), nb, bb) @ weights
+        return _pd.Series(list(buckets))
+
+    return _buckets(F.col(vec_col))
+
+
+def _cosine_seqfold(va: str, vb: str, na: str, nb_col: str,
+                    dim: int) -> Column:
+    """Arrow-batched prenormed cosine, bit-identical to
+    :func:`functions.vectors.cosine_prenormed`: per-dimension double
+    products accumulated left-to-right (numpy vectorizes across PAIRS
+    only), divided by the carried norm product with the same
+    zero-denominator NULL guard. Exists because the unrolled in-join
+    dot exceeds codegen's silent hugeMethodLimit fallback and
+    evaluates interpreted at ~16-21 µs/pair (measured, BASELINE.md) —
+    the Arrow fold does the same arithmetic at ~0.3 µs/pair plus
+    batch transfer."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def _cos(a: pd.Series, b: pd.Series, norm_a: pd.Series,
+             norm_b: pd.Series) -> pd.Series:
+        # self-contained closure — see _bucket_array_seqfold
+        import numpy as np
+        import pandas as _pd
+
+        if len(a) == 0:
+            return _pd.Series([], dtype=float)
+        A = np.vstack([np.asarray(v, dtype=np.float64) for v in a])
+        B = np.vstack([np.asarray(v, dtype=np.float64) for v in b])
+        acc = A[:, 0] * B[:, 0]
+        for i in range(1, dim):
+            acc = acc + A[:, i] * B[:, i]
+        denom = norm_a.to_numpy(dtype=np.float64) * norm_b.to_numpy(
+            dtype=np.float64)
+        out = _pd.Series(acc / np.where(denom == 0.0, np.nan, denom))
+        return out.mask(denom == 0.0, None)
+
+    return _cos(F.col(va), F.col(vb), F.col(na), F.col(nb_col))
+
+
 def embedding_near_dup_lsh_clusters(embeddings: DataFrame,
                                     threshold: float = 0.35,
                                     n_bands: int = SIM_LSH_BANDS,
@@ -712,54 +866,33 @@ def embedding_near_dup_lsh_clusters(embeddings: DataFrame,
     default). Candidates verified by exact cosine ≥ threshold, then
     connected components; output (vec_id, cluster_id) per vector.
 
-    Deterministic end-to-end: bucket bits are SEQUENTIAL ±folds over
-    md5-derived ±1 hyperplanes (one unrolled expression column per
-    band — codegen splits per column, so no janino blowup), so the
-    DuckDB twin replays candidates, verification, and closure
-    bit-for-bit and the driver hash gate applies — unlike the
-    rows-only matmul-bucketed pair form (`embedding_near_dup_lsh`),
-    which trades the gate for numpy throughput.
-
-    Measured cost of that trade: the unrolled 64-dim cosine inside a
-    join stage evaluates at ~16-20 µs/pair on this Spark build (the
-    fused stage exceeds the silent hugeMethodLimit fallback, and
-    per-element GetArrayItem dominates even pre-cast-to-double — A/B
-    21.4 s vs 16.2 s for 1 M pairs). The exact-gated forms pay it;
-    throughput-critical deployments score candidates with the Arrow
-    matmul (`_bucket_array` / pandas_udf) at the price of low-bit
-    summation-order drift, i.e. a rows-only gate."""
+    Deterministic end-to-end: bucket bits and the verify cosine are
+    SEQUENTIAL left-to-right ±folds over md5-derived ±1 hyperplanes,
+    evaluated Arrow-side with numpy vectorizing across ROWS only
+    (:func:`_bucket_array_seqfold` / :func:`_cosine_seqfold` — the
+    adds stay in array order, so both are bit-identical to the
+    unrolled SQL and the DuckDB twin replays candidates,
+    verification, and closure bit-for-bit). This keeps the hash gate
+    WITHOUT the round-3 constant: the giant unrolled projection ran
+    interpreted past janino's 64 KB limit (~5 ms/row) and the
+    unrolled in-join cosine past the silent hugeMethodLimit fallback
+    (~16-21 µs/pair); the Arrow folds do the same arithmetic at
+    ~0.3 µs each (23.1 s → single digits at sf0.1, BASELINE.md r4).
+    The matmul-bucketed pair form (`embedding_near_dup_lsh`) remains
+    the maximum-throughput rows-only variant (summation-order drift,
+    no gate)."""
     from .dedup import connected_components
-    from ..functions.vectors import cosine_prenormed
 
-    bucket_cols = [
-        F.expr(_bucket_col_sql(vec_col, b, band_bits, dim)).alias(f"_b{b}")
-        for b in range(n_bands)
-    ]
     pre = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
         norm_fixed(vec_col, dim).alias("nrm"),
-        *bucket_cols,
+        _bucket_array_seqfold(vec_col, n_bands, band_bits, dim)
+        .alias("bks"),
     )
-    # Materialization barrier: without it CollapseProject inlines all
-    # n_bands × band_bits × dim unrolled sign-bit terms into the
-    # stack() generator below AND into every downstream consumer —
-    # a ~17k-line generated class that janino refuses wholesale. With
-    # the barrier only THIS one per-vector pass still overflows the
-    # 64 KB method limit (janino then runs it interpreted — one
-    # linear pass per corpus, not the pairwise hot loop); every
-    # downstream stage reads 8 materialized ints per vector and
-    # codegens normally. The numpy-matmul bucket path
-    # (_bucket_array) stays the rows-only throughput choice.
-    pre = pre.localCheckpoint(eager=True)
     bands = pre.select(
-        "vec_id", "vec", "nrm",
-        F.expr(
-            "stack("
-            + f"{n_bands}, "
-            + ", ".join(f"{b}, _b{b}" for b in range(n_bands))
-            + ") AS (band, bucket)"
-        ),
+        "vec_id", "vec", "nrm", "bks",
+        F.posexplode("bks").alias("band", "bucket"),
     )
     # All pairs WITHIN each (band, bucket). Candidate volume is
     # linear by construction — adaptive_band_bits keeps buckets
@@ -774,6 +907,13 @@ def embedding_near_dup_lsh_clusters(embeddings: DataFrame,
     # Verified-EDGE count still inherits the corpus's duplication
     # density (every true pair collides somewhere), which is
     # inherent to emitting correct clusters.
+    #
+    # The first-collision rule (each pair survives only in the FIRST
+    # band where its carried bucket arrays agree) deduplicates
+    # multi-band candidates BEFORE the exact-cosine verify — an
+    # 8-element zip_with instead of a 64-dim dot per duplicate, and
+    # it replaces the post-verify distinct() shuffle outright
+    # (measured 1.04M → 0.69M scored pairs at sf0.1).
     a = bands.alias("a")
     b = bands.hint("merge").alias("b")
     edges = (
@@ -783,15 +923,18 @@ def embedding_near_dup_lsh_clusters(embeddings: DataFrame,
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
+        .filter(F.expr(
+            "NOT exists(zip_with(slice(a.bks, 1, a.band), "
+            "slice(b.bks, 1, a.band), (x, y) -> x = y), p -> p)"
+        ))
         .select(
             F.col("a.vec_id").alias("src"),
             F.col("b.vec_id").alias("dst"),
-            cosine_prenormed("a.vec", "b.vec", "a.nrm", "b.nrm", dim)
+            _cosine_seqfold("a.vec", "b.vec", "a.nrm", "b.nrm", dim)
             .alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
         .select("src", "dst")
-        .distinct()
     )
     cc = connected_components(edges, src="src", dst="dst")
     return (
