@@ -289,6 +289,148 @@ def lsh_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
+def lsh_index_write(embeddings: DataFrame, path: str,
+                    n_bands: int = SIM_LSH_BANDS,
+                    band_bits: int = SIM_LSH_BAND_BITS, dim: int = SIM_DIM,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """Materialize the LSH index as parquet PARTITIONED BY
+    (band, bucket) — the write-time clustering ``lsh_ann_topk``'s
+    docstring promises: one row per (vector, band) carrying the float
+    vector, its prenormed L2, and the full bucket array (for
+    first-collision dedup), laid out so a query-time read lists ONLY
+    the directories its buckets name. At 100 TB the index is
+    n_bands × corpus rows, but a k-NN query opens
+    ~n_bands · n/2^band_bits of it — the directory tree IS the
+    candidate filter, no scan-then-discard.
+
+    Buckets come from the SEQUENTIAL ±fold (bit-identical to the
+    unrolled SQL sign bits), so a DuckDB oracle replays the partition
+    values exactly and the pruned search is hash-gatable."""
+    rows = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        norm_fixed(vec_col, dim).alias("nrm"),
+        _bucket_array_seqfold(vec_col, n_bands, band_bits, dim)
+        .alias("bks"),
+    ).select(
+        "vec_id", "vec", "nrm", "bks",
+        F.posexplode("bks").alias("band", "bucket"),
+    )
+    # Shuffle onto the directory key before the partitioned write:
+    # otherwise every write task holding every (band, bucket) emits a
+    # file into every directory — n_tasks × n_dirs small files. One
+    # hash pass makes each directory ~one file (at 100 TB, size the
+    # partition count so per-directory output ≈ the target file size).
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    (
+        rows.repartition(par, "band", "bucket")
+        .write.mode("overwrite")
+        .partitionBy("band", "bucket")
+        .parquet(path)
+    )
+
+
+def lsh_index_topk(spark: SparkSession, path: str, queries: DataFrame,
+                   k: int = 10, n_bands: int = SIM_LSH_BANDS,
+                   band_bits: int = SIM_LSH_BAND_BITS, dim: int = SIM_DIM,
+                   query_id_col: str = "query_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Top-k cosine search over a written LSH index
+    (:func:`lsh_index_write`), pruned at the DIRECTORY level: the
+    tiny query relation's (band, bucket) pairs are collected (one
+    Arrow pass over the queries — bounded driver state, ≤
+    n_queries × n_bands ints) and become a partition-column
+    predicate, so the scan lists only the queries' bucket
+    directories (PartitionFilters in the plan — asserted in
+    tests/test_layout.py); everything else of the index is never
+    opened. Candidates join the broadcast queries on the carried
+    bucket arrays, deduplicate via the first-collision rule (no
+    shuffle), and are scored ONCE with the sequential-fold cosine —
+    bit-identical to the DuckDB twin, so the whole pruned pipeline
+    is hash-gated (``lsh_index_pruned_topk``)."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_fixed(vec_col, dim).alias("q_nrm"),
+        _bucket_array_seqfold(vec_col, n_bands, band_bits, dim)
+        .alias("bk_q"),
+    )
+    pairs = sorted({
+        (band, int(r["bk_q"][band]))
+        for r in q.select("bk_q").collect()
+        for band in range(n_bands)
+    })
+    prune = None
+    for band, bucket in pairs:
+        c = (F.col("band") == band) & (F.col("bucket") == bucket)
+        prune = c if prune is None else (prune | c)
+    idx = spark.read.parquet(path).filter(prune)
+    cand = (
+        idx.join(
+            F.broadcast(q),
+            F.expr("element_at(bk_q, band + 1) = bucket"),
+        )
+        .filter(_first_collision("bks", "bk_q"))
+        .select(
+            "query_id", "vec_id",
+            _cosine_seqfold("q_vec", "vec", "q_nrm", "nrm", dim)
+            .alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("vec_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_index_topk_sql(k: int = 10, query_filter: str = "vec_id < 5",
+                       n_bands: int = SIM_LSH_BANDS,
+                       band_bits: int = SIM_LSH_BAND_BITS,
+                       dim: int = SIM_DIM) -> str:
+    """DuckDB twin of the pruned index search: the same per-band
+    sequential sign-bit buckets (base-1 subscripts), DISTINCT
+    candidate pairs (set-equal to the first-collision rule), the same
+    sequential cosine, the same (desc sim, asc id) ranking."""
+    band_rows = "\n          UNION ALL\n          ".join(
+        f"SELECT vec_id, embedding, {b} AS band,"
+        f" {_bucket_col_sql('embedding', b, band_bits, dim, base=1)}"
+        f" AS bucket FROM embeddings"
+        for b in range(n_bands)
+    )
+    return f"""
+        WITH bands AS MATERIALIZED (
+          {band_rows}
+        ),
+        cand AS MATERIALIZED (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+          FROM bands q JOIN bands c
+            ON q.band = c.band AND q.bucket = c.bucket
+          WHERE q.{query_filter}
+        ),
+        scored AS (
+          SELECT cand.query_id, cand.vec_id,
+                 {cosine_sql("eq.embedding", "ec.embedding")} AS cosine_sim
+          FROM cand
+          JOIN embeddings eq ON eq.vec_id = cand.query_id
+          JOIN embeddings ec ON ec.vec_id = cand.vec_id
+        ),
+        ranked AS (
+          SELECT query_id, vec_id, cosine_sim,
+                 CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine_sim DESC, vec_id
+                 ) AS INT) AS rank
+          FROM scored
+        )
+        SELECT query_id, vec_id, cosine_sim, rank
+        FROM ranked WHERE rank <= {k}
+    """
+
+
 def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",

@@ -145,3 +145,68 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
     got = ztbl.read(spark, prune=("b", 0, 99)).filter("b <= 99").count()
     want = df.filter("b <= 99").count()
     assert got == want
+
+
+def test_lsh_index_partition_pruning(spark, tmp_path):
+    """The (band, bucket)-partitioned LSH index must prune at the
+    DIRECTORY level: the query-bucket predicate lands in
+    PartitionFilters (not PushedFilters), the pruned read touches a
+    strict subset of the index's files, and the pruned search returns
+    exactly the unpruned result."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_spark.operators.similarity import (
+        lsh_index_topk, lsh_index_write,
+    )
+
+    path = str(tmp_path / "lsh_idx")
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    lsh_index_write(emb, path)
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_index_topk(spark, path, queries, k=10)
+    plan = _physical_plan(out)
+    part = plan.split("PartitionFilters:", 1)[1].split("]", 1)[0]
+    assert "band" in part and "bucket" in part, part
+
+    # Directory pruning is REAL, not just a plan annotation: delete a
+    # parquet file from a (band, bucket) directory the queries don't
+    # need — AFTER both DataFrames have listed the index (the
+    # InMemoryFileIndex is built at spark.read.parquet time, and
+    # ignoreMissingFiles defaults to false). The pruned search never
+    # schedules that file, so it still succeeds; a full scan of the
+    # same listing fails on it.
+    import os
+
+    from sql_data_warehouse_spark.operators.similarity import (
+        SIM_LSH_BANDS, _bucket_array_seqfold,
+    )
+
+    full = spark.read.parquet(path)
+    needed = {
+        (b, int(r["bks"][b]))
+        for r in queries.select(
+            _bucket_array_seqfold("embedding", 8, 4, 64).alias("bks")
+        ).collect()
+        for b in range(SIM_LSH_BANDS)
+    }
+    victim = None
+    for band in range(SIM_LSH_BANDS):
+        for bucket in range(16):
+            d = f"{path}/band={band}/bucket={bucket}"
+            if (band, bucket) not in needed and os.path.isdir(d):
+                files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+                if files:
+                    victim = f"{d}/{files[0]}"
+                    break
+        if victim:
+            break
+    assert victim, "no unneeded bucket directory to sacrifice"
+    os.remove(victim)
+
+    got = out.groupBy("query_id").count().collect()  # pruned: succeeds
+    assert all(r["count"] == 10 for r in got), got
+    with pytest.raises(Exception):
+        full.count()  # unpruned over the same listing: hits the hole
