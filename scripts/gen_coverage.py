@@ -75,14 +75,22 @@ while the bounded pair-list form `simhash_near_dup_pairs` serves as
 the 2000-doc exact verifier —
 the end-to-end keep-best pipeline `dedup_pipeline_keep_best`:
 LSH candidates → per-pair exact-Jaccard verification →
-components → best-doc-per-cluster, and its STREAMING twin
+components → best-doc-per-cluster, its STREAMING twin
 `stream_dedup_user_types` — stateful `dropDuplicates` over the
-event stream),
+event stream — and, since round 4, INCREMENTAL ingest dedup
+`incremental_dedup_delta`: the new-batch delta probes the base
+corpus's LSH band index, base×base pairs never form, per-ingest
+cost ∝ the delta's bucket collisions),
 similarity (cosine top-k, LSH ANN, IVF / learned-k-means IVF,
 product quantization `pq_ann_topk`: sampled driver-side codebook
-fit + distributed multi-subspace Lloyd alternative, unrolled-codegen
-encode to M-byte codes, ADC lookup scoring with exact re-rank of
-the shortlist, recall-gated; embedding near-dup), multimodal
+fit, and `pq_ann_topk_distfit`: the distributed multi-subspace
+Lloyd loop registered for training sets too large to collect,
+unrolled-codegen encode to M-byte codes, ADC lookup scoring with
+exact re-rank of the shortlist, both recall-gated; embedding
+near-dup; and the write-time-clustered `lsh_index_pruned_topk` —
+the LSH index stored as (band, bucket)-partitioned parquet so a
+query's scan prunes to its own bucket directories, hash-gated and
+plan-asserted in tests/test_layout.py), multimodal
 (`operators/multimodal.py`: opaque-binary payload plumbing, frame
 sampling, media embedding retrieval, and — since round 3 — a REAL
 pure-stdlib PNG/WAV codec: zlib inflate + scanline unfilter + CRC
@@ -159,7 +167,15 @@ partsupp relation DERIVED from observed lineitems — Q2
 CUBE lattice `revenue_cube`),
 rollup/pivot/set-ops, skew mitigation (`operators/skew.py`),
 physical layout (`sources/layout.py`, plan-asserted in
-`tests/test_layout.py`).
+`tests/test_layout.py`), and dataset curation for training runs
+(deterministic splits, stratified sampling, shard + sequence-packing
+manifests, split-leakage audit, SemDeDup over learned k-means cells
+`semantic_dedup_clusters` — density-adaptive k = n/target so
+within-cell pair work stays linear, with the bounded label-cell
+twin `semantic_dedup_cells_exact` as the hash-gated verifier — and
+the integer-quota domain-mixture realization
+`domain_mixture_realized`: upsample/downsample manifest toward a
+target source mix, md5-ranked fractional epochs).
 
 Scaling evidence (sf0.1 → sf1 per-query curve, measured on the
 headline subset after each round's perf work) is recorded in

@@ -254,6 +254,96 @@ def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "domain_mixture_realized",
+    survey="ext-sample ext-mixture W3 A2 A4",
+    oracle="""
+        WITH counts AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s,
+                   CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n_total,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n_sources
+            FROM documents GROUP BY source
+        ),
+        quota AS (
+            SELECT source, n_s,
+                   (n_total // n_sources) // n_s AS full_copies,
+                   (n_total // n_sources) % n_s AS rem
+            FROM counts
+        ),
+        ranked AS (
+            SELECT d.doc_id, d.source, q.full_copies, q.rem,
+                   row_number() OVER (
+                       PARTITION BY d.source
+                       ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+                   ) AS rnk
+            FROM documents d JOIN quota q ON q.source = d.source
+        )
+        SELECT doc_id, source,
+               CAST(unnest(range(1, full_copies
+                    + CASE WHEN rnk <= rem THEN 1 ELSE 0 END + 1))
+                    AS BIGINT) AS copy_idx
+        FROM ranked
+        WHERE full_copies + CASE WHEN rnk <= rem THEN 1 ELSE 0 END > 0
+    """,
+)
+def domain_mixture_realized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realize a TARGET DOMAIN MIXTURE over the corpus — the
+    upsample/downsample step every multi-source training run applies
+    before tokenization (uniform target here; any weight vector slots
+    into the same integer quota math). Each source gets an integer
+    quota T_s = (N // n_sources): every doc of the source is emitted
+    ``T_s // n_s`` times (epochs > 1 ⇒ upsampling rare domains), and
+    the ``T_s % n_s`` docs ranked first by md5(doc_id) get one extra
+    copy (the deterministic fractional epoch — same content-addressed
+    rule as ``stratified_sample_by_lang``, so membership is identical
+    across engines and runs). Over-represented domains resolve to
+    full_copies = 0 with only the md5-top slice kept — downsampling
+    falls out of the same formula. Output is the realized (doc_id,
+    source, copy_idx) manifest, ~N rows regardless of skew.
+
+    Scale shape: one tiny per-source agg (broadcast back), one
+    shuffle on source for the in-source rank (hot-stratum caveat and
+    its salted two-phase fix documented at
+    ``stratified_sample_by_lang``), one ``explode(sequence)`` whose
+    output is the quota — never data² anywhere. Pure integer
+    quota arithmetic ⇒ bit-identical cross-engine."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    w_all = Window.partitionBy()
+    quota = counts.select(
+        "source", "n_s",
+        (F.floor(
+            F.sum("n_s").over(w_all) / F.count(F.lit(1)).over(w_all)
+        ).cast("long")).alias("t_s"),
+    ).select(
+        "source",
+        F.floor(F.col("t_s") / F.col("n_s")).cast("long")
+        .alias("full_copies"),
+        (F.col("t_s") % F.col("n_s")).alias("rem"),
+    )
+    w_src = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = (
+        d.select("doc_id", "source")
+        .join(F.broadcast(quota), "source")
+        .withColumn("rnk", F.row_number().over(w_src))
+    )
+    copies = (
+        F.col("full_copies")
+        + F.when(F.col("rnk") <= F.col("rem"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        ranked.withColumn("_copies", copies)
+        .filter(F.col("_copies") > 0)
+        .select(
+            "doc_id", "source",
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("_copies")))
+            .alias("copy_idx"),
+        )
+    )
+
+
 # ------------------------------------------------- percentile sketch twin
 
 @query(

@@ -262,6 +262,27 @@ def dedup_keep_best_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_keep_best_chain(load_table(spark, sf_dir, "documents"))
 
 
+@query(
+    "incremental_dedup_delta",
+    survey="ext-dedup ext-pipeline ext-incremental A2 J6",
+    tags=("llmops",),
+    oracle=dedup.incremental_dedup_delta_sql(threshold=0.35, delta_mod=5),
+)
+def incremental_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: the 20 % 'new crawl batch'
+    (doc_id % 5 == 0) is checked against the 80 % base corpus by
+    probing the base's LSH band index — base×base pairs are never
+    formed, so per-ingest cost is ∝ the delta's bucket collisions,
+    independent of how big the already-ingested corpus has grown.
+    Each delta doc is labeled dup_of_base / dup_in_delta (first-
+    occurrence rule, no recursion) / unique with its match stats;
+    exact-Jaccard verification keeps the decision deterministic and
+    the whole pipeline hash-gated."""
+    return dedup.incremental_dedup_delta(
+        load_table(spark, sf_dir, "documents"), threshold=0.35, delta_mod=5
+    )
+
+
 # -------------------------------------------------------------- similarity
 
 @query(

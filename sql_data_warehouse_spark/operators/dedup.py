@@ -1215,3 +1215,144 @@ def dedup_keep_best_chain_sql(min_jaccard: float = 0.35,
         JOIN reps r ON r.fp = f.fp
         JOIN rep_labels rl ON rl.rep_id = r.rep_id
     """
+
+
+# ------------------------- incremental dedup: delta batch vs base corpus
+
+def incremental_dedup_delta(docs: DataFrame, threshold: float = 0.35,
+                            delta_mod: int = 5, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            k: int = SHINGLE_K) -> DataFrame:
+    """Dedup an INCOMING batch against an already-ingested corpus
+    without ever re-pairing the corpus with itself — the shape every
+    continuously-crawling training pipeline needs: at 100 TB the base
+    LSH band relation is a STORED index that only gets probed, and
+    per-ingest work is ∝ the delta's bucket collisions, independent
+    of base size (base×base pairs are never formed — the candidate
+    join's left side is delta-only).
+
+    Here the delta is ``doc_id % delta_mod == 0`` (a scale-invariant
+    stand-in for "the new crawl batch"); candidates pair each delta
+    doc with (a) any BASE doc sharing an LSH band bucket and (b) any
+    EARLIER delta doc (smaller id) sharing one — so within-batch dups
+    resolve to their first occurrence without recursion. Exact-
+    Jaccard verification, then per delta doc:
+
+    - ``dup_of_base``  — ≥1 verified base match (discard: the corpus
+      already has it),
+    - ``dup_in_delta`` — no base match but a verified match to an
+      earlier delta doc (keep only the first occurrence),
+    - ``unique``       — ingest.
+
+    Deterministic end-to-end (md5 OPH, exact integer-ratio jaccard),
+    so the DuckDB twin replays it bit-for-bit.
+
+    Reference analogue: the incremental-load role of
+    scripts/bronze/proc_load_bronze.sql (truncate-and-reload there;
+    probe-the-index here, which is what replaces it at corpus scale).
+    """
+    is_delta = F.col("doc_id") % delta_mod == 0
+    # Small-file inputs arrive as one scan partition; spread the
+    # normalize+shingle pass (the dominant per-byte cost) before it
+    # runs (same as dedup_pipeline_keep_best).
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    sets = shingle_sets(docs.repartition(n_part), text_col, id_col,
+                        k).persist()
+    try:
+        bands = _band_hashes(minhash_signatures_from_sets(sets))
+        a = bands.filter(is_delta).alias("a")
+        # The base side is corpus-sized: sort-merge, never broadcast
+        # (see _candidate_pairs_from_bands).
+        b = bands.hint("merge").alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (
+                    (F.col("b.doc_id") % delta_mod != 0)
+                    | (F.col("b.doc_id") < F.col("a.doc_id"))
+                ),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        verified = (
+            jaccard_verify_sets(cand, sets)
+            .filter(F.col("jaccard") >= threshold)
+            # Materialize before the shingle cache is released: the
+            # stats aggregation below is consumed lazily by callers.
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        sets.unpersist()
+    is_base_match = (F.col("doc_b") % delta_mod != 0).cast("long")
+    stats = verified.groupBy(F.col("doc_a").alias("doc_id")).agg(
+        F.sum(is_base_match).alias("n_base_matches"),
+        F.max("jaccard").alias("best_jaccard"),
+    )
+    return (
+        docs.filter(is_delta)
+        .select("doc_id")
+        .join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("n_base_matches") > 0, F.lit("dup_of_base"))
+            .when(F.col("best_jaccard").isNotNull(), F.lit("dup_in_delta"))
+            .otherwise(F.lit("unique"))
+            .alias("status"),
+            F.coalesce("n_base_matches", F.lit(0)).alias("n_base_matches"),
+            F.col("best_jaccard"),
+        )
+    )
+
+
+def incremental_dedup_delta_sql(threshold: float = 0.35,
+                                delta_mod: int = 5,
+                                k: int = SHINGLE_K) -> str:
+    """DuckDB twin of :func:`incremental_dedup_delta`."""
+    return f"""
+        WITH bands AS MATERIALIZED ({_minhash_bands_sql()}),
+        sets AS MATERIALIZED (
+          SELECT doc_id, {shingle_set_sql(k)} AS sh FROM documents
+        ),
+        cand AS MATERIALIZED (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+          WHERE a.doc_id % {delta_mod} = 0
+            AND (b.doc_id % {delta_mod} != 0 OR b.doc_id < a.doc_id)
+        ),
+        verified AS MATERIALIZED (
+          SELECT c.doc_a, c.doc_b,
+                 CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / CAST(len(sa.sh) + len(sb.sh)
+                        - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 AS jaccard
+          FROM cand c
+          JOIN sets sa ON sa.doc_id = c.doc_a
+          JOIN sets sb ON sb.doc_id = c.doc_b
+          WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                / CAST(len(sa.sh) + len(sb.sh)
+                       - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                >= {threshold}
+        ),
+        stats AS (
+          SELECT doc_a AS doc_id,
+                 CAST(SUM(CASE WHEN doc_b % {delta_mod} != 0
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_base_matches,
+                 MAX(jaccard) AS best_jaccard
+          FROM verified GROUP BY doc_a
+        )
+        SELECT d.doc_id,
+               CASE WHEN s.n_base_matches > 0 THEN 'dup_of_base'
+                    WHEN s.best_jaccard IS NOT NULL THEN 'dup_in_delta'
+                    ELSE 'unique' END AS status,
+               COALESCE(s.n_base_matches, 0) AS n_base_matches,
+               s.best_jaccard
+        FROM documents d LEFT JOIN stats s ON s.doc_id = d.doc_id
+        WHERE d.doc_id % {delta_mod} = 0
+    """
