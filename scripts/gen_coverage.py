@@ -175,7 +175,12 @@ within-cell pair work stays linear, with the bounded label-cell
 twin `semantic_dedup_cells_exact` as the hash-gated verifier — and
 the integer-quota domain-mixture realization
 `domain_mixture_realized`: upsample/downsample manifest toward a
-target source mix, md5-ranked fractional epochs).
+target source mix, md5-ranked fractional epochs; DSIR-style hashed
+importance selection `dsir_target_sample` — rational-weight
+log-free form, fully hash-gated; and BPE tokenizer TRAINING
+`bpe_train_merges` (operators/bpe.py): distributed word-count pass +
+bounded-vocabulary merge loop, with the all-distributed HOF loop as
+its exact-equality-gated twin).
 
 Scaling evidence (sf0.1 → sf1 per-query curve, measured on the
 headline subset after each round's perf work) is recorded in

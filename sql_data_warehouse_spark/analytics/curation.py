@@ -14,7 +14,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import TOKENS_SQL, tokens
+from ..operators import curation as dsir_sql
 from ..operators.curation import (
+    dsir_importance_topk,
     decontaminate, global_running_sum, repetition_stats,
     repetition_stats_sql, scrub_pii, token_ngrams_sql,
     winnow_near_dup_pairs, winnow_near_dup_pairs_sql,
@@ -272,4 +274,26 @@ def grouped_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.withColumn("pick", F.row_number().over(w).cast("int"))
         .filter(F.col("pick") <= 5)
         .select("source", "doc_id", "lang", "pick")
+    )
+
+
+@query(
+    "dsir_target_sample",
+    survey="ext-sample ext-dsir ext-text A2 O2 W3",
+    tags=("llmops",),
+    oracle=dsir_sql.dsir_topk_sql(target_sql="lang = 'en'", k_top=100),
+)
+def dsir_target_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023): pick the 100 raw
+    docs whose hashed-unigram profile best matches the TARGET domain
+    (lang = 'en' as the target proxy) by Σ tf·p_target/p_raw over
+    1024 md5 buckets — the rational-weight variant of the
+    log-likelihood ratio (log-free so the whole selector replays
+    bit-for-bit in DuckDB; the bm25 rational-idf precedent). Bucket
+    stats collapse to a 1024-row broadcast relation; the corpus
+    shuffles once on (doc, bucket); selection is sort+limit."""
+    return dsir_importance_topk(
+        load_table(spark, sf_dir, "documents"),
+        target_pred=F.col("lang") == "en",
+        k_top=100,
     )

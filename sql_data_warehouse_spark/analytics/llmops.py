@@ -903,6 +903,33 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "bpe_encode_stats",
+    survey="ext-text ext-bpe ext-tokenizer A2",
+    tags=("llmops",),
+    oracle=None,  # learned-tokenizer application — not SQL-
+    #               expressible; gated by the EXACT train/encode
+    #               identity (final tokens == initial symbols − Σ
+    #               learned pair counts) in tests/test_operators.py
+)
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the LEARNED BPE merge table
+    (train → apply, the full tokenizer loop): 24 merges from
+    ``bpe_train_capped``, applied per word by lowest-rank-first
+    fusion in an Arrow-batched mapInPandas (stdlib-only closure).
+    Per-language token accounting out — the number every training-
+    budget decision starts from, now under the trained tokenizer
+    instead of the fixed regex pre-tokenizer (``bpe_token_stats``)."""
+    from ..operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe.bpe_train_capped(docs, n_merges=24).collect()
+    ]
+    return bpe.bpe_encode_stats(docs, merges)
+
+
 # ---------------------------------------------------- split leakage audit
 
 _LEAK_MIN_JACCARD = 0.5

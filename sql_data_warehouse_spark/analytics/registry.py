@@ -127,6 +127,8 @@ _SPOTLIGHT = frozenset({
     "incremental_dedup_delta",
     "domain_mixture_realized",
     "bpe_train_merges",
+    "dsir_target_sample",
+    "bpe_encode_stats",
 })
 
 

@@ -212,3 +212,80 @@ def bpe_train(docs: DataFrame, n_merges: int = 24,
         "merge_idx int, left string, right string, merged string,"
         " pair_count long",
     )
+
+
+def bpe_encode_stats(docs: DataFrame, merges: list[tuple[str, str]],
+                     text_col: str = "text") -> DataFrame:
+    """APPLY a learned merge table corpus-wide — the tokenization pass
+    a training run makes with the trained tokenizer: per word,
+    repeatedly fuse the lowest-rank merge pair present (the standard
+    BPE apply; ranks = training order). Arrow-batched ``mapInPandas``
+    with the merge list captured by value and a stdlib-only closure
+    (driver contract: workers cannot import this package), one
+    embarrassingly-parallel projection — no shuffle until the final
+    per-language rollup.
+
+    Correctness is gated by an EXACT identity between two independent
+    code paths (tests/test_operators.py): over the training corpus,
+    total tokens after encoding == total initial symbols − Σ learned
+    pair_counts, because each of a merge's counted occurrences fuses
+    exactly one adjacent pair (greedy leftmost, counted at learn
+    time on the same corpus state).
+
+    Returns (lang, n_docs, total_tokens, total_init_symbols)."""
+    pairs = [(str(a), str(b)) for a, b in merges]
+
+    def encode(batches):
+        # self-contained closure: stdlib only (see module docstring)
+        import pandas as pd
+
+        ranks = {p: i for i, p in enumerate(pairs)}
+
+        def word_tokens(word: str) -> tuple[int, int]:
+            syms = list(word) + ["</w>"]
+            init = len(syms)
+            while len(syms) >= 2:
+                best, best_rank = None, None
+                for j in range(len(syms) - 1):
+                    r = ranks.get((syms[j], syms[j + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best, best_rank = j, r
+                if best is None:
+                    break
+                a, b = pairs[best_rank]
+                out, j = [], 0
+                while j < len(syms):
+                    if (j + 1 < len(syms) and syms[j] == a
+                            and syms[j + 1] == b):
+                        out.append(a + b)
+                        j += 2
+                    else:
+                        out.append(syms[j])
+                        j += 1
+                syms = out
+            return len(syms), init
+
+        for pdf in batches:
+            rows = []
+            for lang, text in zip(pdf["lang"], pdf["text"]):
+                n_tok = n_init = 0
+                for w in str(text).lower().split():
+                    if w:
+                        t, i = word_tokens(w)
+                        n_tok += t
+                        n_init += i
+                rows.append((lang, n_tok, n_init))
+            yield pd.DataFrame(
+                rows, columns=["lang", "n_tokens", "n_init"])
+
+    per_doc = docs.select("lang", F.col(text_col).alias("text")).mapInPandas(
+        encode, "lang string, n_tokens long, n_init long"
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("n_init").cast("long").alias("total_init_symbols"),
+        )
+    )

@@ -30,7 +30,7 @@ these extend the engine for the 100 TB training-data role.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -352,3 +352,135 @@ def scrub_pii(docs: DataFrame, id_col: str = "doc_id",
         (F.length(c) - F.length(clean)).cast("long").alias("chars_removed"),
         clean.alias("clean_text"),
     )
+
+
+# ------------------------- DSIR-style hashed importance resampling
+
+DSIR_BUCKETS = 1024
+
+
+def dsir_importance_topk(docs: DataFrame, target_pred: Column,
+                         k_top: int = 100, n_buckets: int = DSIR_BUCKETS,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    public method) in its RATIONAL-WEIGHT form: hash every word into
+    ``n_buckets`` md5 buckets, estimate the target and raw bucket
+    distributions with Laplace smoothing, and score each document by
+    Σ_b tf_b · p_target(b) / p_raw(b) — the linear-ratio variant of
+    DSIR's Σ tf·log(pt/pr), chosen for the same reason as
+    ``bm25_rank``'s rational idf: log is 1-ulp-unstable across
+    engines, while one fixed-order chain of IEEE mult/div over
+    exact-integer counts is bit-identical, so the whole selector is
+    hash-gatable. Per-bucket terms round to integer micros BEFORE the
+    per-doc sum (floor(x·1e6 + 0.5) → BIGINT), making the aggregation
+    order-independent — the stream-totals trick.
+
+    Scale shape: two corpus passes collapse to a ≤ n_buckets-row
+    stats relation (map-side combined counts) that BROADCASTS back
+    onto the per-(doc, bucket) tf rows; the only corpus-wide shuffle
+    is the tf groupBy on (doc, bucket); selection is sort+limit
+    (TakeOrderedAndProject, never a global window). Driver state: 0
+    rows (stats stay relational).
+
+    Returns the top ``k_top`` docs by importance: (doc_id,
+    score_micros, rank)."""
+    b = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            target_pred.alias("_tgt"),
+            F.explode(F.split(F.col(text_col), " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .select(
+            "doc_id", "_tgt",
+            F.pmod(
+                F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long"),
+                F.lit(n_buckets),
+            ).alias("bk"),
+        )
+    )
+    tf = b.groupBy("doc_id", "bk").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    w_all = Window.partitionBy()
+    stats = (
+        b.groupBy("bk")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cr"),
+            F.sum(F.col("_tgt").cast("long")).cast("long").alias("ct"),
+        )
+        .select(
+            "bk", "cr", "ct",
+            F.sum("cr").over(w_all).cast("long").alias("nr"),
+            F.sum("ct").over(w_all).cast("long").alias("nt"),
+        )
+    )
+    # One fixed left-associative op chain — the DuckDB twin spells the
+    # identical expression, so every double rounds identically.
+    term = F.floor(
+        F.col("tf").cast("double")
+        * (F.col("ct") + 1) * (F.col("nr") + n_buckets)
+        / (F.col("cr") + 1) / (F.col("nt") + n_buckets)
+        * 1000000.0 + 0.5
+    ).cast("long")
+    scores = (
+        tf.join(F.broadcast(stats), "bk")
+        .select("doc_id", term.alias("tm"))
+        .groupBy("doc_id")
+        .agg(F.sum("tm").cast("long").alias("score_micros"))
+        .orderBy(F.desc("score_micros"), F.asc("doc_id"))
+        .limit(k_top)
+    )
+    w_rank = Window.orderBy(F.desc("score_micros"), F.asc("doc_id"))
+    return scores.withColumn(
+        "rank", F.row_number().over(w_rank).cast("int")
+    )
+
+
+def dsir_topk_sql(target_sql: str = "lang = 'en'", k_top: int = 100,
+                  n_buckets: int = DSIR_BUCKETS) -> str:
+    """DuckDB twin of :func:`dsir_importance_topk` — same md5 buckets,
+    same Laplace counts, the same fixed-order mult/div chain, the
+    same integer-micros rounding before the per-doc sum."""
+    return f"""
+        WITH w AS MATERIALIZED (
+          SELECT doc_id, CASE WHEN {target_sql} THEN 1 ELSE 0 END AS tgt,
+                 unnest(string_split(text, ' ')) AS w
+          FROM documents
+        ),
+        b AS MATERIALIZED (
+          SELECT doc_id, tgt,
+                 (('0x' || substr(md5(w), 1, 8))::BIGINT) % {n_buckets} AS bk
+          FROM w WHERE w != ''
+        ),
+        tf AS (
+          SELECT doc_id, bk, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM b GROUP BY doc_id, bk
+        ),
+        stats AS (
+          SELECT bk, CAST(COUNT(*) AS BIGINT) AS cr,
+                 CAST(SUM(tgt) AS BIGINT) AS ct,
+                 CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS nr,
+                 CAST(SUM(SUM(tgt)) OVER () AS BIGINT) AS nt
+          FROM b GROUP BY bk
+        ),
+        scores AS (
+          SELECT tf.doc_id,
+                 CAST(SUM(CAST(floor(
+                   CAST(tf.tf AS DOUBLE)
+                   * (s.ct + 1) * (s.nr + {n_buckets})
+                   / (s.cr + 1) / (s.nt + {n_buckets})
+                   * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS score_micros
+          FROM tf JOIN stats s USING (bk)
+          GROUP BY tf.doc_id
+        ),
+        top AS (
+          SELECT doc_id, score_micros
+          FROM scores ORDER BY score_micros DESC, doc_id LIMIT {k_top}
+        )
+        SELECT doc_id, score_micros,
+               CAST(row_number() OVER (
+                 ORDER BY score_micros DESC, doc_id) AS INT) AS rank
+        FROM top
+    """

@@ -371,3 +371,31 @@ def test_bpe_merge_application_greedy(spark):
         _apply_merge(_init_syms(F.col("w")), "a", "a").alias("syms")
     )
     assert df.collect()[0]["syms"] == ["aa", "a", "</w>"]
+
+
+def test_bpe_encode_matches_train_identity(spark):
+    """Exact identity between the two independent code paths: encoding
+    the training corpus with the learned merges must shed EXACTLY
+    Σ pair_count symbols (each counted occurrence fuses one adjacent
+    pair; lowest-rank-first apply ≡ sequential apply for a consistent
+    merge table — a pair involving a fused symbol always ranks after
+    the merge that created it)."""
+    from sql_data_warehouse_spark.operators.bpe import (
+        bpe_encode_stats, bpe_train_capped, word_freq,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    mt = bpe_train_capped(docs, n_merges=10).collect()
+    merges = [(r["left"], r["right"]) for r in mt]
+    shed = sum(r["pair_count"] for r in mt)
+
+    init_symbols = (
+        word_freq(docs)
+        .select((F.length("w") + 1) * F.col("cnt"))
+        .groupBy().sum().collect()[0][0]
+    )
+    enc = bpe_encode_stats(docs, merges).agg(
+        F.sum("total_tokens"), F.sum("total_init_symbols")
+    ).collect()[0]
+    assert enc[1] == init_symbols
+    assert enc[0] == init_symbols - shed, (enc[0], init_symbols, shed)
