@@ -80,7 +80,11 @@ components → best-doc-per-cluster, its STREAMING twin
 event stream — and, since round 4, INCREMENTAL ingest dedup
 `incremental_dedup_delta`: the new-batch delta probes the base
 corpus's LSH band index, base×base pairs never form, per-ingest
-cost ∝ the delta's bucket collisions),
+cost ∝ the delta's bucket collisions — and its STREAMING twin
+`stream_ingest_new_fingerprints`: fingerprint the document stream
+row-wise, stateful dropDuplicates + stream-static anti join against
+the base fingerprint set, emitting exactly the genuinely-new
+fingerprints),
 similarity (cosine top-k, LSH ANN, IVF / learned-k-means IVF,
 product quantization `pq_ann_topk`: sampled driver-side codebook
 fit, and `pq_ann_topk_distfit`: the distributed multi-subspace

@@ -129,6 +129,7 @@ _SPOTLIGHT = frozenset({
     "bpe_train_merges",
     "dsir_target_sample",
     "bpe_encode_stats",
+    "stream_ingest_new_fingerprints",
 })
 
 

@@ -40,6 +40,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.text import NORMALIZE_SQL as _RAW_NORM_SQL
+from ..functions.text import normalize_text as _norm_text
 from ..sources import load_table
 from ..streaming import jobs
 from .registry import query
@@ -47,6 +49,7 @@ from ..tmputil import scratch_dir
 from .xengine import MICRO_SUM_SQL
 
 _N_SOURCE_FILES = 4
+_NORM_TEXT_SQL = _RAW_NORM_SQL.format(col="text")
 
 
 def _landing_zone(spark: SparkSession, sf_dir: str) -> str:
@@ -407,5 +410,80 @@ def stream_dedup_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         jobs.read_events_stream(spark, src)
         .select("user_id", "event_type")
         .dropDuplicates(["user_id", "event_type"])
+    )
+    return _drain(stream, "append")
+
+
+def _delta_docs_zone(spark: SparkSession, sf_dir: str) -> str:
+    """Multi-file landing zone for the 'new crawl batch' document
+    stream (doc_id % 5 == 0 — the same delta definition as the batch
+    ``incremental_dedup_delta``). Cached per (session, sf_dir)."""
+    cache = getattr(spark, "_wh_doc_delta_zones", None)
+    if cache is None:
+        cache = {}
+        spark._wh_doc_delta_zones = cache
+    if sf_dir not in cache:
+        path = scratch_dir("docs_delta_src_")
+        (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 5 == 0)
+            .repartition(_N_SOURCE_FILES)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        cache[sf_dir] = path
+    return cache[sf_dir]
+
+
+@query(
+    "stream_ingest_new_fingerprints",
+    survey="ext-stream ext-dedup ext-incremental P9",
+    tags=("streaming", "live"),
+    oracle=f"""
+        SELECT DISTINCT md5({_NORM_TEXT_SQL}) AS fingerprint
+        FROM documents d
+        WHERE doc_id % 5 = 0
+          AND md5({_NORM_TEXT_SQL}) NOT IN (
+            SELECT md5({_NORM_TEXT_SQL})
+            FROM documents WHERE doc_id % 5 != 0
+          )
+    """,
+)
+def stream_ingest_new_fingerprints(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """STREAMING ingest dedup — the continuous twin of
+    ``incremental_dedup_delta`` at the exact-fingerprint level: the
+    new-batch document stream is fingerprinted row-wise
+    (md5 of the canonical normalized text — pure projection, no
+    stream-side shuffle), first occurrences within the stream survive
+    a stateful ``dropDuplicates`` keyed on the fingerprint, and a
+    stream-static LEFT ANTI join against the base corpus's
+    fingerprint set drops everything the warehouse already holds.
+    What reaches the sink is exactly the set of genuinely-new
+    fingerprints — deterministic regardless of arrival order (only
+    the key column is emitted, the stream_dedup_user_types rule), so
+    the DuckDB twin gates it bit-for-bit.
+
+    Scale shape: dedup state is keyed on the fingerprint and sharded
+    across executors; the anti join's static side is the stored
+    fingerprint index (re-read per micro-batch — at 100 TB a Delta/
+    manifest-pruned table); near-dup ingest (the MinHash level) runs
+    as the registered batch form."""
+    src = _delta_docs_zone(spark, sf_dir)
+    base_fp = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 != 0)
+        .select(F.md5(_norm_text(F.col("text"))).alias("fingerprint"))
+        .distinct()
+    )
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long"
+        )
+        .parquet(src)
+        .select(F.md5(_norm_text(F.col("text"))).alias("fingerprint"))
+        .dropDuplicates(["fingerprint"])
+        .join(base_fp, "fingerprint", "left_anti")
     )
     return _drain(stream, "append")
