@@ -283,6 +283,27 @@ def incremental_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "incremental_dedup_delta_sketch",
+    survey="ext-dedup ext-pipeline ext-incremental ext-sketch A2 W4",
+    tags=("llmops",),
+    oracle=dedup.incremental_dedup_delta_sketch_sql(threshold=0.35,
+                                                    delta_mod=5),
+)
+def incremental_dedup_delta_sketch(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """The extreme-duplication-safe ingest dedup: per-bucket
+    chain-predecessor candidates (≤ n_bands per delta doc at ANY
+    duplication density — the exact form's candidates grow ∝ density
+    and hit 10M pairs on the 100-copy sf10 replica) verified with
+    fixed-size bottom-k sketches. Hash-gated including the estimator
+    (pure md5 arithmetic). The exact form stays registered for
+    clean/moderate ingests where full match stats are wanted."""
+    return dedup.incremental_dedup_delta_sketch(
+        load_table(spark, sf_dir, "documents"), threshold=0.35, delta_mod=5
+    )
+
+
 # -------------------------------------------------------------- similarity
 
 @query(

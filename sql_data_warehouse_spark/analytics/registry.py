@@ -130,6 +130,7 @@ _SPOTLIGHT = frozenset({
     "dsir_target_sample",
     "bpe_encode_stats",
     "stream_ingest_new_fingerprints",
+    "incremental_dedup_delta_sketch",
 })
 
 

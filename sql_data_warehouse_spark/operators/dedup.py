@@ -815,6 +815,19 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
     # escapes with the narrow setting.
     spark = sym.sparkSession
     n_edges = sym.count()
+    # Hybrid finish (the GraphFrames/BigCC shape): when the verified
+    # edge set is small — which is the normal case for a deduped
+    # corpus, and ALWAYS becomes true for the distributed loop's
+    # frontier after enough halvings — finish with a driver-side
+    # union-find over the collected edges. Driver state is bounded by
+    # the threshold (≤ _CC_DRIVER_MAX_EDGES edge rows, ~MBs), the
+    # result is identical (label = min id in component), and the
+    # per-round job latency of the iterative loop (3 joins + eager
+    # checkpoint per round × O(log d) rounds) collapses into one
+    # collect + one createDataFrame. Corpus-scale edge sets take the
+    # distributed loop unchanged.
+    if n_edges <= _CC_DRIVER_MAX_EDGES:
+        return _cc_driver_finish(spark, sym, nodes)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     narrow = n_edges < 1_000_000
     if narrow:
@@ -824,6 +837,58 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
     finally:
         if narrow:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+_CC_DRIVER_MAX_EDGES = 200_000  # symmetric rows ⇒ ≤100k pairs collected
+
+
+def _cc_driver_finish(spark, sym: DataFrame,
+                      nodes: DataFrame | None) -> DataFrame:
+    """Bounded driver union-find over a collected small edge set;
+    output contract identical to :func:`_cc_loop` (label = min id per
+    component; singleton nodes label themselves)."""
+    rows = sym.collect()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        a, b = r["src"], r["dst"]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    label: dict = {}
+    for x in parent:
+        r = find(x)
+        if r not in label or x < label[r]:
+            label[r] = x
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = sym.schema["src"].dataType
+    lab_df = spark.createDataFrame(
+        [(x, label[find(x)]) for x in parent],
+        StructType([
+            StructField("id", id_type, False),
+            StructField("label", id_type, False),
+        ]),
+    )
+    if nodes is None:
+        return lab_df
+    node_ids = nodes.select(F.col(nodes.columns[0]).alias("id")).distinct()
+    return (
+        node_ids.join(F.broadcast(lab_df), "id", "left")
+        .select("id", F.coalesce("label", "id").alias("label"))
+    )
 
 
 def _cc_loop(sym: DataFrame, nodes: DataFrame | None,
@@ -1359,6 +1424,134 @@ def incremental_dedup_delta_sql(threshold: float = 0.35,
                     ELSE 'unique' END AS status,
                COALESCE(s.n_base_matches, 0) AS n_base_matches,
                s.best_jaccard
+        FROM documents d LEFT JOIN stats s ON s.doc_id = d.doc_id
+        WHERE d.doc_id % {delta_mod} = 0
+    """
+
+
+def incremental_dedup_delta_sketch(docs: DataFrame,
+                                   threshold: float = 0.35,
+                                   delta_mod: int = 5,
+                                   k_sketch: int = BOTTOM_K,
+                                   text_col: str = "text",
+                                   id_col: str = "doc_id",
+                                   k: int = SHINGLE_K) -> DataFrame:
+    """The EXTREME-DUPLICATION-SAFE ingest dedup — the chain/sketch
+    twin of :func:`incremental_dedup_delta`, with both unbounded
+    costs replaced by their fixed-size counterparts:
+
+    - **Candidates**: instead of pairing each delta doc with EVERY
+      bucket cohabitant (∝ duplication density — 10M pairs on the
+      100-copy sf10 replica), each delta doc pairs only with its
+      immediate smaller-id PREDECESSOR per LSH bucket (one lag per
+      band): ≤ n_bands candidates per delta doc at ANY density. In a
+      tight bucket (members near-dups of each other — the regime
+      extreme duplication creates) the predecessor verifies iff the
+      doc is a dup, the ``dedup_keep_best_chain`` argument.
+    - **Verify payload**: bottom-k sketches (fixed k_sketch hashes
+      per doc) instead of full shingle sets.
+
+    Output: (doc_id, status, best_jaccard_est) per delta doc; status
+    attribution (dup_of_base when any verified predecessor is a base
+    doc, else dup_in_delta) follows the verifying partner — chain
+    attribution, exact for tight buckets. Statuses stay deterministic
+    (lag order is doc_id; the estimator is exact md5 arithmetic), so
+    the DuckDB twin hash-gates the whole pipeline including the
+    estimate."""
+    is_delta = F.col("doc_id") % delta_mod == 0
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    sets = shingle_sets(docs.repartition(n_part), text_col, id_col,
+                        k).persist()
+    sigs = minhash_signatures_from_sets(sets).persist()
+    try:
+        bands = _band_hashes(sigs)
+        w = Window.partitionBy("band_idx", "band_hash").orderBy("doc_id")
+        cand = (
+            bands.withColumn("doc_b", F.lag("doc_id").over(w))
+            .filter(is_delta & F.col("doc_b").isNotNull())
+            .select(F.col("doc_id").alias("doc_a"), "doc_b")
+            .distinct()
+        )
+        verified = (
+            jaccard_bottomk_verify(cand, bottomk_sketches(sets, k_sketch),
+                                   k_sketch)
+            .filter(F.col("jaccard_est") >= threshold)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        sets.unpersist()
+        sigs.unpersist()
+    stats = verified.groupBy(F.col("doc_a").alias("doc_id")).agg(
+        F.max((F.col("doc_b") % delta_mod != 0).cast("int"))
+        .alias("has_base"),
+        F.max("jaccard_est").alias("best_jaccard_est"),
+    )
+    return (
+        docs.filter(is_delta)
+        .select("doc_id")
+        .join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("has_base") == 1, F.lit("dup_of_base"))
+            .when(F.col("best_jaccard_est").isNotNull(),
+                  F.lit("dup_in_delta"))
+            .otherwise(F.lit("unique"))
+            .alias("status"),
+            F.col("best_jaccard_est"),
+        )
+    )
+
+
+def incremental_dedup_delta_sketch_sql(threshold: float = 0.35,
+                                       delta_mod: int = 5,
+                                       k_sketch: int = BOTTOM_K,
+                                       k: int = SHINGLE_K) -> str:
+    """DuckDB twin of :func:`incremental_dedup_delta_sketch`."""
+    return f"""
+        WITH bands AS MATERIALIZED ({_minhash_bands_sql()}),
+        cand AS MATERIALIZED (
+          SELECT doc_a, doc_b FROM (
+            SELECT doc_id AS doc_a,
+                   lag(doc_id) OVER (PARTITION BY band_idx, band_hash
+                                     ORDER BY doc_id) AS doc_b
+            FROM bands
+          )
+          WHERE doc_a % {delta_mod} = 0 AND doc_b IS NOT NULL
+          GROUP BY doc_a, doc_b
+        ),
+        sk AS MATERIALIZED (
+          SELECT doc_id,
+                 list_slice(list_sort(list_transform({shingle_set_sql(k)},
+                                                     s -> md5(s))),
+                            1, {k_sketch}) AS sk
+          FROM documents
+        ),
+        est AS MATERIALIZED (
+          SELECT doc_a, doc_b, j FROM (
+            SELECT c.doc_a, c.doc_b,
+                   CAST(len(list_intersect(list_intersect(
+                          list_slice(list_sort(list_distinct(a.sk || b.sk)),
+                                     1, {k_sketch}), a.sk), b.sk)) AS DOUBLE)
+                   / CAST(len(list_slice(list_sort(list_distinct(
+                                a.sk || b.sk)), 1, {k_sketch})) AS DOUBLE)
+                   AS j
+            FROM cand c
+            JOIN sk a ON a.doc_id = c.doc_a
+            JOIN sk b ON b.doc_id = c.doc_b
+          ) WHERE j >= {threshold}
+        ),
+        stats AS (
+          SELECT doc_a AS doc_id,
+                 MAX(CASE WHEN doc_b % {delta_mod} != 0
+                     THEN 1 ELSE 0 END) AS has_base,
+                 MAX(j) AS best_jaccard_est
+          FROM est GROUP BY doc_a
+        )
+        SELECT d.doc_id,
+               CASE WHEN s.has_base = 1 THEN 'dup_of_base'
+                    WHEN s.best_jaccard_est IS NOT NULL THEN 'dup_in_delta'
+                    ELSE 'unique' END AS status,
+               s.best_jaccard_est
         FROM documents d LEFT JOIN stats s ON s.doc_id = d.doc_id
         WHERE d.doc_id % {delta_mod} = 0
     """

@@ -399,3 +399,30 @@ def test_bpe_encode_matches_train_identity(spark):
     ).collect()[0]
     assert enc[1] == init_symbols
     assert enc[0] == init_symbols - shed, (enc[0], init_symbols, shed)
+
+
+def test_cc_distributed_loop_matches_driver_finish(spark):
+    """The hybrid CC's two paths must agree exactly: force the same
+    edge set through the distributed pointer-doubling loop and the
+    driver union-find (small oracle-gated graphs now take the driver
+    path, so the loop needs its own equivalence gate — it remains the
+    path for corpus-scale edge sets)."""
+    from pyspark.sql import Row
+
+    from sql_data_warehouse_spark.operators.dedup import (
+        _cc_driver_finish, _cc_loop,
+    )
+
+    # Chain + triangle + singleton-adjacent shapes, ids out of order
+    edges = spark.createDataFrame(
+        [Row(src=s, dst=d) for s, d in
+         [(9, 2), (2, 5), (5, 1), (10, 11), (11, 10), (20, 21)]]
+    )
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    loop = {(r["id"], r["label"]) for r in _cc_loop(sym, None, 25).collect()}
+    drv = {(r["id"], r["label"])
+           for r in _cc_driver_finish(spark, sym, None).collect()}
+    assert loop == drv
+    assert (1, 1) in loop and (9, 1) in loop and (21, 20) in loop
