@@ -15,6 +15,12 @@ from pyspark.sql import functions as F
 
 from ..functions.text import TOKENS_SQL, tokens
 from ..operators import curation as dsir_sql
+from ..operators.exact_substring import (
+    exact_substring_spans, exact_substring_spans_sql,
+)
+from ..operators.lm import (
+    LM_REF_FILTER, lm_quality_scores, lm_quality_scores_sql,
+)
 from ..operators.curation import (
     dsir_importance_topk,
     decontaminate, global_running_sum, repetition_stats,
@@ -297,3 +303,39 @@ def dsir_target_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         target_pred=F.col("lang") == "en",
         k_top=100,
     )
+
+
+@query(
+    "exact_substring_spans",
+    survey="ext-dedup ext-text W4 A2",
+    tags=("llmops",),
+    oracle=exact_substring_spans_sql(),
+)
+def exact_substring_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style span-level duplication audit (Lee et al.
+    2022): per document, the union of word-5-gram spans that occur
+    verbatim in ≥2 distinct documents — n_spans / dup_tokens /
+    max_span_tokens, all integers. Positioned grams are linear in
+    corpus tokens; the duplicated-gram detection is one
+    wordcount-shaped shuffle; the island windows run over duplicated
+    positions only (duplication-fraction × corpus)."""
+    return exact_substring_spans(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "lm_quality_scores",
+    survey="ext-quality ext-text A2 J-left",
+    tags=("llmops",),
+    oracle=lm_quality_scores_sql(),
+)
+def lm_quality_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter: add-½-smoothed bigram model fit
+    on the lang='en' reference slice, every document scored by its
+    mean smoothed bigram probability (position-ordered seqfold ⇒
+    bit-identical doubles cross-engine; ln is deliberately avoided —
+    not correctly-rounded across libms) plus OOV count and a
+    keep/drop flag at 1.05× the uniform probability. The model is a
+    RELATION (two keyed count tables, sort-merge joined), never a
+    broadcast — the form that survives a 100 TB reference corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return lm_quality_scores(docs, docs.filter(F.expr(LM_REF_FILTER)))

@@ -131,6 +131,8 @@ _SPOTLIGHT = frozenset({
     "bpe_encode_stats",
     "stream_ingest_new_fingerprints",
     "incremental_dedup_delta_sketch",
+    "exact_substring_spans",
+    "lm_quality_scores",
 })
 
 

@@ -345,13 +345,14 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text",
     the worst case — at scale, run it only on
     :func:`minhash_candidate_pairs` output; standalone it's the
     oracle-checkable exact baseline."""
-    sh = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(F.array_distinct(char_shingles(F.col(text_col), k))).alias(
-                "shingle"
-            ),
-        )
+    # Via shingle_sets, NOT char_shingles inline: the latter's
+    # transform lambda captures the 3-regexp normalize chain, which
+    # Catalyst re-evaluates once per character position (the
+    # winnowing pitfall — measured ~10 s for a 200-doc slice);
+    # shingle_sets stages the normalized text as a multi-referenced
+    # column CollapseProject won't re-inline.
+    sh = shingle_sets(df, text_col, id_col, k).select(
+        "doc_id", F.explode("sh").alias("shingle")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")

@@ -1,0 +1,210 @@
+"""N-gram language-model quality scoring (CCNet-style).
+
+CCNet (Wenzek et al., 2020) ranks web documents by the perplexity of
+a language model trained on a high-quality reference corpus and
+keeps the best slice — the canonical model-based quality filter that
+runs after dedup in LLM data pipelines. Re-expressed Spark-first:
+
+- **Fit** — add-½-smoothed bigram model over a reference slice
+  (here: the ``lang = 'en'`` documents; in production, the curated
+  reference corpus). Conditional probability
+  ``P(w2|w1) = (c(w1 w2) + ½) / (c(w1 ·) + ½·V)`` with ``V`` the
+  reference vocabulary size. The model is two count relations
+  (bigram, context) built by one groupBy each over the *reference*
+  slice only — map-side partial aggregation, shuffle ∝ distinct
+  grams.
+- **Score** — every document's positioned bigrams LEFT JOIN the two
+  count relations (keyed sort-merge joins: the model is a RELATION,
+  not a broadcast — a reference corpus at the 100 TB scale produces
+  a count table far beyond driver memory; hot-context skew is a
+  many-to-one join AQE splits). Unseen bigrams back off to c=0 —
+  still a valid smoothed probability, and counted as ``n_oov``.
+- **Determinism** — perplexity proper needs ``ln``, which is NOT
+  correctly-rounded across libms (JVM vs DuckDB would differ in the
+  last ulp and break the driver's value hash). The registered score
+  is therefore the *mean smoothed probability*: each per-position
+  ``p_i`` uses only IEEE-exact ops (+, *, /), and the per-document
+  sum folds an array ordered by position — Spark ``F.aggregate``
+  and DuckDB ``list_reduce`` run the same left fold in the same
+  order, so the double is bit-identical cross-engine (the
+  ``_cosine_seqfold`` trick from operators/similarity.py). Higher
+  mean-p = more reference-like; a fixed multiple of the uniform
+  probability 1/V gives the keep/drop rule.
+
+Reference context: the reference warehouse has no model-based
+filtering surface (pure sales-star T-SQL); this extends the quality
+role of scripts/silver/proc_load_silver.sql's rule-based cleanup to
+corpus curation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import TOKENS_SQL, tokens
+
+LM_REF_FILTER = "lang = 'en'"  # reference slice (CCNet: the target corpus)
+LM_KEEP_MULT = 1.05            # keep iff mean_p >= LM_KEEP_MULT / V
+
+
+def _positioned_bigrams(docs: DataFrame, id_col: str,
+                        text_col: str) -> DataFrame:
+    """(doc_id, pos, w1, w2): adjacent-token pairs with 1-based
+    position. Token array materialized before the slice transform
+    (HOF-inline pitfall)."""
+    staged = docs.select(F.col(id_col).alias("doc_id"),
+                         tokens(F.col(text_col)).alias("_t"))
+    t = F.col("_t")
+    # Guarded: sequence(1, 0) DESCENDS in Spark, so a <2-token doc
+    # must short-circuit to an empty pair array (the DuckDB twin's
+    # range(1, 1) is empty by construction).
+    idx = F.sequence(F.lit(1), F.size(t) - F.lit(1))
+    pairs = F.when(
+        F.size(t) >= F.lit(2),
+        F.transform(
+            idx, lambda i: F.struct(F.element_at(t, i).alias("w1"),
+                                    F.element_at(t, i + F.lit(1)).alias("w2"))),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    return (
+        staged.select("doc_id", F.posexplode(pairs).alias("pos0", "p"))
+        .select("doc_id", (F.col("pos0") + F.lit(1)).alias("pos"),
+                F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+
+
+def bigram_lm_counts(ref_docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> tuple[DataFrame, DataFrame, int]:
+    """(bigram counts, context counts, vocab size) over the reference
+    slice. Context count is the bigram-position count of ``w1`` (the
+    standard conditional denominator), derived from the bigram
+    relation so the two stay consistent by construction. ``V`` is a
+    scalar — the one intentionally collected value (bounded driver
+    state)."""
+    bg = _positioned_bigrams(ref_docs, id_col, text_col)
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = (
+        ref_docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .agg(F.count_distinct("w"))
+        .collect()[0][0]
+    )
+    return c12, c1, int(vocab)
+
+
+def lm_quality_scores(docs: DataFrame, ref_docs: DataFrame,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      keep_mult: float = LM_KEEP_MULT) -> DataFrame:
+    """Per-document (n_bigrams, n_oov, mean_p, keep) — see module doc."""
+    c12, c1, vocab = bigram_lm_counts(ref_docs, id_col, text_col)
+    bg = _positioned_bigrams(docs, id_col, text_col)
+    half_v = 0.5 * vocab
+    # p computed per ROW (one +, one /, both IEEE-exact), the fold
+    # only ADDS in position order => bit-identical to the DuckDB twin.
+    scored = (
+        bg.join(c12.hint("merge"), ["w1", "w2"], "left")
+        .join(c1.hint("merge"), "w1", "left")
+        .select(
+            "doc_id", "pos",
+            F.coalesce("c12", F.lit(0)).alias("c12"),
+            ((F.coalesce("c12", F.lit(0)).cast("double") + F.lit(0.5))
+             / (F.coalesce("c1", F.lit(0)).cast("double") + F.lit(half_v)))
+            .alias("p"),
+        )
+    )
+    per_doc = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("c12") == 0, 1).otherwise(0))
+            .alias("n_oov"),
+            F.array_sort(
+                F.collect_list(F.struct("pos", "p"))).alias("_b"),
+        )
+        .select(
+            "doc_id", "n_bigrams", F.col("n_oov").cast("long").alias("n_oov"),
+            (
+                F.aggregate("_b", F.lit(0.0),
+                            lambda acc, x: acc + x["p"])
+                / F.col("n_bigrams").cast("double")
+            ).alias("mean_p"),
+        )
+    )
+    thresh = keep_mult / vocab
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), "lang")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id", "lang",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long")
+            .alias("n_bigrams"),
+            F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+            F.coalesce("mean_p", F.lit(0.0)).alias("mean_p"),
+            (F.coalesce("mean_p", F.lit(0.0)) >= F.lit(thresh))
+            .alias("keep"),
+        )
+    )
+
+
+def _bigrams_sql(src: str) -> str:
+    t = TOKENS_SQL.format(col="text")
+    return f"""
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               ts[i] AS w1, ts[i + 1] AS w2
+        FROM (SELECT doc_id, {t} AS ts FROM {src})
+        CROSS JOIN unnest(range(1, greatest(len(ts) - 1, 0) + 1)) u(i)
+    """
+
+
+def lm_quality_scores_sql(ref_filter: str = LM_REF_FILTER,
+                          keep_mult: float = LM_KEEP_MULT) -> str:
+    """DuckDB twin. The fold is ``list_reduce`` over the same
+    position-ordered (c12, c1) list with the same 0.0 seed (prepend),
+    so every double matches Spark bit-for-bit."""
+    t = TOKENS_SQL.format(col="text")
+    return f"""
+        WITH ref AS (SELECT * FROM documents WHERE {ref_filter}),
+        ref_bg AS ({_bigrams_sql("ref")}),
+        c12 AS (
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM ref_bg GROUP BY w1, w2
+        ),
+        c1 AS (
+            SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1
+            FROM c12 GROUP BY w1
+        ),
+        v AS (
+            SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS vocab
+            FROM (SELECT unnest({t}) AS w FROM ref)
+        ),
+        bg AS ({_bigrams_sql("documents")}),
+        scored AS (
+            SELECT bg.doc_id, bg.pos,
+                   COALESCE(c12.c12, 0) AS c12,
+                   (CAST(COALESCE(c12.c12, 0) AS DOUBLE) + 0.5)
+                       / (CAST(COALESCE(c1.c1, 0) AS DOUBLE)
+                          + 0.5 * (SELECT vocab FROM v)) AS p
+            FROM bg
+            LEFT JOIN c12 ON bg.w1 = c12.w1 AND bg.w2 = c12.w2
+            LEFT JOIN c1 ON bg.w1 = c1.w1
+        ),
+        per_doc AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(CASE WHEN c12 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_oov,
+                   list_reduce(
+                       list_prepend(0.0, list(p ORDER BY pos)),
+                       (a, b) -> a + b) / CAST(COUNT(*) AS DOUBLE)
+                       AS mean_p
+            FROM scored GROUP BY doc_id
+        )
+        SELECT d.doc_id, d.lang,
+               COALESCE(p.n_bigrams, 0) AS n_bigrams,
+               COALESCE(p.n_oov, 0) AS n_oov,
+               COALESCE(p.mean_p, 0.0) AS mean_p,
+               COALESCE(p.mean_p, 0.0)
+                   >= {keep_mult} / CAST((SELECT vocab FROM v) AS DOUBLE)
+                   AS keep
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """

@@ -224,3 +224,105 @@ def test_seq_idx_zero_token_and_int64_exactness(spark):
     # int64 exactness: (2^53 + 1 - 1) div 2048 — a float64 path
     # rounds 2^53+1 down and lands one sequence earlier
     assert got[(1, 0)] == (1 << 53) // 2048
+
+
+# ------------------------------------------- exact-substring span audit
+
+
+def test_exact_substring_spans_shared_passage(spark):
+    """Two docs share a verbatim 9-token passage; a third is clean.
+    The span union must cover exactly the shared passage (9 tokens =
+    5 consecutive 5-gram starts merged into ONE island), and the
+    clean doc must report zeros."""
+    from sql_data_warehouse_spark.operators.exact_substring import (
+        exact_substring_spans,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota"
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=f"one two {shared} three four"),
+        Row(doc_id=2, text=f"{shared} five six seven eight nine ten"),
+        Row(doc_id=3, text="clean words only nothing repeated here at all"),
+    ])
+    out = {r["doc_id"]: r for r in exact_substring_spans(docs).collect()}
+    # doc 1: passage starts at token 3 -> gram starts 3..7, span 3..11
+    assert out[1]["n_spans"] == 1
+    assert out[1]["dup_tokens"] == 9
+    assert out[1]["max_span_tokens"] == 9
+    assert out[1]["n_dup_positions"] == 5
+    assert out[2]["n_spans"] == 1 and out[2]["dup_tokens"] == 9
+    assert out[3]["n_spans"] == 0 and out[3]["dup_tokens"] == 0
+
+
+def test_exact_substring_within_doc_repeat_not_flagged(spark):
+    """A 5-gram repeated WITHIN one document only (distinct-doc count
+    = 1) is gopher_repetition's signal, not span duplication."""
+    from sql_data_warehouse_spark.operators.exact_substring import (
+        exact_substring_spans,
+    )
+
+    rep = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=f"{rep} filler words {rep}"),
+        Row(doc_id=2, text="totally different content with other tokens here"),
+    ])
+    out = {r["doc_id"]: r for r in exact_substring_spans(docs).collect()}
+    assert out[1]["n_spans"] == 0
+    assert out[2]["n_spans"] == 0
+
+
+def test_exact_substring_adjacent_spans_merge(spark):
+    """Two shared passages separated by MORE than n tokens stay two
+    islands; separated by <= n they merge (interval-union rule)."""
+    from sql_data_warehouse_spark.operators.exact_substring import (
+        exact_substring_spans,
+    )
+
+    p1 = "alpha beta gamma delta epsilon"
+    p2 = "zeta eta theta iota kappa"
+    far = "one two three four five six seven"
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=f"{p1} {far} {p2}"),
+        Row(doc_id=2, text=f"{p1} unrelated tail words here now okay fine"),
+        Row(doc_id=3, text=f"lead tokens first then {p2} and trailing stuff"),
+    ])
+    out = {r["doc_id"]: r for r in exact_substring_spans(docs).collect()}
+    assert out[1]["n_spans"] == 2
+    assert out[1]["dup_tokens"] == 10
+
+
+# ------------------------------------------------- bigram-LM quality
+
+
+def test_lm_quality_scores_short_doc_zero_bigrams(spark):
+    """A single-token doc has no bigrams: n_bigrams = 0, mean_p = 0,
+    dropped — and the guarded sequence() must not descend."""
+    from sql_data_warehouse_spark.operators.lm import lm_quality_scores
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, lang="en", text="word"),
+        Row(doc_id=2, lang="en", text="the cat sat on the mat"),
+    ])
+    out = {r["doc_id"]: r for r in
+           lm_quality_scores(docs, docs.filter(F.col("doc_id") == 2))
+           .collect()}
+    assert out[1]["n_bigrams"] == 0 and out[1]["mean_p"] == 0.0
+    assert not out[1]["keep"]
+    assert out[2]["n_bigrams"] == 5
+
+
+def test_lm_quality_reference_docs_score_higher(spark):
+    """Docs drawn from the reference distribution must outscore
+    out-of-distribution docs (every bigram OOV)."""
+    from sql_data_warehouse_spark.operators.lm import lm_quality_scores
+
+    ref_text = "the cat sat on the mat and the dog sat on the rug"
+    docs = spark.createDataFrame([
+        Row(doc_id=1, lang="en", text=ref_text),
+        Row(doc_id=2, lang="en", text="the cat sat on the rug"),
+        Row(doc_id=3, lang="xx", text="voila quelque chose entierement autre"),
+    ])
+    ref = docs.filter(F.col("doc_id") == 1)
+    out = {r["doc_id"]: r for r in lm_quality_scores(docs, ref).collect()}
+    assert out[2]["mean_p"] > out[3]["mean_p"]
+    assert out[3]["n_oov"] == out[3]["n_bigrams"]  # fully OOV
