@@ -110,7 +110,14 @@ no stdlib container parser), text
 prefix-sum `token_budget_pack`, Gopher repeated-n-gram stats
 `gopher_repetition`, winnowing fingerprint near-dup
 `winnow_near_dup_pairs`, PII redaction `pii_scrub_stats`, Python
-UDTF trigram expansion `udtf_ngram_explode`), transactional tables
+UDTF trigram expansion `udtf_ngram_explode`, ExactSubstr-style
+cross-document repeated-span audit `exact_substring_spans` —
+positioned word-5-grams, duplicated-gram semi-join, gaps-and-islands
+interval union, all-integer output — and the CCNet-style bigram-LM
+quality filter `lm_quality_scores`: add-1/2-smoothed model fit on the
+reference slice as keyed count RELATIONS (never broadcast), mean
+smoothed probability + OOV rate + keep flag, ln-free so the doubles
+hash-gate bit-exactly), transactional tables
 (`sources/txn.py`: manifest log, atomic commit, time travel,
 file-pruned DELETE (`txn_delete_orders`, the GDPR verb, empty files
 dropped from the manifest), file-pruned MERGE — `txn_merge_orders`, `txn_time_travel`, and a
