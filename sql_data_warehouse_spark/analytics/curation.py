@@ -22,7 +22,8 @@ from ..operators.lm import (
     LM_REF_FILTER, lm_quality_scores, lm_quality_scores_sql,
 )
 from ..operators.curation import (
-    dsir_importance_topk,
+    dsir_importance_topk, scrub_pii_multi, scrub_pii_multi_sql,
+    rag_chunk_manifest, rag_chunk_manifest_sql,
     decontaminate, global_running_sum, repetition_stats,
     repetition_stats_sql, scrub_pii, token_ngrams_sql,
     winnow_near_dup_pairs, winnow_near_dup_pairs_sql,
@@ -339,3 +340,138 @@ def lm_quality_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast — the form that survives a 100 TB reference corpus."""
     docs = load_table(spark, sf_dir, "documents")
     return lm_quality_scores(docs, docs.filter(F.expr(LM_REF_FILTER)))
+
+
+_PII_FIXTURE_SQL = """
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 10 = 0
+                THEN ' contact: user' || CAST(doc_id AS VARCHAR)
+                     || '@example.com' ELSE '' END
+           || CASE WHEN doc_id % 7 = 0
+                THEN ' call 555-123-4567 now' ELSE '' END
+           || CASE WHEN doc_id % 11 = 0
+                THEN ' id 123-45-6789 ok' ELSE '' END
+           || CASE WHEN doc_id % 13 = 0
+                THEN ' host 192.168.1.100 up' ELSE '' END AS text
+    FROM documents
+"""
+
+
+@query(
+    "pii_multi_class_stats",
+    survey="ext-pii ext-text P1",
+    tags=("llmops",),
+    oracle=scrub_pii_multi_sql(_PII_FIXTURE_SQL),
+)
+def pii_multi_class_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed PII audit over four classes (email / phone / SSN-shaped
+    / IPv4): per-document match counts + redacted length, one
+    no-shuffle projection (operators/curation.py scrub_pii_multi).
+    The corpus carries no PII, so a deterministic fixture injects
+    instances per class keyed on doc_id residues — same injection on
+    both engines, so every count and the redacted length hash-gate."""
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    fixture = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 10 == 0,
+                   F.concat(F.lit(" contact: user"),
+                            did.cast("string"),
+                            F.lit("@example.com"))).otherwise(F.lit("")),
+            F.when(did % 7 == 0,
+                   F.lit(" call 555-123-4567 now")).otherwise(F.lit("")),
+            F.when(did % 11 == 0,
+                   F.lit(" id 123-45-6789 ok")).otherwise(F.lit("")),
+            F.when(did % 13 == 0,
+                   F.lit(" host 192.168.1.100 up")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return scrub_pii_multi(fixture)
+
+
+@query(
+    "rag_chunk_manifest",
+    survey="ext-chunk ext-text P1",
+    tags=("llmops",),
+    oracle=rag_chunk_manifest_sql(),
+)
+def rag_chunk_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-side chunking: 64-token windows at stride 48 per
+    document, each with its token span and content-address md5 — the
+    manifest an embedding/RAG ingestion pipeline consumes. Pure
+    map-stage explode, no shuffle, no UDF (operators/curation.py
+    rag_chunk_manifest)."""
+    return rag_chunk_manifest(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "curriculum_shard_order",
+    survey="ext-curriculum ext-shard ext-quality A2 W3",
+    tags=("llmops",),
+    oracle=f"""
+        WITH scores AS ({{lm_sql}}),
+        sharded AS (
+          SELECT s.doc_id,
+                 CAST(floor(s.mean_p * 1000000.0 + 0.5) AS BIGINT)
+                     AS score_micros,
+                 CAST(instr('0123456789abcdef',
+                            substr(md5(CAST(s.doc_id AS VARCHAR)), 3, 1)) - 1
+                      AS INTEGER)
+                 + 16 * CAST(substr(md5(CAST(s.doc_id AS VARCHAR)), 4, 1)
+                             < '8' AS INTEGER) AS shard
+          FROM scores s
+        ),
+        per_shard AS (
+          SELECT CAST(shard AS INTEGER) AS shard,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(score_micros) AS BIGINT) AS sum_score_micros
+          FROM sharded GROUP BY shard
+        )
+        SELECT shard, n_docs, sum_score_micros,
+               CAST(RANK() OVER (
+                   ORDER BY sum_score_micros / CAST(n_docs AS DOUBLE) DESC,
+                            shard) AS BIGINT) AS curriculum_rank
+        FROM per_shard
+    """.format(lm_sql=lm_quality_scores_sql()),
+)
+def curriculum_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering for training shards — the composition a
+    data pipeline actually runs: every document's bigram-LM quality
+    score (``lm_quality_scores``) is integerized to micros BEFORE
+    aggregation (floor(x·1e6 + 0.5) → BIGINT, so the per-shard sum is
+    order-independent — the dsir trick), docs hash-assign to the same
+    32 md5 shards as ``training_shard_manifest``, and shards are
+    ranked easiest-first by mean quality (train-on-clean-first
+    curricula). The final window runs over exactly 32 shard rows —
+    bounded at any corpus size; everything upstream is the LM's keyed
+    joins + one shard groupBy."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = lm_quality_scores(docs, docs.filter(F.expr(LM_REF_FILTER)))
+    sharded = scores.select(
+        "doc_id",
+        F.floor(F.col("mean_p") * 1000000.0 + 0.5).cast("long")
+        .alias("score_micros"),
+        (
+            (F.instr(F.lit("0123456789abcdef"),
+                     F.substring(F.md5(F.col("doc_id").cast("string")), 3, 1))
+             - 1)
+            + 16 * (F.substring(F.md5(F.col("doc_id").cast("string")), 4, 1)
+                    < "8").cast("int")
+        ).cast("int").alias("shard"),
+    )
+    per_shard = sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("score_micros").alias("sum_score_micros"),
+    )
+    w = Window.orderBy(
+        F.desc(F.col("sum_score_micros") / F.col("n_docs").cast("double")),
+        F.asc("shard"))
+    return per_shard.select(
+        "shard", "n_docs", "sum_score_micros",
+        F.rank().over(w).cast("long").alias("curriculum_rank"),
+    )

@@ -133,6 +133,14 @@ _SPOTLIGHT = frozenset({
     "incremental_dedup_delta_sketch",
     "exact_substring_spans",
     "lm_quality_scores",
+    # pii_multi_class_stats deliberately NOT spotlighted: 36 pinned +
+    # 15 fresh-0 would overflow the 50-slot window and push
+    # stream_ingest_new_fingerprints's debut row out; the multi-class
+    # scrub is the least novel of the round's additions (regex
+    # extension of the long-gated pii_scrub_stats) and rotates in
+    # next round.
+    "rag_chunk_manifest",
+    "curriculum_shard_order",
 })
 
 

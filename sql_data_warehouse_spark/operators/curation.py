@@ -484,3 +484,140 @@ def dsir_topk_sql(target_sql: str = "lang = 'en'", k_top: int = 100,
                  ORDER BY score_micros DESC, doc_id) AS INT) AS rank
         FROM top
     """
+
+
+# ----------------------------------------- multi-class PII audit
+
+# Class -> (pattern, replacement token). Java-regex / RE2-compatible
+# (no backreferences/lookarounds/boundaries), applied in THIS fixed
+# order on both engines — replacement order matters when classes
+# could overlap, so it is part of the operator contract.
+PII_CLASSES: list[tuple[str, str, str]] = [
+    ("email", EMAIL_PATTERN, "<EMAIL>"),
+    ("phone", r"[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    ("ssn", r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+]
+
+
+def scrub_pii_multi(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Typed PII audit: per-document match count for each PII class
+    plus the fully-redacted text length. One projection, pure JVM
+    regex (count via ``regexp_extract_all`` BEFORE any replacement,
+    then sequential class-ordered ``regexp_replace``) —
+    embarrassingly parallel, no shuffle, the 100 TB shape. Counting
+    precedes redaction so an earlier class's token can't mask a later
+    class's match; phone (NNN-NNN-NNNN) is replaced before ssn
+    (NNN-NN-NNNN) so the two digit shapes never claim each other's
+    text."""
+    c = F.col(text_col)
+    cols = [F.col(id_col)]
+    for name, pat, _tok in PII_CLASSES:
+        cols.append(
+            F.size(F.regexp_extract_all(c, F.lit(pat), 0))
+            .cast("long").alias(f"n_{name}"))
+    clean = c
+    for _name, pat, tok in PII_CLASSES:
+        clean = F.regexp_replace(clean, pat, tok)
+    cols.append(F.length(clean).cast("long").alias("clean_len"))
+    return docs.select(*cols)
+
+
+def scrub_pii_multi_sql(fixture_sql: str) -> str:
+    """DuckDB twin over a fixture CTE named ``fixture(doc_id, text)``
+    (the raw corpus has no PII; the fixture injects deterministic
+    instances per class)."""
+    counts = ",\n               ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)"
+        f" AS n_{name}"
+        for name, pat, _tok in PII_CLASSES
+    )
+    clean = "text"
+    for _name, pat, tok in PII_CLASSES:
+        clean = f"regexp_replace({clean}, '{pat}', '{tok}', 'g')"
+    return f"""
+        WITH fixture AS ({fixture_sql})
+        SELECT doc_id,
+               {counts},
+               CAST(length({clean}) AS BIGINT) AS clean_len
+        FROM fixture
+    """
+
+
+# ------------------------------------------------ RAG chunk manifest
+
+CHUNK_TOKENS = 64   # window length
+CHUNK_STRIDE = 48   # => 16-token overlap between consecutive chunks
+
+
+def rag_chunk_manifest(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Overlapping fixed-token chunk manifest — the retrieval-side
+    unit (RAG / embedding-index ingestion): every document splits
+    into 64-token windows at stride 48, each row carrying its token
+    span and the md5 of the chunk text (the content address an
+    embedding pipeline keys on).
+
+    Chunk count is ``max(n-17, 0) // 48 + 1`` — the integer form of
+    ``ceil((n - CHUNK)/STRIDE) + 1`` clamped to ≥1, with the
+    ``greatest`` BEFORE the division because Spark's ``div``
+    truncates toward zero while DuckDB's ``//`` floors (they differ
+    exactly on the negative operands the clamp removes).
+
+    Plan shape: one projection + posexplode per doc — no shuffle, no
+    UDF; at 100 TB this is a pure map stage that parallelizes with
+    the scan. Token array and chunk-index array are materialized as
+    columns before the per-chunk lambda (HOF-inline pitfall)."""
+    staged = docs.select(F.col(id_col).alias("doc_id"),
+                         tokens(F.col(text_col)).alias("_t"))
+    t = F.col("_t")
+    n = F.size(t)
+    n_chunks = (
+        F.floor(F.greatest(n - F.lit(CHUNK_TOKENS - CHUNK_STRIDE + 1),
+                           F.lit(0)) / F.lit(CHUNK_STRIDE))
+        + F.lit(1)
+    ).cast("int")
+    ks = F.sequence(F.lit(0), n_chunks - F.lit(1))
+    chunks = F.transform(
+        ks,
+        lambda k: F.struct(
+            (k * CHUNK_STRIDE + 1).alias("tok_start"),
+            F.least(k * CHUNK_STRIDE + CHUNK_TOKENS, n).alias("tok_end"),
+            F.md5(F.array_join(
+                F.slice(t, k * CHUNK_STRIDE + 1, CHUNK_TOKENS), " "))
+            .alias("chunk_hash"),
+        ),
+    )
+    return (
+        staged.select("doc_id", F.posexplode(chunks).alias("k", "c"))
+        .select(
+            "doc_id",
+            F.col("k").cast("long").alias("chunk_idx"),
+            F.col("c.tok_start").cast("long").alias("tok_start"),
+            F.col("c.tok_end").cast("long").alias("tok_end"),
+            (F.col("c.tok_end") - F.col("c.tok_start") + 1).cast("long")
+            .alias("n_chunk_tokens"),
+            F.col("c.chunk_hash").alias("chunk_hash"),
+        )
+    )
+
+
+def rag_chunk_manifest_sql() -> str:
+    t = TOKENS_SQL.format(col="text")
+    c, s = CHUNK_TOKENS, CHUNK_STRIDE
+    return f"""
+        WITH toks AS (SELECT doc_id, {t} AS ts FROM documents),
+        spans AS (
+            SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+                   CAST(k * {s} + 1 AS BIGINT) AS tok_start,
+                   CAST(least(k * {s} + {c}, len(ts)) AS BIGINT) AS tok_end,
+                   md5(array_to_string(
+                       ts[(k * {s} + 1):(k * {s} + {c})], ' ')) AS chunk_hash
+            FROM toks CROSS JOIN unnest(range(0,
+                greatest(len(ts) - {c - s + 1}, 0) // {s} + 1)) u(k)
+        )
+        SELECT doc_id, chunk_idx, tok_start, tok_end,
+               tok_end - tok_start + 1 AS n_chunk_tokens, chunk_hash
+        FROM spans
+    """

@@ -326,3 +326,66 @@ def test_lm_quality_reference_docs_score_higher(spark):
     out = {r["doc_id"]: r for r in lm_quality_scores(docs, ref).collect()}
     assert out[2]["mean_p"] > out[3]["mean_p"]
     assert out[3]["n_oov"] == out[3]["n_bigrams"]  # fully OOV
+
+
+# --------------------------------------------- multi-class PII scrub
+
+
+def test_scrub_pii_multi_counts_and_order(spark):
+    """Counts are per class and replacement is class-ordered: the
+    phone shape (NNN-NNN-NNNN) must never be claimed by the SSN shape
+    (NNN-NN-NNNN) or vice versa."""
+    from sql_data_warehouse_spark.operators.curation import scrub_pii_multi
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="mail a@b.com call 555-123-4567 "
+                           "ssn 123-45-6789 ip 10.0.0.1"),
+        Row(doc_id=2, text="no pii here at all"),
+    ])
+    out = {r["doc_id"]: r for r in scrub_pii_multi(docs).collect()}
+    assert (out[1]["n_email"], out[1]["n_phone"],
+            out[1]["n_ssn"], out[1]["n_ipv4"]) == (1, 1, 1, 1)
+    assert (out[2]["n_email"], out[2]["n_phone"],
+            out[2]["n_ssn"], out[2]["n_ipv4"]) == (0, 0, 0, 0)
+    assert out[2]["clean_len"] == len("no pii here at all")
+
+
+# ------------------------------------------------ RAG chunk manifest
+
+
+def test_rag_chunk_manifest_spans(spark):
+    """A 100-token doc at 64/48 gives chunks [1,64] and [49,100]; a
+    short doc gives exactly one full-coverage chunk."""
+    from sql_data_warehouse_spark.operators.curation import (
+        rag_chunk_manifest,
+    )
+
+    long_text = " ".join(f"w{i}" for i in range(100))
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=long_text),
+        Row(doc_id=2, text="just five little words here"),
+    ])
+    rows = rag_chunk_manifest(docs).collect()
+    d1 = sorted([r for r in rows if r["doc_id"] == 1],
+                key=lambda r: r["chunk_idx"])
+    assert [(r["tok_start"], r["tok_end"]) for r in d1] == [(1, 64), (49, 100)]
+    assert d1[1]["n_chunk_tokens"] == 52
+    d2 = [r for r in rows if r["doc_id"] == 2]
+    assert len(d2) == 1 and (d2[0]["tok_start"], d2[0]["tok_end"]) == (1, 5)
+
+
+def test_rag_chunk_overlap_tokens_shared(spark):
+    """Consecutive chunks share exactly CHUNK - STRIDE = 16 tokens:
+    the second chunk's hash over a doc built from distinct tokens
+    equals the hash of tokens 49..100 recomputed directly."""
+    import hashlib
+
+    from sql_data_warehouse_spark.operators.curation import (
+        rag_chunk_manifest,
+    )
+
+    toks = [f"w{i}" for i in range(100)]
+    docs = spark.createDataFrame([Row(doc_id=1, text=" ".join(toks))])
+    rows = {r["chunk_idx"]: r for r in rag_chunk_manifest(docs).collect()}
+    want = hashlib.md5(" ".join(toks[48:100]).encode()).hexdigest()
+    assert rows[1]["chunk_hash"] == want
