@@ -77,7 +77,11 @@ _PINNED = frozenset({
     "wh_q01_catalog",                # S5 S8
     "wh_q01_columns",                # S8
     "wh_q02_countries",              # P9 O1
-    "wh_q02_product_dims",           # P9
+    # wh_q02_product_dims (Q02 P9 O1) un-pinned in round 4: every id
+    # it carries is covered by other pinned rows (wh_q02_countries
+    # covers Q02/P9/O1), it has had green driver rows since r1, and
+    # the freed slot lets all 15 round-4 spotlight debuts fit the
+    # 50-slot window. It rotates with the checked tier.
     "wh_q03_birthdate_range",        # A1
     "wh_q03_order_range",            # A1
     "wh_q04_measures",               # A1
@@ -133,14 +137,13 @@ _SPOTLIGHT = frozenset({
     "incremental_dedup_delta_sketch",
     "exact_substring_spans",
     "lm_quality_scores",
-    # pii_multi_class_stats deliberately NOT spotlighted: 36 pinned +
-    # 15 fresh-0 would overflow the 50-slot window and push
-    # stream_ingest_new_fingerprints's debut row out; the multi-class
-    # scrub is the least novel of the round's additions (regex
-    # extension of the long-gated pii_scrub_stats) and rotates in
-    # next round.
+    # pii_multi_class_stats is NOT spotlighted — the one round-4
+    # registration held back (35 pinned + 15 fresh-0 fill the window
+    # exactly): it is the least novel addition (regex extension of
+    # the long-gated pii_scrub_stats) and rotates in next round.
     "rag_chunk_manifest",
     "curriculum_shard_order",
+    "stream_ingest_near_dup_bands",
 })
 
 

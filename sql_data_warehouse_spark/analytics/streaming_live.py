@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import NORMALIZE_SQL as _RAW_NORM_SQL
 from ..functions.text import normalize_text as _norm_text
+from ..operators import dedup
 from ..sources import load_table
 from ..streaming import jobs
 from .registry import query
@@ -485,5 +486,65 @@ def stream_ingest_new_fingerprints(spark: SparkSession,
         .select(F.md5(_norm_text(F.col("text"))).alias("fingerprint"))
         .dropDuplicates(["fingerprint"])
         .join(base_fp, "fingerprint", "left_anti")
+    )
+    return _drain(stream, "append")
+
+
+@query(
+    "stream_ingest_near_dup_bands",
+    survey="ext-stream ext-dedup ext-incremental J-semi P9",
+    tags=("streaming", "live"),
+    oracle=f"""
+        WITH delta_bands AS MATERIALIZED (
+            {dedup._minhash_bands_sql(doc_filter="doc_id % 5 = 0")}
+        ),
+        base_bands AS MATERIALIZED (
+            {dedup._minhash_bands_sql(doc_filter="doc_id % 5 != 0")}
+        )
+        SELECT DISTINCT d.doc_id, d.band_idx
+        FROM delta_bands d
+        JOIN (SELECT DISTINCT band_idx, band_hash FROM base_bands) b
+          USING (band_idx, band_hash)
+    """,
+)
+def stream_ingest_near_dup_bands(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """STREAMING ingest dedup at the NEAR-DUP (MinHash-LSH) level —
+    the band-collision twin of ``stream_ingest_new_fingerprints``:
+    each new-crawl document is OPH-minhashed IN-ROW (the
+    pure-projection ``minhash_band_hashes_inrow`` — no streaming
+    aggregation, no watermark, state only in the final keyed
+    dropDuplicates), its 4 LSH band hashes probe the base corpus's
+    band index via a stream-static LEFT SEMI join, and what reaches
+    the sink is the (doc_id, band_idx) collision set — the signal an
+    ingest pipeline routes to the exact verifier before admitting the
+    doc. Deterministic under any arrival order (key columns only),
+    so the DuckDB twin replays the OPH+banding bit-for-bit.
+
+    Scale shape: stream side is projection-only per micro-batch; the
+    static band index is read per batch (manifest-pruned at 100 TB);
+    dedup state is keyed on (doc_id, band_idx) and sharded. The
+    batch-side index build is the one corpus-wide cost, amortized
+    across ingests (in production it is a maintained table, not
+    rebuilt per drain)."""
+    src = _delta_docs_zone(spark, sf_dir)
+    base_bands = (
+        dedup.minhash_band_hashes(
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 5 != 0)
+        )
+        .select("band_idx", "band_hash")
+        .distinct()
+    )
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long"
+        )
+        .parquet(src)
+        .transform(dedup.minhash_band_hashes_inrow)
+        .join(base_bands, ["band_idx", "band_hash"], "left_semi")
+        .select("doc_id", "band_idx")
+        .dropDuplicates(["doc_id", "band_idx"])
     )
     return _drain(stream, "append")

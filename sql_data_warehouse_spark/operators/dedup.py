@@ -224,6 +224,74 @@ def _band_hashes(sigs: DataFrame, n_perm: int = N_PERMUTATIONS,
     )
 
 
+def minhash_band_hashes_inrow(df: DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id",
+                              n_perm: int = N_PERMUTATIONS,
+                              band_size: int = BAND_SIZE,
+                              k: int = SHINGLE_K) -> DataFrame:
+    """STREAM-SAFE twin of :func:`minhash_band_hashes`: the OPH
+    minima are computed per ROW with array HOFs (filter + array_min
+    over the in-row shingle-hash array) instead of a groupBy — a pure
+    projection chain with no aggregation state, so the input may be a
+    streaming relation. MIN over the same shingle-hash multiset ⇒
+    signatures identical to the aggregate form (cross-gated in
+    tests/test_operators.py); the aggregate form stays the BATCH
+    default because its map-side partial mins shuffle one 16-wide row
+    per doc, while this form carries the whole hash array through the
+    projection (fine for a stream's per-batch row flow, wasteful for
+    a corpus-wide shuffle).
+
+    Staging discipline: the md5 array materializes as a column before
+    the 16 bin-filters reference it (16 references block
+    CollapseProject from re-inlining the transform — the winnowing
+    pitfall)."""
+    staged = df.select(F.col(id_col).alias("doc_id"),
+                       normalize_text(F.col(text_col)).alias("_norm"))
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.length("_norm") - F.lit(k - 1), F.lit(1)))
+    hashed = staged.select(
+        "doc_id",
+        F.transform(idx, lambda i: F.md5(F.col("_norm").substr(i, F.lit(k))))
+        .alias("_hs"),
+    )
+    hexd = "0123456789abcdef"
+
+    def _first_nibble_is(c: str):
+        # single-arg lambda (a 2-arg HOF lambda would receive the
+        # element INDEX as its second parameter)
+        return lambda x: x.substr(F.lit(1), F.lit(1)) == F.lit(c)
+
+    mins = hashed.select(
+        "doc_id",
+        *[
+            F.coalesce(
+                F.array_min(
+                    F.filter(F.col("_hs"), _first_nibble_is(hexd[p]))),
+                F.lit(_EMPTY_BIN),
+            ).alias(f"m{p}")
+            for p in range(n_perm)
+        ],
+    )
+
+    def dens(p: int):
+        own = F.nullif(F.col(f"m{p}"), F.lit(_EMPTY_BIN))
+        borrowed = F.coalesce(
+            *[
+                F.nullif(F.col(f"m{(p + j) % n_perm}"), F.lit(_EMPTY_BIN))
+                for j in range(1, n_perm)
+            ]
+        )
+        return F.coalesce(
+            own, F.md5(F.concat(F.lit(f"{p}|"), borrowed)), F.lit(_EMPTY_BIN)
+        )
+
+    sigs = mins.select(
+        "doc_id",
+        F.array(*[dens(p) for p in range(n_perm)]).alias("signature"),
+    )
+    return _band_hashes(sigs, n_perm, band_size)
+
+
 def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id") -> DataFrame:
     """Distinct candidate pairs (a < b) sharing ≥1 LSH band bucket.

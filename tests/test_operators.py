@@ -426,3 +426,27 @@ def test_cc_distributed_loop_matches_driver_finish(spark):
            for r in _cc_driver_finish(spark, sym, None).collect()}
     assert loop == drv
     assert (1, 1) in loop and (9, 1) in loop and (21, 20) in loop
+
+
+def test_minhash_inrow_bands_equal_aggregate_form(spark):
+    """The stream-safe per-row OPH (array-HOF filters + array_min)
+    must reproduce the aggregate form's band relation EXACTLY —
+    including densified bins on sparse docs (the short-text rows
+    below leave most nibble bins empty)."""
+    from pyspark.sql import Row
+
+    from sql_data_warehouse_spark.operators.dedup import (
+        minhash_band_hashes, minhash_band_hashes_inrow,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate([
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumps over the lazy cat",
+            "zz",  # sparse: fewer shingles than bins -> densification
+            "completely different content here with many more words",
+        ])]
+    )
+    a = minhash_band_hashes(docs).orderBy("doc_id", "band_idx").collect()
+    b = minhash_band_hashes_inrow(docs).orderBy("doc_id", "band_idx").collect()
+    assert a == b
