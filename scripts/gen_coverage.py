@@ -84,7 +84,11 @@ cost ∝ the delta's bucket collisions — and its STREAMING twin
 `stream_ingest_new_fingerprints`: fingerprint the document stream
 row-wise, stateful dropDuplicates + stream-static anti join against
 the base fingerprint set, emitting exactly the genuinely-new
-fingerprints),
+fingerprints — and its NEAR-DUP twin `stream_ingest_near_dup_bands`:
+per-row OPH minhash as pure projections (no streaming aggregation),
+LSH band hashes probing the base corpus's band index via
+stream-static left-semi join, emitting the (doc, band) collision
+set),
 similarity (cosine top-k, LSH ANN, IVF / learned-k-means IVF,
 product quantization `pq_ann_topk`: sampled driver-side codebook
 fit, and `pq_ann_topk_distfit`: the distributed multi-subspace
@@ -117,7 +121,15 @@ interval union, all-integer output — and the CCNet-style bigram-LM
 quality filter `lm_quality_scores`: add-1/2-smoothed model fit on the
 reference slice as keyed count RELATIONS (never broadcast), mean
 smoothed probability + OOV rate + keep flag, ln-free so the doubles
-hash-gate bit-exactly), transactional tables
+hash-gate bit-exactly; the multi-class audit `pii_multi_class_stats`
+— typed email/phone/SSN/IPv4 counts + redacted length, counting
+before class-ordered replacement; RAG chunk manifests
+`rag_chunk_manifest` — 64-token windows at stride 48 with
+content-address md5 per chunk, a pure map-stage explode; and
+curriculum shard ordering `curriculum_shard_order` — LM quality
+integerized to micros before order-independent per-shard sums,
+shards ranked easiest-first over the same md5 shard assignment as
+`training_shard_manifest`), transactional tables
 (`sources/txn.py`: manifest log, atomic commit, time travel,
 file-pruned DELETE (`txn_delete_orders`, the GDPR verb, empty files
 dropped from the manifest), file-pruned MERGE — `txn_merge_orders`, `txn_time_travel`, and a
