@@ -1041,3 +1041,65 @@ def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_common",
         "jaccard",
     )
+
+
+@query(
+    "int8_ann_topk",
+    survey="ext-sim ext-quant W3 J-broadcast",
+    tags=("llmops",),
+    oracle=similarity.int8_ann_topk_sql(query_filter="vec_id < 5", k=10),
+)
+def int8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8 scalar-quantized ANN: normalize → quantize to [-127,127]
+    longs → all-integer unrolled dot → top-10, deterministic
+    tiebreak. The one ANN variant whose SCORES are exact integers, so
+    the full pipeline (quantizer included) hash-gates — float-scored
+    ANN variants gate rows-only or by recall. Recall vs exact cosine
+    gated in tests/test_similarity_recall.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.int8_ann_topk(emb, queries, k=10)
+
+
+@query(
+    "media_audio_features",
+    survey="ext-media ext-codec ext-dsp mapInPandas",
+    tags=("llmops", "multimodal"),
+    oracle="""
+        WITH aud AS (
+          SELECT doc_id, 64 + doc_id % 97 AS n
+          FROM documents WHERE doc_id % 3 = 1
+        ),
+        samples AS (
+          SELECT a.doc_id, g.i,
+                 ((a.doc_id * 131 + g.i * 17) % 65536) - 32768 AS s
+          FROM aud a, generate_series(0, 160) g(i)
+          WHERE g.i < a.n
+        ),
+        lagged AS (
+          SELECT doc_id, s,
+                 lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+          FROM samples
+        )
+        SELECT doc_id,
+               CAST(8000 AS BIGINT) AS sample_rate,
+               CAST(COUNT(*) AS BIGINT) AS n_samples,
+               CAST(MAX(ABS(s)) AS BIGINT) AS peak,
+               CAST(SUM(CAST(s AS BIGINT) * s) AS BIGINT) AS energy,
+               CAST(SUM(CASE WHEN prev IS NOT NULL
+                             AND ((prev < 0) <> (s < 0))
+                        THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        FROM lagged GROUP BY doc_id
+    """,
+)
+def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction THROUGH the real WAV decode (peak /
+    energy / zero crossings from the decoded PCM16 samples, exact
+    integers) — the multimodal pipeline step after ingestion. The
+    oracle replays the features arithmetically from the closed-form
+    sample content, so any decode defect shifts the hash
+    (operators/multimodal.py audio_feature_stats)."""
+    return multimodal.audio_feature_stats(
+        load_table(spark, sf_dir, "documents"))

@@ -486,3 +486,60 @@ def embed_media(media: DataFrame, dim: int = 16) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(
         run, schema="doc_id long, emb array<double>"
     )
+
+
+def audio_feature_stats(docs: DataFrame) -> DataFrame:
+    """Real DSP feature extraction over the stdlib WAV codec: every
+    audio doc's PCM16 payload is encoded then DECODED (RIFF walk,
+    struct unpack — the same real-codec discipline as
+    :func:`real_codec_roundtrip`), and the features are computed from
+    the DECODED samples in exact integer arithmetic — peak
+    amplitude, total energy Σs², zero-crossing count — so the DuckDB
+    oracle can replay them arithmetically from the closed-form sample
+    content. A broken decode (byte order, alignment, truncation)
+    shifts every feature.
+
+    Shape: one Arrow-batched mapInPandas over doc ids; self-contained
+    closure (driver-contract rule: workers can't import this
+    package)."""
+    src = MEDIA_CODEC_SRC  # closure cell → pickled by value
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        ns: dict = {}
+        exec(src, ns)
+        enc_wav, dec_wav = ns["encode_wav"], ns["decode_wav"]
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                if doc_id % 3 != 1:
+                    continue
+                n = 64 + doc_id % 97
+                payload = enc_wav(
+                    [((doc_id * 131 + i * 17) % 65536) - 32768
+                     for i in range(n)]
+                )
+                rate, samples = dec_wav(payload)
+                peak = max(abs(s) for s in samples)
+                energy = sum(s * s for s in samples)
+                zc = sum(
+                    1 for i in range(1, len(samples))
+                    if (samples[i - 1] < 0) != (samples[i] < 0)
+                )
+                rows.append({
+                    "doc_id": doc_id, "sample_rate": rate,
+                    "n_samples": len(samples), "peak": peak,
+                    "energy": energy, "zero_crossings": zc,
+                })
+            if rows:
+                yield _pd.DataFrame(rows)[
+                    ["doc_id", "sample_rate", "n_samples", "peak",
+                     "energy", "zero_crossings"]
+                ]
+
+    schema = ("doc_id long, sample_rate long, n_samples long, "
+              "peak long, energy long, zero_crossings long")
+    return docs.select("doc_id").mapInPandas(run, schema=schema)

@@ -1126,3 +1126,117 @@ def lsh_clusters_sql(threshold: float = 0.35,
         SELECT id AS vec_id, MIN(lab) AS cluster_id
         FROM reach GROUP BY id
     """
+
+
+# ------------------------------------------ int8 scalar quantization
+
+INT8_SCALE = 127
+
+
+def _int_dot_fixed_sql(a: str, b: str, dim: int) -> str:
+    """Unrolled integer dot over two BIGINT-array columns (0-indexed
+    Spark subscripts; integer addition is exact, so fold order is
+    irrelevant here — the unroll is purely for codegen)."""
+    return "(" + " + ".join(f"({a}[{i}] * {b}[{i}])" for i in range(dim)) + ")"
+
+
+def int8_quantize(df: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding",
+                  dim: int = SIM_DIM) -> DataFrame:
+    """(id, q): L2-normalize then scalar-quantize to [-127, 127]
+    longs — ``qᵢ = floor(vᵢ/‖v‖ · 127 + ½)`` (round-half-up, exact
+    IEEE ops over the fixed-fold norm, so the DuckDB twin replays it
+    bit-for-bit; zero-norm vectors quantize to the zero vector).
+    4 bytes/dim float32 → ~1 byte of useful range: the memory-/
+    bandwidth-compression step production vector stores run before
+    the index build."""
+    staged = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_v"),
+        norm_fixed(vec_col, dim).alias("_n"),
+    )
+    zero = F.transform(F.col("_v"), lambda x: F.lit(0).cast("long"))
+    quant = F.transform(
+        F.col("_v"),
+        lambda x: F.floor(
+            x.cast("double") / F.col("_n") * F.lit(127.0) + F.lit(0.5)),
+    )
+    return staged.select(
+        "vec_id",
+        F.when(F.col("_n") == 0, zero).otherwise(quant).alias("q"),
+    )
+
+
+def int8_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  query_id_col: str = "query_id",
+                  dim: int = SIM_DIM) -> DataFrame:
+    """Top-k by INT8-quantized dot product — the compressed-index ANN
+    path: both sides pre-quantized (one per-row pass each), the
+    pairwise hot loop is an unrolled all-integer dot (codegen, no
+    doubles, exact — hence hash-gateable unlike float-scored ANN),
+    ranked with the deterministic vec_id tiebreak. Queries broadcast;
+    the corpus never shuffles. Recall vs the exact cosine baseline is
+    gated in tests/test_similarity_recall.py; the int8 contract
+    itself (quantize + integer dot + rank) gates exactly."""
+    e = int8_quantize(embeddings, id_col, vec_col, dim).select(
+        "vec_id", F.col("q").alias("e_q"))
+    q = int8_quantize(queries, query_id_col, vec_col, dim).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("q_q"))
+    scored = e.crossJoin(F.broadcast(q)).select(
+        "query_id", "vec_id",
+        F.expr(_int_dot_fixed_sql("q_q", "e_q", dim)).alias("dot_int"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("dot_int"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def int8_ann_topk_sql(query_filter: str, k: int = 10,
+                      dim: int = SIM_DIM) -> str:
+    """DuckDB twin: HOF-fold norm (same left fold as the unrolled
+    Spark norm), per-element quantization with the same round-half-up,
+    integer-dot scoring, same rank/tiebreak."""
+    from ..functions.vectors import dot_sql
+
+    nrm = f"sqrt({dot_sql('embedding', 'embedding')})"
+    return f"""
+        WITH base AS (
+          SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings
+        ),
+        qz AS (
+          SELECT vec_id,
+                 CASE WHEN nrm = 0
+                      THEN list_transform(embedding,
+                                          v -> CAST(0 AS BIGINT))
+                      ELSE list_transform(embedding,
+                          v -> CAST(floor(CAST(v AS DOUBLE) / nrm * 127.0
+                                          + 0.5) AS BIGINT))
+                 END AS q
+          FROM base
+        ),
+        queries AS (
+          SELECT vec_id AS query_id, q AS q_q FROM qz
+          WHERE {query_filter}
+        ),
+        scored AS (
+          SELECT q.query_id, e.vec_id,
+                 CAST(list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                         list_transform(list_zip(q.q_q, e.q),
+                                        z -> z[1] * z[2])),
+                     (a, b) -> a + b) AS BIGINT) AS dot_int
+          FROM qz e CROSS JOIN queries q
+        ),
+        ranked AS (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY dot_int DESC, vec_id ASC) AS INTEGER)
+                    AS rank
+          FROM scored
+        )
+        SELECT query_id, vec_id, dot_int, rank
+        FROM ranked WHERE rank <= {k}
+    """

@@ -240,3 +240,21 @@ def test_semantic_dedup_kmeans_cells(spark):
     # min-id keeper: cluster label is the component's min id
     mismatches = {v for v in ids if out[v] != want[v]}
     assert not mismatches, (len(mismatches), sorted(mismatches)[:5])
+
+
+def test_int8_ann_topk_recall_vs_exact_cosine(spark):
+    """INT8 scalar quantization keeps ~7 bits/dim of resolution —
+    top-10 sets should match the exact cosine ranking almost
+    everywhere (quantization only reorders near-ties)."""
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(emb, queries, k=10)
+    quant = similarity.int8_ann_topk(emb, queries, k=10)
+
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in quant.collect()}
+    assert len(e) == 50 and len(a) == 50
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, recall
