@@ -23,7 +23,7 @@ from ..operators.lm import (
 )
 from ..operators.curation import (
     dsir_importance_topk, scrub_pii_multi, scrub_pii_multi_sql,
-    rag_chunk_manifest, rag_chunk_manifest_sql,
+    rag_chunk_manifest, rag_chunk_manifest_sql, corpus_drift_stat_sql,
     decontaminate, global_running_sum, repetition_stats,
     repetition_stats_sql, scrub_pii, token_ngrams_sql,
     winnow_near_dup_pairs, winnow_near_dup_pairs_sql,
@@ -474,4 +474,25 @@ def curriculum_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_shard.select(
         "shard", "n_docs", "sum_score_micros",
         F.rank().over(w).cast("long").alias("curriculum_rank"),
+    )
+
+
+@query(
+    "corpus_drift_stat",
+    survey="ext-drift ext-quality A1 A4",
+    tags=("llmops",),
+    oracle=corpus_drift_stat_sql("doc_id % 5 = 0"),
+)
+def corpus_drift_stat_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift monitor: the new-ingest batch (doc_id % 5 = 0,
+    the same delta convention as incremental_dedup_delta) checked
+    against the base corpus's length-bucket distribution with the
+    rational χ²-divergence (log-free ⇒ hash-gateable; the 10-bucket
+    sum folds in bucket order on both engines). One scan, ≤10-row
+    aggregate state (operators/curation.py corpus_drift_stat)."""
+    from ..operators.curation import corpus_drift_stat
+
+    return corpus_drift_stat(
+        load_table(spark, sf_dir, "documents"),
+        delta_pred=F.col("doc_id") % 5 == 0,
     )

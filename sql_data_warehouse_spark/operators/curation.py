@@ -621,3 +621,112 @@ def rag_chunk_manifest_sql() -> str:
                tok_end - tok_start + 1 AS n_chunk_tokens, chunk_hash
         FROM spans
     """
+
+
+# --------------------------------------------- snapshot drift monitor
+
+DRIFT_BUCKET_CHARS = 100  # n_chars // 100, capped to 10 buckets
+DRIFT_N_BUCKETS = 10
+
+
+def corpus_drift_stat(docs: DataFrame, delta_pred: Column,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Distribution-drift check between a new ingest batch and the
+    base corpus — the monitoring step a pipeline runs before
+    admitting a crawl snapshot (CCNet/RefinedWeb-style ops hygiene).
+    Documents bucket by length (``n_chars // 100`` capped at 10
+    bins); the statistic is the χ²-divergence of the batch's bucket
+    PROPORTIONS against the base's:
+
+        drift = Σ_b (p_delta(b) − p_base(b))² / p_base(b)
+
+    — the rational (log-free) drift form, for the same reason as
+    bm25/dsir: every term is one subtraction, one multiply, one
+    divide over exact-integer-derived doubles, and the ≤10-bucket
+    sum folds in bucket order (Spark ``aggregate`` ≡ DuckDB
+    ``list_reduce``), so the double is bit-identical cross-engine.
+    PSI's log-ratio variant needs ``ln`` and cannot hash-gate.
+
+    Scale shape: two map-side-combined counts over one scan (the
+    bucket relation is ≤10 rows), one broadcast-sized join, one
+    10-element fold. Returns ONE row: (n_buckets, delta_total,
+    base_total, drift_stat)."""
+    bucketed = docs.select(
+        F.least(F.floor(F.col("n_chars") / DRIFT_BUCKET_CHARS),
+                F.lit(DRIFT_N_BUCKETS - 1)).cast("int").alias("bucket"),
+        delta_pred.cast("int").alias("is_delta"),
+    )
+    counts = bucketed.groupBy("bucket").agg(
+        F.sum("is_delta").cast("long").alias("delta_cnt"),
+        F.sum(1 - F.col("is_delta")).cast("long").alias("base_cnt"),
+    )
+    totals = counts.agg(
+        F.sum("delta_cnt").alias("dt"), F.sum("base_cnt").alias("bt"))
+    per_bucket = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (F.col("delta_cnt").cast("double") / F.col("dt").cast("double"))
+        .alias("p_delta"),
+        (F.col("base_cnt").cast("double") / F.col("bt").cast("double"))
+        .alias("p_base"),
+        "dt", "bt",
+    ).withColumn(
+        "contrib",
+        F.when(F.col("p_base") == 0,
+               F.lit(0.0)).otherwise(
+            (F.col("p_delta") - F.col("p_base"))
+            * (F.col("p_delta") - F.col("p_base")) / F.col("p_base")),
+    )
+    return (
+        per_bucket.groupBy("dt", "bt")
+        .agg(F.array_sort(
+            F.collect_list(F.struct("bucket", "contrib"))).alias("_c"),
+            F.count(F.lit(1)).alias("n_buckets"))
+        .select(
+            F.col("n_buckets").cast("long").alias("n_buckets"),
+            F.col("dt").cast("long").alias("delta_total"),
+            F.col("bt").cast("long").alias("base_total"),
+            F.aggregate("_c", F.lit(0.0), lambda acc, x: acc + x["contrib"])
+            .alias("drift_stat"),
+        )
+    )
+
+
+def corpus_drift_stat_sql(delta_pred_sql: str) -> str:
+    b, n = DRIFT_BUCKET_CHARS, DRIFT_N_BUCKETS
+    return f"""
+        WITH bucketed AS (
+          SELECT least(n_chars // {b}, {n - 1}) AS bucket,
+                 CAST({delta_pred_sql} AS INTEGER) AS is_delta
+          FROM documents
+        ),
+        counts AS (
+          SELECT bucket,
+                 CAST(SUM(is_delta) AS BIGINT) AS delta_cnt,
+                 CAST(SUM(1 - is_delta) AS BIGINT) AS base_cnt
+          FROM bucketed GROUP BY bucket
+        ),
+        totals AS (
+          SELECT SUM(delta_cnt) AS dt, SUM(base_cnt) AS bt FROM counts
+        ),
+        per_bucket AS (
+          SELECT bucket,
+                 CAST(delta_cnt AS DOUBLE) / CAST(dt AS DOUBLE) AS p_delta,
+                 CAST(base_cnt AS DOUBLE) / CAST(bt AS DOUBLE) AS p_base,
+                 dt, bt
+          FROM counts CROSS JOIN totals
+        ),
+        contribs AS (
+          SELECT bucket, dt, bt,
+                 CASE WHEN p_base = 0 THEN 0.0
+                      ELSE (p_delta - p_base) * (p_delta - p_base) / p_base
+                 END AS contrib
+          FROM per_bucket
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(dt AS BIGINT) AS delta_total,
+               CAST(bt AS BIGINT) AS base_total,
+               list_reduce(
+                   list_prepend(0.0, list(contrib ORDER BY bucket)),
+                   (a, x) -> a + x) AS drift_stat
+        FROM contribs GROUP BY dt, bt
+    """
