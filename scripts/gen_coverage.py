@@ -90,6 +90,9 @@ LSH band hashes probing the base corpus's band index via
 stream-static left-semi join, emitting the (doc, band) collision
 set),
 similarity (cosine top-k, LSH ANN, IVF / learned-k-means IVF,
+INT8 scalar quantization `int8_ann_topk` — normalize, quantize to
+[-127,127] longs, all-integer unrolled dot, the one ANN whose scores
+hash-gate exactly, recall >= 0.9 vs exact cosine;
 product quantization `pq_ann_topk`: sampled driver-side codebook
 fit, and `pq_ann_topk_distfit`: the distributed multi-subspace
 Lloyd loop registered for training sets too large to collect,
@@ -104,7 +107,10 @@ sampling, media embedding retrieval, and — since round 3 — a REAL
 pure-stdlib PNG/WAV codec: zlib inflate + scanline unfilter + CRC
 verification and RIFF/PCM16 parsing, oracle-gated per doc by
 `media_real_decode_stats`; video decode remains a documented fake —
-no stdlib container parser), text
+no stdlib container parser; and real audio DSP
+`media_audio_features`: peak/energy/zero-crossings from the DECODED
+PCM16 samples in exact integers, oracle-replayed arithmetically),
+text
 (BPE tokens, lang-ID, doc stats, conjunctive inverted-index search
 `keyword_search_and`, deterministic BM25 ranking `bm25_top_docs`
 (rational-idf variant — exact-integer tf/df/dl, fixed-order sums), exact-integer-variance 3-sigma anomaly report
@@ -129,7 +135,10 @@ content-address md5 per chunk, a pure map-stage explode; and
 curriculum shard ordering `curriculum_shard_order` — LM quality
 integerized to micros before order-independent per-shard sums,
 shards ranked easiest-first over the same md5 shard assignment as
-`training_shard_manifest`), transactional tables
+`training_shard_manifest`; the snapshot drift monitor
+`corpus_drift_stat` — rational chi-square divergence of the ingest
+batch's length-bucket distribution vs the base, bucket-ordered
+seqfold so the double hash-gates), transactional tables
 (`sources/txn.py`: manifest log, atomic commit, time travel,
 file-pruned DELETE (`txn_delete_orders`, the GDPR verb, empty files
 dropped from the manifest), file-pruned MERGE — `txn_merge_orders`, `txn_time_travel`, and a
@@ -143,7 +152,9 @@ continuous aggregate `cagg_hourly_refresh` and its STREAMING twin
 two-dimensional manifest pruning `zorder_pruned_scan`, and
 bin-packing OPTIMIZE compaction `txn_compact_orders` — small-file
 tail rewritten into range-partitioned files, CDF-empty, prune power
-restored),
+restored — and VACUUM retention `txn_vacuum_retention`: superseded
+snapshot files physically GC'd, the surviving snapshot hash-checked
+bit-for-bit),
 time-series (bucketized interval range join
 `events_range_join_attribution` and the REAL stream-stream join
 `stream_click_purchase_join`, hour→day→month cascade
