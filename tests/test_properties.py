@@ -1,0 +1,154 @@
+"""Property-based tests (hypothesis) for the algorithmic cores whose
+correctness is an INVARIANT, not an example: connected components,
+the distributed prefix sum, chunk-manifest coverage, and int8
+quantization bounds. The reference has no property tests at all
+(SURVEY §5: zero-row SQL assertions only) — these go beyond it where
+a handwritten example would under-constrain the algorithm.
+
+Each property runs few examples (Spark jobs per example are
+seconds), with shrinking left on so failures minimize.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+_SETTLE = settings(
+    max_examples=6, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _union_find_labels(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    label = {}
+    for n in nodes:
+        r = find(n)
+        label.setdefault(r, n)
+        label[r] = min(label[r], n)
+    return {n: label[find(n)] for n in nodes}
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=0, max_size=40,
+    )
+)
+@_SETTLE
+def test_cc_distributed_loop_matches_union_find(spark, edges):
+    """The DISTRIBUTED pointer-doubling loop (not the driver-finish
+    shortcut, which IS union-find) must produce label = min node id
+    per component for arbitrary graphs — self-loops, parallel edges,
+    chains, stars."""
+    from sql_data_warehouse_spark.operators.dedup import _cc_loop
+
+    nodes = sorted({n for e in edges for n in e})
+    if not nodes:
+        return
+    sym_rows = [Row(src=a, dst=b) for a, b in edges] + [
+        Row(src=b, dst=a) for a, b in edges
+    ]
+    sym = spark.createDataFrame(sym_rows).localCheckpoint(eager=True)
+    got = {r["id"]: r["label"] for r in _cc_loop(sym, None, 25).collect()}
+    want = _union_find_labels(edges, {n for e in edges for n in e})
+    # _cc_loop seeds from edge endpoints (src side of the symmetric
+    # relation = every endpoint)
+    assert got == want
+
+
+@given(
+    vals=st.lists(st.integers(0, 1000), min_size=1, max_size=60),
+    n_parts=st.integers(1, 5),
+)
+@_SETTLE
+def test_global_running_sum_matches_window(spark, vals, n_parts):
+    """Two-pass distributed prefix sum == single-reducer window, for
+    any values and any partition count (including empty ranges)."""
+    from pyspark.sql import Window
+
+    from sql_data_warehouse_spark.operators.curation import (
+        global_running_sum,
+    )
+
+    df = spark.createDataFrame(
+        [Row(i=i, v=v) for i, v in enumerate(vals)])
+    got = {
+        r["i"]: r["running_total"]
+        for r in global_running_sum(
+            df, [F.asc("i")], F.col("v"), num_partitions=n_parts
+        ).collect()
+    }
+    w = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["i"]: r["rt"]
+        for r in df.withColumn("rt", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+
+
+@given(n_tokens=st.integers(1, 400))
+@_SETTLE
+def test_rag_chunks_cover_exactly_and_overlap(spark, n_tokens):
+    """For any doc length: chunks tile the doc (first starts at 1,
+    last ends at n), consecutive chunks overlap by exactly
+    CHUNK−STRIDE gram positions, and no chunk is empty."""
+    from sql_data_warehouse_spark.operators.curation import (
+        CHUNK_STRIDE, CHUNK_TOKENS, rag_chunk_manifest,
+    )
+
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    docs = spark.createDataFrame([Row(doc_id=1, text=text)])
+    rows = sorted(rag_chunk_manifest(docs).collect(),
+                  key=lambda r: r["chunk_idx"])
+    assert rows[0]["tok_start"] == 1
+    assert rows[-1]["tok_end"] == n_tokens
+    for r in rows:
+        assert r["n_chunk_tokens"] >= 1
+        assert r["tok_end"] <= n_tokens
+    for a, b in zip(rows, rows[1:]):
+        assert b["tok_start"] - a["tok_start"] == CHUNK_STRIDE
+        # consecutive windows overlap (or touch the doc end)
+        assert b["tok_start"] <= a["tok_end"] + 1
+    # union covers every token exactly once accounting overlap
+    covered = set()
+    for r in rows:
+        covered.update(range(r["tok_start"], r["tok_end"] + 1))
+    assert covered == set(range(1, n_tokens + 1))
+
+
+@given(
+    vec=st.lists(
+        st.floats(-10, 10, allow_nan=False, width=32),
+        min_size=64, max_size=64,
+    )
+)
+@_SETTLE
+def test_int8_quantize_bounds_and_zero_norm(spark, vec):
+    """Quantized values stay in [-127, 127] for any input (norm
+    scaling guarantees it), and the all-zero vector maps to the zero
+    code instead of dividing by zero."""
+    from sql_data_warehouse_spark.operators.similarity import (
+        int8_quantize,
+    )
+
+    rows = [Row(vec_id=1, embedding=vec),
+            Row(vec_id=2, embedding=[0.0] * 64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["q"] for r in int8_quantize(df).collect()}
+    assert all(-127 <= q <= 127 for q in out[1])
+    assert out[2] == [0] * 64
