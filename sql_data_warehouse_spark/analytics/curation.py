@@ -17,6 +17,7 @@ from ..functions.text import TOKENS_SQL, tokens
 from ..operators import curation as dsir_sql
 from ..operators.exact_substring import (
     exact_substring_spans, exact_substring_spans_sql,
+    source_similarity_matrix_sql,
 )
 from ..operators.lm import (
     LM_REF_FILTER, lm_quality_scores, lm_quality_scores_sql,
@@ -496,3 +497,21 @@ def corpus_drift_stat_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"),
         delta_pred=F.col("doc_id") % 5 == 0,
     )
+
+
+@query(
+    "source_similarity_matrix",
+    survey="ext-dedup ext-composition J-self A2",
+    tags=("llmops",),
+    oracle=source_similarity_matrix_sql(),
+)
+def source_similarity_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-overlap matrix: exact Jaccard between every pair of
+    crawl sources over their distinct char-8-shingle sets — the
+    corpus-composition report read before domain mixing. The distinct
+    (source, shingle) collapse bounds the inverted index's Σ df² at
+    n_sources² per shingle, so the pair stage is tiny at any corpus
+    size (operators/exact_substring.py source_similarity_matrix)."""
+    from ..operators.exact_substring import source_similarity_matrix
+
+    return source_similarity_matrix(load_table(spark, sf_dir, "documents"))

@@ -50,7 +50,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import TOKENS_SQL, tokens
+from ..functions.text import (
+    NORMALIZE_SQL, TOKENS_SQL, normalize_text, tokens,
+)
 from .curation import ngrams_of
 
 SPAN_GRAM_N = 5  # word n-gram unit: spans shorter than 5 tokens don't count
@@ -186,4 +188,104 @@ def exact_substring_spans_sql(n: int = SPAN_GRAM_N,
                COALESCE(p.max_span_tokens, 0) AS max_span_tokens
         FROM documents d LEFT JOIN per_doc p USING (doc_id)
         WHERE {doc_filter}
+    """
+
+
+def source_similarity_matrix(docs: DataFrame, k: int = 8,
+                             source_col: str = "source",
+                             text_col: str = "text") -> DataFrame:
+    """Corpus-composition analysis: exact Jaccard similarity between
+    every pair of SOURCES over their distinct char-k-shingle sets —
+    the "how much do these crawls overlap" matrix a dataset builder
+    reads before mixing sources.
+
+    Scale shape: one shingle scan → DISTINCT (source, shingle) (the
+    collapse that makes this safe: the inverted index's Σ df² is
+    bounded by n_sources² per shingle, never doc²) → per-source set
+    sizes + shared-shingle counts → one division per pair. Output is
+    SPARSE: one row per source pair with ≥1 shared shingle (≤
+    n_sources·(n_sources−1)/2 rows — tiny at any corpus size); the
+    only corpus-∝ stage is the distinct, a map-side-combined
+    shuffle."""
+    from ..operators.dedup import SHINGLE_K  # noqa: F401  (doc xref)
+
+    sh = (
+        docs.select(F.col(source_col).alias("source"),
+                    normalize_text(F.col(text_col)).alias("_norm"))
+        .select(
+            "source",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.greatest(F.length("_norm") - F.lit(k - 1),
+                                       F.lit(1))),
+                        lambda i: F.col("_norm").substr(i, F.lit(k)),
+                    )
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("source_a"),
+                 F.col("b.source").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"),
+                      F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"),
+                      F.col("n_sh").alias("n_b"))
+    return (
+        shared.join(sa, "source_a").join(sb, "source_b")
+        .select(
+            "source_a", "source_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            (F.col("n_shared").cast("double")
+             / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+             .cast("double")).alias("jaccard"),
+        )
+    )
+
+
+def source_similarity_matrix_sql(k: int = 8) -> str:
+    norm = NORMALIZE_SQL.format(col="text")
+    return f"""
+        WITH sh AS MATERIALIZED (
+          SELECT DISTINCT source, shingle FROM (
+            SELECT source,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(length({norm}) - {k - 1}, 1) + 1),
+                       i -> substr({norm}, CAST(i AS INTEGER), {k}))))
+                       AS shingle
+            FROM documents
+          )
+        ),
+        sizes AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh
+          FROM sh GROUP BY source
+        ),
+        shared AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_shared
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.source < b.source
+          GROUP BY 1, 2
+        )
+        SELECT s.source_a, s.source_b, s.n_shared,
+               sa.n_sh AS n_a, sb.n_sh AS n_b,
+               CAST(s.n_shared AS DOUBLE)
+                   / CAST(sa.n_sh + sb.n_sh - s.n_shared AS DOUBLE)
+                   AS jaccard
+        FROM shared s
+        JOIN sizes sa ON s.source_a = sa.source
+        JOIN sizes sb ON s.source_b = sb.source
     """

@@ -389,3 +389,25 @@ def test_rag_chunk_overlap_tokens_shared(spark):
     rows = {r["chunk_idx"]: r for r in rag_chunk_manifest(docs).collect()}
     want = hashlib.md5(" ".join(toks[48:100]).encode()).hexdigest()
     assert rows[1]["chunk_hash"] == want
+
+
+def test_source_similarity_matrix_overlap(spark):
+    """Two sources sharing half their text overlap strongly; a third
+    disjoint source shows ~zero jaccard against both."""
+    from sql_data_warehouse_spark.operators.exact_substring import (
+        source_similarity_matrix,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame([
+        Row(doc_id=1, source="s1", text=shared + " alpha beta gamma"),
+        Row(doc_id=2, source="s2", text=shared + " delta epsilon zeta"),
+        Row(doc_id=3, source="s3", text="entirely unrelated words here"),
+    ])
+    out = {(r["source_a"], r["source_b"]): r["jaccard"]
+           for r in source_similarity_matrix(docs).collect()}
+    assert out[("s1", "s2")] > 0.5
+    # zero-overlap pairs emit NO row (sparse matrix semantics): any
+    # s3 pair present must be near-zero incidental shingle overlap
+    assert out.get(("s1", "s3"), 0.0) < 0.1
+    assert out.get(("s2", "s3"), 0.0) < 0.1
