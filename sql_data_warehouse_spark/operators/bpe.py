@@ -278,7 +278,13 @@ def bpe_encode_stats(docs: DataFrame, merges: list[tuple[str, str]],
             yield pd.DataFrame(
                 rows, columns=["lang", "n_tokens", "n_init"])
 
-    per_doc = docs.select("lang", F.col(text_col).alias("text")).mapInPandas(
+    # One Python worker per partition — spread the text first so a
+    # single-row-group input doesn't serialize the whole encode pass
+    # (the codec-ops lesson, multimodal.py).
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    per_doc = docs.select(
+        "lang", F.col(text_col).alias("text")
+    ).repartition(n_part).mapInPandas(
         encode, "lang string, n_tokens long, n_init long"
     )
     return (

@@ -216,7 +216,12 @@ def winnow_fingerprints(docs: DataFrame, k: int = WINNOW_K,
     # materialize each stage as a column: HOF lambdas inline their
     # argument expression, so slicing an un-materialized hash array
     # would recompute EVERY md5 per window position (O(m²) per doc)
-    with_norm = docs.select(F.col(id_col), norm.alias("_norm"))
+    # Small corpora arrive as one parquet row group = ONE task, which
+    # serializes the md5-per-shingle map (the dominant cost — the
+    # minhash_signatures lesson, dedup.py): spread it first.
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    with_norm = docs.repartition(n_part).select(
+        F.col(id_col), norm.alias("_norm"))
     with_hashes = with_norm.select(
         F.col(id_col),
         F.transform(

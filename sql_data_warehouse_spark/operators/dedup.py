@@ -511,6 +511,10 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
     contributes ±1 per bit position; positive vote sum ⇒ bit set.
     One token scan + one aggregation keyed by doc_id — scales
     linearly with map-side partial aggregation."""
+    # Spread the md5-per-token map first: a single-row-group input
+    # otherwise serializes it on one task (the minhash/winnow lesson).
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(n_part)
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(

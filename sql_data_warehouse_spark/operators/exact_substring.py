@@ -65,8 +65,13 @@ def positioned_grams(docs: DataFrame, n: int = SPAN_GRAM_N,
     position. Token array materialized first (HOF-inline pitfall —
     see :func:`ngrams_of`); ``posexplode`` keeps the position without
     a join."""
-    staged = docs.select(F.col(id_col).alias("doc_id"),
-                         tokens(F.col(text_col)).alias("_t"))
+    # Spread first: gram assembly (array_join per position) runs in
+    # the scan stage, and a single-row-group input would serialize it
+    # on one task (the minhash/winnow lesson).
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    staged = docs.repartition(n_part).select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.col(text_col)).alias("_t"))
     return (
         staged.select("doc_id",
                       F.posexplode(ngrams_of(F.col("_t"), n))

@@ -53,8 +53,12 @@ def _positioned_bigrams(docs: DataFrame, id_col: str,
     """(doc_id, pos, w1, w2): adjacent-token pairs with 1-based
     position. Token array materialized before the slice transform
     (HOF-inline pitfall)."""
-    staged = docs.select(F.col(id_col).alias("doc_id"),
-                         tokens(F.col(text_col)).alias("_t"))
+    # Spread the tokenize+pair assembly first (single-row-group
+    # inputs otherwise serialize the scan stage — the winnow lesson).
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    staged = docs.repartition(n_part).select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.col(text_col)).alias("_t"))
     t = F.col("_t")
     # Guarded: sequence(1, 0) DESCENDS in Spark, so a <2-token doc
     # must short-circuit to an empty pair array (the DuckDB twin's

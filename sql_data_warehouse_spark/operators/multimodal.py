@@ -334,7 +334,13 @@ def real_codec_roundtrip(docs: DataFrame) -> DataFrame:
         "sample_rate long, n_samples long, duration_ms long, "
         "content_sum long"
     )
-    return docs.select("doc_id").mapInPandas(run, schema=schema)
+    # One Python worker per PARTITION: spread the id column first so a
+    # single-row-group input doesn't serialize the whole codec pass
+    # through one worker (ids are 8 bytes/row — the shuffle is free
+    # relative to the per-row zlib work).
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.select("doc_id").repartition(n_part).mapInPandas(
+        run, schema=schema)
 
 
 # ------------------------------------------------------------- decoders
@@ -542,4 +548,6 @@ def audio_feature_stats(docs: DataFrame) -> DataFrame:
 
     schema = ("doc_id long, sample_rate long, n_samples long, "
               "peak long, energy long, zero_crossings long")
-    return docs.select("doc_id").mapInPandas(run, schema=schema)
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.select("doc_id").repartition(n_part).mapInPandas(
+        run, schema=schema)
