@@ -390,6 +390,8 @@ def dsir_importance_topk(docs: DataFrame, target_pred: Column,
 
     Returns the top ``k_top`` docs by importance: (doc_id,
     score_micros, rank)."""
+    # md5-per-word on the scan stage: spread first (the winnow lesson)
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     b = (
         docs.select(
             F.col(id_col).alias("doc_id"),
