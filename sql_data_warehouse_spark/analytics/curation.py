@@ -20,11 +20,13 @@ from ..operators.exact_substring import (
     source_similarity_matrix_sql,
 )
 from ..operators.lm import (
-    LM_REF_FILTER, lm_quality_scores, lm_quality_scores_sql,
+    LM_REF_FILTER, ccnet_bucket_sample_sql, lm_quality_scores,
+    lm_quality_scores_sql,
 )
 from ..operators.curation import (
     dsir_importance_topk, scrub_pii_multi, scrub_pii_multi_sql,
     rag_chunk_manifest, rag_chunk_manifest_sql, corpus_drift_stat_sql,
+    source_quota_cap_sql,
     decontaminate, global_running_sum, repetition_stats,
     repetition_stats_sql, scrub_pii, token_ngrams_sql,
     winnow_near_dup_pairs, winnow_near_dup_pairs_sql,
@@ -515,3 +517,45 @@ def source_similarity_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.exact_substring import source_similarity_matrix
 
     return source_similarity_matrix(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "ccnet_bucket_sample",
+    survey="ext-quality ext-sample W3 A2 A8",
+    tags=("llmops",),
+    oracle=ccnet_bucket_sample_sql()
+)
+def ccnet_bucket_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail sampling (Wenzek et al. 2020): bucket
+    cutoffs are per-language LM-score tertiles estimated on a BOUNDED
+    held-out slice (the only sorted window — CCNet's own production
+    shape), then the corpus-sized pass is a map against the broadcast
+    ≤|langs|-row cutoff relation: head kept fully, middle at ~50 % by
+    md5-prefix coin, tail dropped. Registered this round; rotates
+    into the driver window next round (the 50-slot window is full:
+    35 pinned + 15 round-4 spotlights). Hash-gated — mean_p doubles
+    are the seqfold bit-identical scores gated by lm_quality_scores
+    (operators/lm.py ccnet_bucket_sample)."""
+    from ..operators.lm import ccnet_bucket_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ccnet_bucket_sample(docs, docs.filter(F.expr(LM_REF_FILTER)))
+
+
+@query(
+    "source_quota_cap",
+    survey="ext-sample ext-composition W3 O2",
+    tags=("llmops",),
+    oracle=source_quota_cap_sql()
+)
+def source_quota_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source frequency cap (RefinedWeb/C4 host capping): keep the
+    top-15 docs per source by (n_chars DESC, doc_id) with the
+    skew-safe two-phase top-K — per-(source, salt) local top-K first,
+    then a re-rank over the ≤ cap×n_salt survivors — so the hottest
+    host in a 100 TB crawl never lands on one reducer. The oracle is
+    the naive single-window form the plan must reproduce exactly
+    (operators/curation.py source_quota_cap)."""
+    from ..operators.curation import source_quota_cap
+
+    return source_quota_cap(load_table(spark, sf_dir, "documents"))

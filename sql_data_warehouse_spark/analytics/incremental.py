@@ -558,3 +558,127 @@ def sequence_packing_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.max("per_seq").alias("max_docs_per_seq"),
     )
+
+
+# ------------------------------------------ length-bucketed batch manifest
+
+_BUCKET_CAPS = [16, 32, 64, 128, 256, 512, 1024]
+_BATCH_TOKENS = 4096
+
+
+def _bucket_case_sql(n_col: str) -> str:
+    """Shared CASE ladder assigning a doc to the smallest power-of-2
+    cap that holds it (identical text in both dialects — pure integer
+    compares). Docs over the last cap clamp into it."""
+    arms = " ".join(
+        f"WHEN {n_col} <= {c} THEN {c}" for c in _BUCKET_CAPS[:-1]
+    )
+    return f"CASE {arms} ELSE {_BUCKET_CAPS[-1]} END"
+
+
+@query(
+    "length_bucket_batches",
+    survey="ext-pack ext-shard A3 W3",
+    tags=("llmops",),
+    oracle=f"""
+        WITH train AS (
+          SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+                 CAST(len({TOKENS_SQL.format(col="text")}) AS BIGINT)
+                   AS n_tokens
+          FROM documents
+          WHERE {_SPLIT_CASE_SQL} = 'train'
+        ),
+        bucketed AS (
+          SELECT doc_id, h, n_tokens,
+                 CAST(instr('0123456789abcdef', substr(h, 3, 1)) - 1
+                      AS INTEGER)
+                 + 16 * CAST(substr(h, 4, 1) < '8' AS INTEGER) AS shard,
+                 CAST({_bucket_case_sql("n_tokens")} AS BIGINT)
+                   AS bucket_cap
+          FROM train
+        ),
+        batched AS (
+          SELECT shard, bucket_cap, n_tokens,
+                 (row_number() OVER (
+                      PARTITION BY shard, bucket_cap
+                      ORDER BY h, doc_id) - 1)
+                 // GREATEST({_BATCH_TOKENS} // bucket_cap, 1)
+                   AS batch_idx
+          FROM bucketed
+        ),
+        per_batch AS (
+          SELECT shard, bucket_cap, batch_idx,
+                 COUNT(*) AS n, MAX(n_tokens) AS mx,
+                 SUM(n_tokens) AS tot
+          FROM batched GROUP BY shard, bucket_cap, batch_idx
+        )
+        SELECT CAST(shard AS INTEGER) AS shard,
+               bucket_cap,
+               CAST(SUM(n) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_batches,
+               CAST(SUM(tot) AS BIGINT) AS total_tokens,
+               CAST(SUM(n * mx) AS BIGINT) AS padded_tokens,
+               CAST(SUM(n * mx) - SUM(tot) AS BIGINT) AS padding_waste
+        FROM per_batch GROUP BY shard, bucket_cap
+    """,
+)
+def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch manifest with padding-waste accounting —
+    the dynamic-batching step that feeds padded (non-packed) training
+    and finetuning: train docs go to the smallest power-of-2 length
+    bucket that holds them, batches of ``max(BATCH_TOKENS div cap,
+    1)`` rows form inside each (hash shard, bucket) in deterministic
+    shuffle order, each batch pads to ITS OWN max length, and the
+    manifest reports per (shard, bucket) the doc/batch counts, real
+    vs padded token totals, and the padding waste the bucketing saved
+    vs a single global bucket.
+
+    Scale shape: same as ``sequence_packing_manifest`` — the only
+    windows run within (shard, bucket); shards are the parallel unit,
+    so no global order, no single reducer, and the manifest is the
+    verification surface of the job that would write padded batch
+    records at 100 TB. Pure integer arithmetic end to end (token
+    counts, integer div batch assignment, Σ n·max padding) ⇒
+    bit-identical cross-engine."""
+    d = load_table(spark, sf_dir, "documents")
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    train = d.filter(
+        F.when(prefix < "cd", "train")
+        .when(prefix < "e6", "val")
+        .otherwise("test")
+        == "train"
+    ).select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    shard = (
+        (F.instr(F.lit("0123456789abcdef"), F.substring("h", 3, 1)) - 1)
+        + 16 * (F.substring("h", 4, 1) < "8").cast("int")
+    ).cast("int")
+    bucket = F.expr(_bucket_case_sql("n_tokens")).cast("long")
+    w = Window.partitionBy("shard", "bucket_cap").orderBy("h", "doc_id")
+    batched = (
+        train.withColumn("shard", shard)
+        .withColumn("bucket_cap", bucket)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "batch_idx",
+            F.expr(
+                f"(rn - 1) div greatest({_BATCH_TOKENS} div bucket_cap, 1L)"
+            ),
+        )
+    )
+    per_batch = batched.groupBy("shard", "bucket_cap", "batch_idx").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("n_tokens").alias("mx"),
+        F.sum("n_tokens").alias("tot"),
+    )
+    return per_batch.groupBy("shard", "bucket_cap").agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_batches"),
+        F.sum("tot").alias("total_tokens"),
+        F.sum(F.col("n") * F.col("mx")).alias("padded_tokens"),
+        (F.sum(F.col("n") * F.col("mx")) - F.sum("tot"))
+        .alias("padding_waste"),
+    )

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import vectors
-from ..functions.text import lang_guess_sql
+from ..functions.text import FINGERPRINT_SQL as _FP_SQL, lang_guess_sql
 from ..operators import dedup, kmeans, multimodal, pq, similarity, text_analysis
 from ..sources import load_table
 from .registry import query
@@ -1103,3 +1103,66 @@ def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/multimodal.py audio_feature_stats)."""
     return multimodal.audio_feature_stats(
         load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_yield_report",
+    survey="ext-dedup ext-composition A2 A5 A8",
+    tags=("llmops",),
+    oracle=f"""
+        WITH fp AS (
+            SELECT doc_id, source, n_chars,
+                   {_FP_SQL.format(col="text")} AS fp
+            FROM documents
+        ),
+        keepers AS (
+            SELECT fp, MIN(doc_id) AS keeper FROM fp GROUP BY fp
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN doc_id = keeper THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dropped,
+               CAST(SUM(CASE WHEN doc_id <> keeper THEN n_chars
+                        ELSE 0 END) AS BIGINT) AS chars_dropped
+        FROM fp JOIN keepers USING (fp)
+        GROUP BY source
+    """,
+)
+def dedup_yield_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup YIELD report every curation run publishes: per
+    source, how many documents survive exact-fingerprint dedup
+    (keep-first-by-doc_id across the WHOLE corpus, so cross-source
+    duplicates charge the source that re-crawled them) and how many
+    bytes the drop saves. One shuffle on the md5 digest + a tiny
+    per-source aggregate — the same linear shape as
+    ``dedup_fingerprint``, reduced to the report a data-composition
+    dashboard reads (operators/dedup.py fingerprint convention;
+    reference analogue: the quality-report role of the
+    silver-layer checks, tests/quality_check_silver.sql)."""
+    from ..functions.text import fingerprint
+
+    spark_df = load_table(spark, sf_dir, "documents")
+    # Spread the regex-normalize+md5 map (the winnow lesson), compute
+    # the fingerprint ONCE, and resolve keepers with a min-over-fp
+    # window — one shuffle, no self-join recomputing the digest.
+    n_part = spark_df.sparkSession.sparkContext.defaultParallelism
+    d = spark_df.repartition(n_part).select(
+        "doc_id", "source", "n_chars",
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    keeper = F.min("doc_id").over(Window.partitionBy("fp"))
+    flagged = d.select(
+        "source", "n_chars", (F.col("doc_id") == keeper).alias("_kept"))
+    kept = F.col("_kept")
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.sum((~kept).cast("long")).alias("n_dropped"),
+            F.sum(F.when(~kept, F.col("n_chars")).otherwise(F.lit(0)))
+            .alias("chars_dropped"),
+        )
+    )

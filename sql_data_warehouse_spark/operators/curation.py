@@ -737,3 +737,74 @@ def corpus_drift_stat_sql(delta_pred_sql: str) -> str:
                    (a, x) -> a + x) AS drift_stat
         FROM contribs GROUP BY dt, bt
     """
+
+
+# ------------------------------------------------- per-source quota capping
+
+QUOTA_CAP = 15      # kept docs per source
+QUOTA_SALTS = 16    # phase-1 fanout (scale knob: ~tasks per source)
+
+
+def source_quota_cap(docs: DataFrame, cap: int = QUOTA_CAP,
+                     n_salt: int = QUOTA_SALTS, id_col: str = "doc_id",
+                     source_col: str = "source") -> DataFrame:
+    """Per-source frequency capping: keep at most ``cap`` documents
+    per source, best-first — the RefinedWeb/C4-style rule that stops
+    a handful of gigantic hosts from dominating the training mix.
+    "Best" here is (n_chars DESC, doc_id) — swap in any deterministic
+    quality column in production.
+
+    A naive ``row_number() OVER (PARTITION BY source ...)`` moves
+    EVERY document of a source through one reducer — the hottest host
+    in a 100 TB crawl is exactly the one that explodes. This runs the
+    skew-safe two-phase top-K instead:
+
+    1. salt each doc with ``doc_id % n_salt`` and take the per-(source,
+       salt) local top-``cap`` — ``n_salt`` bounded windows per source,
+       each ∝ source_size / n_salt;
+    2. re-rank the ≤ ``cap × n_salt`` survivors per source — a window
+       over a provably bounded relation.
+
+    The global top-``cap`` of a source is contained in the union of
+    its per-salt top-``cap``s, so phase 2 returns exactly the naive
+    answer (the oracle IS the naive single-window form).
+
+    Reference analogue: the keep-the-latest cap of
+    scripts/silver/proc_load_silver.sql:68-71 (ROW_NUMBER ... = 1),
+    generalized to top-K per group at corpus scale.
+    """
+    salted = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        "n_chars",
+        (F.col(id_col) % n_salt).alias("_salt"),
+    )
+    w_local = Window.partitionBy("source", "_salt").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id"))
+    survivors = (
+        salted.withColumn("_lrn", F.row_number().over(w_local))
+        .filter(F.col("_lrn") <= cap)
+    )
+    w_final = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        survivors.withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= cap)
+        .select("doc_id", "source", "n_chars",
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def source_quota_cap_sql(cap: int = QUOTA_CAP) -> str:
+    """DuckDB twin of :func:`source_quota_cap` — the naive
+    single-window form the two-phase plan must reproduce exactly."""
+    return f"""
+        SELECT doc_id, source, n_chars, CAST(rn AS BIGINT) AS rank
+        FROM (
+            SELECT doc_id, source, n_chars,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id) AS rn
+            FROM documents
+        ) WHERE rn <= {cap}
+    """

@@ -39,7 +39,7 @@ corpus curation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import TOKENS_SQL, tokens
@@ -211,4 +211,150 @@ def lm_quality_scores_sql(ref_filter: str = LM_REF_FILTER,
                    >= {keep_mult} / CAST((SELECT vocab FROM v) AS DOUBLE)
                    AS keep
         FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
+# ------------------------------------------- CCNet head/middle/tail buckets
+
+CCNET_HELD_OUT_MOD = 23    # held-out slice used to estimate cutoffs
+CCNET_MIDDLE_HEX = "80"    # middle bucket kept at ~50% (128/256)
+
+
+def ccnet_bucket_sample(docs: DataFrame, ref_docs: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        held_out_mod: int = CCNET_HELD_OUT_MOD) -> DataFrame:
+    """CCNet's second half: bucket every document into head / middle /
+    tail by LM quality and keep head fully, middle at ~50 %
+    (content-addressed coin flip), tail not at all — the sampling rule
+    Wenzek et al. (2020) apply after perplexity scoring.
+
+    CCNet computes the bucket CUTOFFS on a held-out slice, then
+    applies them to the full corpus as plain constants. That is
+    exactly the shape that survives 100 TB: the rank-based tertile
+    split (a per-language sorted window — single reducer per
+    language) runs only on the bounded held-out slice
+    (``doc_id % held_out_mod == 0`` here; a fixed-size sample in
+    production), and the corpus-sized pass is a map stage comparing
+    each score against a broadcast ≤|langs|-row cutoff relation.
+    Contrast ``stratified_sample_by_lang``, whose corpus-wide
+    per-group window is the naive form this replaces.
+
+    Determinism: ``mean_p`` doubles are bit-identical cross-engine
+    (the seqfold property gated by ``lm_quality_scores``), ties break
+    on doc_id, and the middle-bucket coin is an md5-prefix threshold
+    — so the DuckDB twin replays bucket membership exactly. A
+    language absent from the held-out slice has no cutoffs and
+    defaults to head (keep everything — fail open, mirrored in SQL).
+
+    Returns one row per (lang, bucket): n_docs, n_kept, kept_chars.
+
+    Reference context: extends the quality-gate role of
+    scripts/silver/proc_load_silver.sql to corpus curation.
+    """
+    # scores feeds TWO consumers (the held-out cutoff branch and the
+    # corpus bucketing pass); un-checkpointed, the whole LM fit+score
+    # pipeline would run once per consumer (the eager-localCheckpoint
+    # lesson from connected_components — measured ~2x here).
+    scores = lm_quality_scores(docs, ref_docs, id_col,
+                               text_col).localCheckpoint(eager=True)
+    held = scores.filter(F.col("doc_id") % held_out_mod == 0)
+    w_rank = Window.partitionBy("lang").orderBy(
+        F.col("mean_p").desc(), F.col("doc_id"))
+    ranked = (
+        held.select("lang", "mean_p", "doc_id")
+        .withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("lang")))
+    )
+    cond1 = F.expr("rn = (n + 2) div 3")
+    cond2 = F.expr("rn = (2 * n + 2) div 3")
+    cuts = ranked.groupBy("lang").agg(
+        F.max(F.when(cond1, F.col("mean_p"))).alias("c1p"),
+        F.max(F.when(cond1, F.col("doc_id"))).alias("c1i"),
+        F.max(F.when(cond2, F.col("mean_p"))).alias("c2p"),
+        F.max(F.when(cond2, F.col("doc_id"))).alias("c2i"),
+    )
+    p, i = F.col("mean_p"), F.col("doc_id")
+    is_head = (
+        F.col("c1p").isNull()
+        | (p > F.col("c1p"))
+        | ((p == F.col("c1p")) & (i <= F.col("c1i")))
+    )
+    is_mid = (p > F.col("c2p")) | ((p == F.col("c2p")) & (i <= F.col("c2i")))
+    bucket = (
+        F.when(is_head, F.lit("head"))
+        .when(is_mid, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    coin = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    bucketed = (
+        scores.join(docs.select(F.col(id_col).alias("doc_id"), "n_chars"),
+                    "doc_id")
+        .join(F.broadcast(cuts), "lang", "left")
+        .select(
+            "lang", "n_chars",
+            bucket.alias("bucket"),
+            (
+                (bucket == "head")
+                | ((bucket == "middle") & (coin < CCNET_MIDDLE_HEX))
+            ).alias("keep"),
+        )
+    )
+    return bucketed.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.sum(F.when(F.col("keep"), F.col("n_chars")).otherwise(F.lit(0)))
+        .alias("kept_chars"),
+    )
+
+
+def ccnet_bucket_sample_sql(ref_filter: str = LM_REF_FILTER,
+                            held_out_mod: int = CCNET_HELD_OUT_MOD) -> str:
+    """DuckDB twin of :func:`ccnet_bucket_sample` — wraps the
+    lm_quality_scores twin as a CTE, replays the held-out tertile
+    cutoffs and the md5-coin keep rule."""
+    return f"""
+        WITH scores AS MATERIALIZED ({lm_quality_scores_sql(ref_filter)}),
+        ranked AS (
+            SELECT lang, mean_p, doc_id,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY mean_p DESC, doc_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY lang) AS n
+            FROM scores WHERE doc_id % {held_out_mod} = 0
+        ),
+        cuts AS (
+            SELECT lang,
+                   MAX(CASE WHEN rn = (n + 2) // 3 THEN mean_p END) AS c1p,
+                   MAX(CASE WHEN rn = (n + 2) // 3 THEN doc_id END) AS c1i,
+                   MAX(CASE WHEN rn = (2 * n + 2) // 3 THEN mean_p END)
+                       AS c2p,
+                   MAX(CASE WHEN rn = (2 * n + 2) // 3 THEN doc_id END)
+                       AS c2i
+            FROM ranked GROUP BY lang
+        ),
+        bucketed AS (
+            SELECT s.lang, d.n_chars,
+                   CASE WHEN c.c1p IS NULL
+                             OR s.mean_p > c.c1p
+                             OR (s.mean_p = c.c1p AND s.doc_id <= c.c1i)
+                        THEN 'head'
+                        WHEN s.mean_p > c.c2p
+                             OR (s.mean_p = c.c2p AND s.doc_id <= c.c2i)
+                        THEN 'middle'
+                        ELSE 'tail' END AS bucket,
+                   substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 2)
+                       < '{CCNET_MIDDLE_HEX}' AS coin
+            FROM scores s
+            JOIN documents d USING (doc_id)
+            LEFT JOIN cuts c ON c.lang = s.lang
+        )
+        SELECT lang, bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN bucket = 'head'
+                             OR (bucket = 'middle' AND coin)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN bucket = 'head'
+                             OR (bucket = 'middle' AND coin)
+                        THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+        FROM bucketed GROUP BY lang, bucket
     """

@@ -411,3 +411,66 @@ def test_source_similarity_matrix_overlap(spark):
     # s3 pair present must be near-zero incidental shingle overlap
     assert out.get(("s1", "s3"), 0.0) < 0.1
     assert out.get(("s2", "s3"), 0.0) < 0.1
+
+
+def test_source_quota_cap_matches_naive_on_skew(spark):
+    """Two-phase salted top-K == the naive single-window form, on a
+    fixture where one 'host' dominates (the skew the operator exists
+    to survive) and quality ties abound."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_spark.operators.curation import source_quota_cap
+
+    rows = []
+    # hot source: 400 docs, heavy n_chars ties (only 5 distinct values)
+    rows += [(i, "hot", (i * 7) % 5 + 100) for i in range(400)]
+    # cold sources: fewer docs than the cap
+    rows += [(1000 + i, "cold_a", 50 + i) for i in range(3)]
+    rows += [(2000 + i, "cold_b", 50) for i in range(7)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+
+    got = source_quota_cap(docs, cap=10, n_salt=4)
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id"))
+    want = (
+        docs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("doc_id", "source", "n_chars", F.col("rank").cast("long").alias("rank"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # cold sources keep everything (below cap), hot is capped exactly
+    counts = {r["source"]: r["n"] for r in
+              got.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"hot": 10, "cold_a": 3, "cold_b": 7}
+
+
+def test_ccnet_buckets_partition_and_keep_rule(spark):
+    """Buckets partition each language; tail keeps nothing, head keeps
+    everything, middle keeps a strict md5-coin subset."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_spark.operators.lm import ccnet_bucket_sample
+    from sql_data_warehouse_spark.sources import load_table
+
+    from .conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    out = ccnet_bucket_sample(docs, docs.filter(F.col("lang") == "en"))
+    rows = {(r["lang"], r["bucket"]): r for r in out.collect()}
+    per_lang_total = {}
+    for (lang, bucket), r in rows.items():
+        assert r["n_kept"] <= r["n_docs"]
+        if bucket == "head":
+            assert r["n_kept"] == r["n_docs"]
+        if bucket == "tail":
+            assert r["n_kept"] == 0
+        per_lang_total[lang] = per_lang_total.get(lang, 0) + r["n_docs"]
+    n_docs = docs.count()
+    assert sum(per_lang_total.values()) == n_docs
+    # the cutoffs actually split: multiple buckets exist, and the
+    # middle coin keeps a strict, non-empty subset somewhere
+    assert len({b for (_, b) in rows}) >= 2
+    mids = [r for (_, b), r in rows.items() if b == "middle"]
+    assert any(r["n_kept"] > 0 for r in mids)
+    assert any(r["n_kept"] < r["n_docs"] for r in mids)

@@ -123,3 +123,28 @@ def test_new_advanced_queries_avoid_nested_loops(spark):
         plan = reg[name].builder(spark, sf)._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_quota_cap_windows_are_salted_then_bounded(spark):
+    """source_quota_cap's scale claim: the corpus-sized window
+    partitions by (source, salt) — never by source alone — and the
+    source-only window runs AFTER the local cap filter (over the
+    bounded survivor relation)."""
+    from sql_data_warehouse_spark.analytics import curation as c
+
+    plan = _plan(c.source_quota_cap_q(spark, SF_SMOKE))
+    w_specs = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert any("_salt" in ln for ln in w_specs), w_specs
+    # no nested-loop anywhere
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ccnet_cutoff_join_is_broadcast(spark):
+    """ccnet_bucket_sample's corpus pass must join the ≤|langs|-row
+    cutoff relation by broadcast — a shuffle join here would
+    repartition the whole corpus for a 5-row table."""
+    from sql_data_warehouse_spark.analytics import curation as c
+
+    plan = _plan(c.ccnet_bucket_sample_q(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
