@@ -682,3 +682,82 @@ def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.col("n") * F.col("mx")) - F.sum("tot"))
         .alias("padding_waste"),
     )
+
+
+# ----------------------------------------- temperature-scaled mixture plan
+
+
+@query(
+    "domain_mixture_temperature",
+    survey="ext-mixture ext-sample A2 A8 W9",
+    tags=("llmops",),
+    oracle="""
+        WITH counts AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s,
+                   sqrt(CAST(COUNT(*) AS DOUBLE)) AS w,
+                   CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n_total
+            FROM documents GROUP BY source
+        ),
+        z AS (
+            SELECT list_reduce(
+                       list_prepend(0.0, list(w ORDER BY source)),
+                       (a, b) -> a + b) AS z
+            FROM counts
+        )
+        SELECT source, n_s,
+               CAST(floor(1000000.0 * w / (SELECT z FROM z))
+                    AS BIGINT) AS weight_micros,
+               CAST(floor(CAST(n_total AS DOUBLE) * w
+                          / (SELECT z FROM z)) AS BIGINT) AS quota,
+               CAST(floor(CAST(n_total AS DOUBLE) * w
+                          / (SELECT z FROM z)) AS BIGINT) - n_s
+                   AS delta_docs
+        FROM counts
+    """,
+)
+def domain_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multinomial mixture plan (the mT5/XLM-R
+    rule, tau = 0.5): each source's sampling weight is
+    ``n_s^tau / Z``, flattening the natural distribution so rare
+    domains are upsampled and giant ones capped. tau = 0.5 makes the
+    weight ``sqrt(n_s)`` — deliberately, because IEEE sqrt is
+    correctly rounded in BOTH engines (unlike pow/exp/ln, which are
+    libm-dependent and would break the value hash): every weight,
+    the seqfold normalizer Z (folded in source order, the
+    lm_quality_scores trick), and the floor'd integer quotas are
+    bit-identical cross-engine. Output per source: corpus count,
+    weight in micros, integer quota at corpus-size budget, and the
+    up/downsampling delta. The quota column feeds
+    ``domain_mixture_realized``'s integer copy math unchanged.
+
+    Scale: one groupBy(source) partial agg; the weight table is
+    ≤|sources| rows — everything after the first shuffle is
+    driver-trivial but stays in the plan (no collect)."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    w_all = Window.partitionBy()
+    counts = counts.select(
+        "source", "n_s",
+        F.sqrt(F.col("n_s").cast("double")).alias("w"),
+        F.sum("n_s").over(w_all).alias("n_total"),
+    )
+    z = counts.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "w"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["w"],
+        ).alias("z")
+    )
+    return (
+        counts.join(F.broadcast(z))
+        .select(
+            "source", "n_s",
+            F.floor(1000000.0 * F.col("w") / F.col("z"))
+            .cast("long").alias("weight_micros"),
+            F.floor(F.col("n_total").cast("double") * F.col("w")
+                    / F.col("z")).cast("long").alias("quota"),
+            (F.floor(F.col("n_total").cast("double") * F.col("w")
+                     / F.col("z")).cast("long") - F.col("n_s"))
+            .alias("delta_docs"),
+        )
+    )
