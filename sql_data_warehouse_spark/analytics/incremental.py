@@ -736,11 +736,14 @@ def domain_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
     w_all = Window.partitionBy()
+    # counts feeds BOTH the Z-fold aggregate and the main projection;
+    # checkpoint the <=|sources|-row relation so the corpus scans once
+    # (the ccnet_bucket_sample branch-point lesson).
     counts = counts.select(
         "source", "n_s",
         F.sqrt(F.col("n_s").cast("double")).alias("w"),
         F.sum("n_s").over(w_all).alias("n_total"),
-    )
+    ).localCheckpoint(eager=True)
     z = counts.agg(
         F.aggregate(
             F.array_sort(F.collect_list(F.struct("source", "w"))),

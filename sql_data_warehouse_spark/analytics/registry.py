@@ -144,6 +144,10 @@ _SPOTLIGHT = frozenset({
     "rag_chunk_manifest",
     "curriculum_shard_order",
     "stream_ingest_near_dup_bands",
+    # Round-5 spotlight queue (refresh this set once CORRECTNESS_r04
+    # is committed and the names above age out): ccnet_bucket_sample,
+    # source_quota_cap, length_bucket_batches, dedup_yield_report,
+    # domain_mixture_temperature, pii_multi_class_stats.
 })
 
 

@@ -148,3 +148,26 @@ def test_ccnet_cutoff_join_is_broadcast(spark):
     plan = _plan(c.ccnet_bucket_sample_q(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_batch_manifest_windows_stay_sharded(spark):
+    """length_bucket_batches' corpus window must partition by
+    (shard, bucket_cap) — never run unpartitioned over the corpus."""
+    from sql_data_warehouse_spark.analytics import incremental as inc
+
+    plan = _plan(inc.length_bucket_batches(spark, SF_SMOKE))
+    w_specs = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert w_specs and all(
+        "shard" in ln and "bucket_cap" in ln for ln in w_specs
+    ), w_specs
+
+
+def test_temperature_mixture_single_corpus_shuffle(spark):
+    """domain_mixture_temperature touches the corpus exactly once
+    (the groupBy(source) partial agg); everything downstream operates
+    on the <=|sources|-row relation, so the plan must contain exactly
+    one scan of the documents table."""
+    from sql_data_warehouse_spark.analytics import incremental as inc
+
+    plan = _plan(inc.domain_mixture_temperature(spark, SF_SMOKE))
+    assert plan.count("documents.parquet") <= 1, plan
