@@ -1166,3 +1166,24 @@ def dedup_yield_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("chars_dropped"),
         )
     )
+
+
+@query(
+    "embedding_drift_by_label",
+    survey="ext-drift ext-sim A2 J-full",
+    tags=("llmops",),
+    oracle=similarity.embedding_drift_sql("vec_id % 5 = 0"),
+)
+def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: per label, cosine between the base
+    slice's centroid and the new-ingest slice's (vec_id % 5 = 0, the
+    standing delta convention) plus both counts — the vector-space
+    sibling of corpus_drift_stat, run before an ingest touches ANN
+    indexes or semantic dedup. Scaled-int64 centroid sums + the
+    unrolled fixed cosine keep every double bit-identical cross-
+    engine; missing slices surface as NULL drift via the full outer
+    join (operators/similarity.py embedding_drift_by_label)."""
+    return similarity.embedding_drift_by_label(
+        load_table(spark, sf_dir, "embeddings"),
+        delta_pred=F.col("vec_id") % 5 == 0,
+    )

@@ -1240,3 +1240,104 @@ def int8_ann_topk_sql(query_filter: str, k: int = 10,
         SELECT query_id, vec_id, dot_int, rank
         FROM ranked WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------- embedding drift monitoring
+
+def embedding_drift_by_label(embeddings: DataFrame, delta_pred: Column,
+                             vec_col: str = "embedding",
+                             dim: int = SIM_DIM) -> DataFrame:
+    """Embedding drift monitor: per label, the cosine between the
+    BASE slice's centroid and the NEW-INGEST slice's centroid, plus
+    both population counts — the check an embedding-backed pipeline
+    runs on every ingest to catch upstream encoder changes or
+    population shift before they poison ANN indexes and semantic
+    dedup (the vector-space sibling of ``corpus_drift_stat``).
+
+    Determinism: centroid sums use the scaled-int64 accumulation of
+    ``label_centroid_similarity`` (order-independent integer adds),
+    means divide exactly once, and the cross-centroid cosine is the
+    unrolled ``cosine_fixed`` — every double bit-identical in DuckDB.
+    A label with no delta (or no base) rows reports NULL drift and a
+    zero count (full outer join — fail visible, not silent).
+
+    Scale: one explode + two tiny keyed aggs (labels × dim, then
+    labels × 2 rows); the per-(label, part) centroid relation is
+    eagerly checkpointed before feeding both join sides (the
+    branch-point lesson), so the corpus explodes exactly once."""
+    part = F.when(delta_pred, F.lit("delta")).otherwise(F.lit("base"))
+    d = embeddings.select(
+        "label", part.alias("part"), F.posexplode(vec_col).alias("pos", "x")
+    )
+    cent = (
+        d.groupBy("label", "part", "pos")
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("x").cast("double") * 1000000.0 + 0.5)
+                    .cast("long")
+                ).cast("double")
+                / 1000000.0
+                / F.count(F.lit(1)).cast("double")
+            ).alias("c"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .groupBy("label", "part")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"),
+            F.max("cnt").alias("n"),
+        )
+        .select(
+            "label", "part",
+            F.transform("pc", lambda s: s.getField("c")).alias("centroid"),
+            "n",
+        )
+        .localCheckpoint(eager=True)
+    )
+    b = cent.filter(F.col("part") == "base").select(
+        "label", F.col("centroid").alias("cb"), F.col("n").alias("nb"))
+    dl = cent.filter(F.col("part") == "delta").select(
+        "label", F.col("centroid").alias("cd"), F.col("n").alias("nd"))
+    return (
+        b.join(dl, "label", "full")
+        .select(
+            "label",
+            F.coalesce("nb", F.lit(0)).cast("long").alias("n_base"),
+            F.coalesce("nd", F.lit(0)).cast("long").alias("n_delta"),
+            cosine_fixed("cb", "cd", dim).alias("drift_cos"),
+        )
+    )
+
+
+def embedding_drift_sql(delta_pred_sql: str) -> str:
+    """DuckDB twin of :func:`embedding_drift_by_label`."""
+    return f"""
+        WITH dim AS (
+          SELECT label,
+                 CASE WHEN {delta_pred_sql} THEN 'delta'
+                      ELSE 'base' END AS part,
+                 unnest(embedding) AS x,
+                 unnest(range(1, len(embedding)+1)) AS pos
+          FROM embeddings
+        ),
+        cent AS (
+          SELECT label, part, pos,
+                 CAST(SUM(CAST(floor(CAST(x AS DOUBLE)*1000000.0+0.5)
+                               AS BIGINT)) AS DOUBLE)
+                     / 1000000.0 / COUNT(*) AS c,
+                 COUNT(*) AS cnt
+          FROM dim GROUP BY label, part, pos
+        ),
+        cent_arr AS (
+          SELECT label, part, list(c ORDER BY pos) AS centroid,
+                 MAX(cnt) AS n
+          FROM cent GROUP BY label, part
+        )
+        SELECT label,
+               CAST(COALESCE(b.n, 0) AS BIGINT) AS n_base,
+               CAST(COALESCE(d.n, 0) AS BIGINT) AS n_delta,
+               {cosine_sql("b.centroid", "d.centroid")} AS drift_cos
+        FROM (SELECT * FROM cent_arr WHERE part = 'base') b
+        FULL JOIN (SELECT * FROM cent_arr WHERE part = 'delta') d
+            USING (label)
+    """
