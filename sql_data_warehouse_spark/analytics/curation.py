@@ -559,3 +559,54 @@ def source_quota_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.curation import source_quota_cap
 
     return source_quota_cap(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "rag_chunk_dedup_rate",
+    survey="ext-chunk ext-dedup A2 A5",
+    tags=("llmops",),
+    oracle=f"""
+        WITH chunks AS MATERIALIZED ({rag_chunk_manifest_sql()}),
+        df AS (
+            SELECT chunk_hash,
+                   COUNT(DISTINCT doc_id) AS n_docs_with
+            FROM chunks GROUP BY chunk_hash
+        )
+        SELECT d.source,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CASE WHEN f.n_docs_with >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_cross_doc_dup,
+               CAST(SUM(CASE WHEN f.n_docs_with >= 2
+                        THEN c.n_chunk_tokens ELSE 0 END) AS BIGINT)
+                   AS dup_tokens
+        FROM chunks c
+        JOIN df f USING (chunk_hash)
+        JOIN documents d USING (doc_id)
+        GROUP BY d.source
+    """,
+)
+def rag_chunk_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granularity dedup audit for the retrieval index: per
+    source, how many of its 64-token chunks occur verbatim in ≥2
+    distinct documents corpus-wide (and the token volume a
+    chunk-level dedup would drop before embedding) — the check run
+    before paying for embedding inference, where duplicated chunks
+    cost real money and skew retrieval. Two wordcount-shaped shuffles
+    (chunk_hash doc-frequency, then the doc_id join back to sources);
+    everything else is the rag_chunk_manifest map stage."""
+    chunks = rag_chunk_manifest(load_table(spark, sf_dir, "documents"))
+    df_rel = chunks.groupBy("chunk_hash").agg(
+        F.count_distinct("doc_id").alias("n_docs_with"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    dup = F.col("n_docs_with") >= 2
+    return (
+        chunks.join(df_rel.hint("merge"), "chunk_hash")
+        .join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(dup.cast("long")).alias("n_cross_doc_dup"),
+            F.sum(F.when(dup, F.col("n_chunk_tokens")).otherwise(F.lit(0)))
+            .alias("dup_tokens"),
+        )
+    )

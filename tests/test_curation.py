@@ -474,3 +474,66 @@ def test_ccnet_buckets_partition_and_keep_rule(spark):
     mids = [r for (_, b), r in rows.items() if b == "middle"]
     assert any(r["n_kept"] > 0 for r in mids)
     assert any(r["n_kept"] < r["n_docs"] for r in mids)
+
+
+def test_ccnet_sample_cutoffs_approximate_true_tertiles(spark):
+    """The held-out-slice cutoffs must agree with the TRUE per-lang
+    tertiles for most documents — measured 72.6% at sf0.01 (21-doc
+    held-out) rising to 94.3% at sf0.1 (217 docs): sample-quantile
+    error shrinks ∝ 1/sqrt(sample), converging on the exact split.
+    Gate at 0.70 on the sf0.01 fixture."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_spark.operators.lm import lm_quality_scores
+    from sql_data_warehouse_spark.sources import load_table
+
+    from .conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    scores = lm_quality_scores(
+        docs, docs.filter(F.col("lang") == "en")
+    ).localCheckpoint(eager=True)
+    w = Window.partitionBy("lang").orderBy(
+        F.col("mean_p").desc(), F.col("doc_id"))
+    wn = Window.partitionBy("lang")
+    truth = (
+        scores.select("doc_id", "lang", "mean_p")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .withColumn(
+            "true_bucket",
+            F.when(F.expr("rn <= (n + 2) div 3"), "head")
+            .when(F.expr("rn <= (2*n + 2) div 3"), "middle")
+            .otherwise("tail"),
+        )
+    )
+    held = scores.filter(F.col("doc_id") % 23 == 0)
+    rh = (
+        held.select("lang", "mean_p", "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+    )
+    cuts = rh.groupBy("lang").agg(
+        F.max(F.when(F.expr("rn = (n + 2) div 3"), F.col("mean_p"))).alias("c1p"),
+        F.max(F.when(F.expr("rn = (n + 2) div 3"), F.col("doc_id"))).alias("c1i"),
+        F.max(F.when(F.expr("rn = (2 * n + 2) div 3"), F.col("mean_p"))).alias("c2p"),
+        F.max(F.when(F.expr("rn = (2 * n + 2) div 3"), F.col("doc_id"))).alias("c2i"),
+    )
+    p, i = F.col("mean_p"), F.col("doc_id")
+    est = scores.join(F.broadcast(cuts), "lang", "left").select(
+        "doc_id", "lang",
+        F.when(
+            F.col("c1p").isNull() | (p > F.col("c1p"))
+            | ((p == F.col("c1p")) & (i <= F.col("c1i"))), "head")
+        .when((p > F.col("c2p"))
+              | ((p == F.col("c2p")) & (i <= F.col("c2i"))), "middle")
+        .otherwise("tail").alias("est_bucket"),
+    )
+    j = truth.join(est, ["doc_id", "lang"])
+    row = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("true_bucket") == F.col("est_bucket")).cast("long"))
+        .alias("ok"),
+    ).collect()[0]
+    assert row["ok"] / row["n"] >= 0.70, (row["ok"], row["n"])
