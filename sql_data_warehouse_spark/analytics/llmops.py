@@ -1187,3 +1187,102 @@ def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"),
         delta_pred=F.col("vec_id") % 5 == 0,
     )
+
+
+@query(
+    "split_leakage_repair",
+    survey="ext-dedup ext-decon ext-split J-anti A2",
+    tags=("llmops",),
+    oracle=f"""
+        WITH bands AS ({dedup._minhash_bands_sql()}),
+        splits AS (
+          SELECT doc_id, lang,
+                 CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                        THEN 'train'
+                      WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                        THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS train_doc, b.doc_id AS eval_doc
+          FROM bands a
+          JOIN splits sa ON sa.doc_id = a.doc_id AND sa.split = 'train'
+          JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+          JOIN splits sb ON sb.doc_id = b.doc_id AND sb.split <> 'train'
+        ),
+        sets AS MATERIALIZED (
+          SELECT doc_id, {dedup.shingle_set_sql()} AS sh FROM documents
+        ),
+        leaked AS (
+          SELECT DISTINCT c.train_doc
+          FROM cand c
+          JOIN sets a ON a.doc_id = c.train_doc
+          JOIN sets b ON b.doc_id = c.eval_doc
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / CAST(len(a.sh) + len(b.sh)
+                       - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                >= {_LEAK_MIN_JACCARD}
+        )
+        SELECT s.split, s.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN l.train_doc IS NOT NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+               CAST(COUNT(*) - SUM(CASE WHEN l.train_doc IS NOT NULL
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_after
+        FROM splits s
+        LEFT JOIN leaked l ON l.train_doc = s.doc_id
+        GROUP BY s.split, s.lang
+    """,
+)
+def split_leakage_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The repair step after the leakage audit: any TRAIN document
+    that near-duplicates (jaccard ≥ 0.5) a val OR test document is
+    dropped from the shipped dataset — eval sets are sacred, so the
+    train side pays — and the repaired per-(split, lang) manifest is
+    emitted (before/dropped/after counts; val/test rows pass through
+    with zero drops by construction). Strictly wider than
+    ``split_leakage_pairs``: candidates cover train×(val ∪ test), not
+    just train×test, and the drop resolves via one LEFT join flag —
+    at 100 TB the leaked-doc relation is leak-rate × corpus, tiny
+    next to the band join that found it."""
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(prefix < "cd", "train")
+        .when(prefix < "e6", "val")
+        .otherwise("test")
+    )
+    labeled = docs.select("doc_id", "lang", split.alias("split"))
+    bands = dedup.minhash_band_hashes(docs).join(
+        labeled.select("doc_id", "split").hint("merge"), "doc_id")
+    a = bands.filter(F.col("split") == "train").alias("a")
+    b = bands.filter(F.col("split") != "train").hint("merge").alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    leaked = (
+        dedup.jaccard_verify(cand, docs)
+        .filter(F.col("jaccard") >= _LEAK_MIN_JACCARD)
+        .select(F.col("doc_a").alias("leak_doc"))
+        .distinct()
+    )
+    flagged = labeled.join(
+        leaked, labeled["doc_id"] == leaked["leak_doc"], "left")
+    dropped = F.col("leak_doc").isNotNull()
+    return flagged.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(dropped.cast("long")).alias("n_dropped"),
+        (F.count(F.lit(1)) - F.sum(dropped.cast("long"))).alias("n_after"),
+    )
