@@ -152,3 +152,43 @@ def test_int8_quantize_bounds_and_zero_norm(spark, vec):
     out = {r["vec_id"]: r["q"] for r in int8_quantize(df).collect()}
     assert all(-127 <= q <= 127 for q in out[1])
     assert out[2] == [0] * 64
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 200),        # doc_id (deduped below)
+                  st.integers(0, 3),          # source index
+                  st.integers(0, 5)),         # n_chars (heavy ties)
+        min_size=1, max_size=60,
+    ),
+    cap=st.integers(1, 6),
+    n_salt=st.integers(1, 5),
+)
+@_SETTLE
+def test_quota_cap_two_phase_equals_naive(spark, rows, cap, n_salt):
+    """The salted two-phase top-K must equal the naive single-window
+    form for ANY (corpus, cap, salt count) — including heavy ties,
+    all-one-source skew, and groups smaller than the cap. The
+    containment argument (a source's global top-K is inside the union
+    of its per-salt top-Ks) is exactly what this pins."""
+    from pyspark.sql import Window
+
+    from sql_data_warehouse_spark.operators.curation import source_quota_cap
+
+    uniq = {}
+    for doc_id, s_idx, n_chars in rows:
+        uniq[doc_id] = (f"s{s_idx}", n_chars)
+    data = [Row(doc_id=k, source=v[0], n_chars=v[1])
+            for k, v in uniq.items()]
+    docs = spark.createDataFrame(data)
+    got = sorted(map(tuple, source_quota_cap(
+        docs, cap=cap, n_salt=n_salt).collect()))
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id"))
+    want = sorted(map(tuple, (
+        docs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= cap)
+        .select("doc_id", "source", "n_chars",
+                F.col("rank").cast("long").alias("rank"))
+    ).collect()))
+    assert got == want
