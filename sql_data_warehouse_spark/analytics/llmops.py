@@ -1239,15 +1239,25 @@ def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def split_leakage_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The repair step after the leakage audit: any TRAIN document
-    that near-duplicates (jaccard ≥ 0.5) a val OR test document is
+    that near-duplicates (jaccard >= 0.5) a val OR test document is
     dropped from the shipped dataset — eval sets are sacred, so the
     train side pays — and the repaired per-(split, lang) manifest is
     emitted (before/dropped/after counts; val/test rows pass through
-    with zero drops by construction). Strictly wider than
-    ``split_leakage_pairs``: candidates cover train×(val ∪ test), not
-    just train×test, and the drop resolves via one LEFT join flag —
-    at 100 TB the leaked-doc relation is leak-rate × corpus, tiny
-    next to the band join that found it."""
+    with zero drops by construction).
+
+    Unlike the pair-listing audit (``split_leakage_pairs``, whose
+    output is inherently ∝ leak pairs), the repair needs only the
+    DROP SET — so it collapses exact-duplicate contents FIRST (the
+    sf10 lesson: 100-copy duplication made doc-level train×eval
+    buckets pay duplication² pairs, 24.6 s → 439.6 s for 10× data).
+    Contents carrying both a train and an eval member leak trivially
+    (jaccard 1); cross-content candidates band-join one REPRESENTATIVE
+    per content (shingle sets depend only on text, so rep-level
+    jaccard IS member-level jaccard), and the decision propagates to
+    all train members by fingerprint. Every stage is ∝ distinct
+    contents, not members."""
+    from ..functions.text import fingerprint
+
     docs = load_table(spark, sf_dir, "documents")
     prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     split = (
@@ -1255,16 +1265,38 @@ def split_leakage_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(prefix < "e6", "val")
         .otherwise("test")
     )
-    labeled = docs.select("doc_id", "lang", split.alias("split"))
-    bands = dedup.minhash_band_hashes(docs).join(
-        labeled.select("doc_id", "split").hint("merge"), "doc_id")
-    a = bands.filter(F.col("split") == "train").alias("a")
-    b = bands.filter(F.col("split") != "train").hint("merge").alias("b")
+    n_part = spark.sparkContext.defaultParallelism
+    members = docs.repartition(n_part).select(
+        "doc_id", "lang", split.alias("split"),
+        fingerprint(F.col("text")).alias("fp"),
+    ).localCheckpoint(eager=True)
+    flags = members.groupBy("fp").agg(
+        F.min("doc_id").alias("rep_id"),
+        F.max((F.col("split") == "train").cast("int")).alias("has_train"),
+        F.max((F.col("split") != "train").cast("int")).alias("has_eval"),
+    )
+    reps = (
+        flags.join(
+            docs.select(F.col("doc_id").alias("rep_id"), "text"), "rep_id")
+        .select(F.col("rep_id").alias("doc_id"), "fp",
+                "has_train", "has_eval", "text")
+        .localCheckpoint(eager=True)
+    )
+    same_content = (
+        reps.filter((F.col("has_train") == 1) & (F.col("has_eval") == 1))
+        .select("fp")
+    )
+    bands = dedup.minhash_band_hashes(reps).join(
+        reps.select("doc_id", "fp", "has_train", "has_eval").hint("merge"),
+        "doc_id")
+    a = bands.filter(F.col("has_train") == 1).alias("a")
+    b = bands.filter(F.col("has_eval") == 1).hint("merge").alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash")),
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.fp") != F.col("b.fp")),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -1272,17 +1304,102 @@ def split_leakage_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    leaked = (
-        dedup.jaccard_verify(cand, docs)
+    cross_leaked = (
+        dedup.jaccard_verify(cand, reps)
         .filter(F.col("jaccard") >= _LEAK_MIN_JACCARD)
-        .select(F.col("doc_a").alias("leak_doc"))
-        .distinct()
+        .join(reps.select(F.col("doc_id").alias("doc_a"), "fp"), "doc_a")
+        .select("fp")
     )
-    flagged = labeled.join(
-        leaked, labeled["doc_id"] == leaked["leak_doc"], "left")
-    dropped = F.col("leak_doc").isNotNull()
+    leaked_fp = same_content.union(cross_leaked).distinct().select(
+        F.col("fp").alias("leak_fp"))
+    flagged = members.join(
+        leaked_fp, members["fp"] == leaked_fp["leak_fp"], "left")
+    dropped = F.col("leak_fp").isNotNull() & (F.col("split") == "train")
     return flagged.groupBy("split", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(dropped.cast("long")).alias("n_dropped"),
         (F.count(F.lit(1)) - F.sum(dropped.cast("long"))).alias("n_after"),
+    )
+
+
+@query(
+    "split_leakage_repair_chain",
+    survey="ext-dedup ext-decon ext-split A2 W3",
+    tags=("llmops",),
+    oracle=f"""
+        WITH clusters AS MATERIALIZED (
+            {dedup.dedup_keep_best_chain_sql(min_jaccard=_LEAK_MIN_JACCARD)}
+        ),
+        labeled AS (
+          SELECT c.doc_id, c.cluster_id, d.lang,
+                 CASE WHEN substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 2)
+                        < 'cd' THEN 'train'
+                      WHEN substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 2)
+                        < 'e6' THEN 'val'
+                      ELSE 'test' END AS split
+          FROM clusters c JOIN documents d USING (doc_id)
+        ),
+        cflags AS (
+          SELECT cluster_id,
+                 MAX(CASE WHEN split <> 'train' THEN 1 ELSE 0 END)
+                     AS has_eval
+          FROM labeled GROUP BY cluster_id
+        )
+        SELECT l.split, l.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN l.split = 'train' AND f.has_eval = 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+               CAST(COUNT(*) - SUM(CASE WHEN l.split = 'train'
+                                        AND f.has_eval = 1
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_after
+        FROM labeled l JOIN cflags f USING (cluster_id)
+        GROUP BY l.split, l.lang
+    """,
+)
+def split_leakage_repair_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE form of the leakage repair: drop a train doc when its
+    near-dup CLUSTER (chain candidates → bottom-k verify → connected
+    components at jaccard ≥ 0.5, the linear-at-any-duplication
+    ``dedup_keep_best_chain`` machinery) contains any val/test member
+    — cluster-transitive, deliberately stricter than the exact
+    direct-pair rule, and the standard production choice. The exact
+    form (``split_leakage_repair``) pays Σ bucket_train×bucket_eval
+    verification pairs, which the 100-copy sf10 replica measured at
+    duplication² (25.2 s sf1 → 372.0 s sf10 even after exact-content
+    collapse, because the replicas are NEAR-dups with distinct
+    fingerprints); this form's stages are all ∝ corpus. Chain
+    candidates are valid here because jaccard-0.5 buckets are tight
+    (the recorded bucket-tightness rule). Fully hash-gated — the
+    oracle replays the chain pipeline and the recursive-CTE closure."""
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dedup.dedup_keep_best_chain(
+        docs, min_jaccard=_LEAK_MIN_JACCARD
+    ).select("doc_id", "cluster_id")
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(prefix < "cd", "train")
+        .when(prefix < "e6", "val")
+        .otherwise("test")
+    )
+    # labeled feeds TWO consumers (the per-cluster eval flag and the
+    # final join) — checkpoint it or the whole chain-dedup pipeline
+    # upstream runs once per consumer (the branch-point lesson;
+    # measured ~1.6x at sf10).
+    labeled = clusters.join(
+        docs.select("doc_id", "lang").hint("merge"), "doc_id"
+    ).select("doc_id", "cluster_id", "lang",
+             split.alias("split")).localCheckpoint(eager=True)
+    cflags = labeled.groupBy("cluster_id").agg(
+        F.max((F.col("split") != "train").cast("int")).alias("has_eval"))
+    dropped = (F.col("split") == "train") & (F.col("has_eval") == 1)
+    return (
+        labeled.join(cflags.hint("merge"), "cluster_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(dropped.cast("long")).alias("n_dropped"),
+            (F.count(F.lit(1)) - F.sum(dropped.cast("long")))
+            .alias("n_after"),
+        )
     )
