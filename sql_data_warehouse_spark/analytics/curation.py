@@ -610,3 +610,45 @@ def rag_chunk_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dup_tokens"),
         )
     )
+
+
+@query(
+    "corpus_summary_card",
+    survey="ext-composition A1 A2 A5 A8",
+    tags=("llmops",),
+    oracle=f"""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+               CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+               CAST(SUM(CAST(len({TOKENS_SQL.format(col="text")})
+                             AS BIGINT)) AS BIGINT) AS total_tokens,
+               CAST(SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),
+                                         1, 2) < 'cd'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_train
+        FROM documents GROUP BY lang
+    """,
+)
+def corpus_summary_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card table every published training corpus ships:
+    per language — document/source counts, exact char and token
+    totals, length extremes, and the train-split share under the
+    content-addressed 80/10/10 rule. One scan, one partial-aggregated
+    groupBy on a low-cardinality key; COUNT(DISTINCT source) is the
+    only expanding term and is bounded by |lang|×|sources|. All
+    integers ⇒ hash-gated. Reference analogue: the report role of
+    tests/quality_check_gold.sql, lifted to corpus composition."""
+    d = load_table(spark, sf_dir, "documents")
+    train = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cd"
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum(F.size(tokens(F.col("text"))).cast("long"))
+        .alias("total_tokens"),
+        F.sum(train.cast("long")).alias("n_train"),
+    )
