@@ -59,62 +59,58 @@ def query(name: str, *, oracle: str | None = None, survey: str = "",
     return deco
 
 
-# Pinned set-cover: the minimal query set whose green rows cover ALL
-# SURVEY §2 ids in a single driver round (36 queries), leaving 14 of
-# the driver's 50 truncation slots free for rotation. Two halves:
+# Pinned set-cover: the MINIMAL proven-green query set whose rows
+# cover all SURVEY §2 ids a fresh query cannot also cover — 25
+# queries (asserted in tests/test_registry_cover.py), leaving every
+# other slot of the driver's 50-query window to first-ever-checked
+# queries (VERDICT r4 ask #2: >=25 first-ever names per round).
 #
-# - 23 ``wh_*`` representatives — at least one per reference script
-#   (Q01..Q13 + the two QC suites) and together covering every
-#   P/A/W/O/U/QC id the judge's table attributes to the warehouse
-#   surface. The other 9 wh_* variants (same operator shapes on a
-#   different grouping column) rotate with tier (c); all 32 have had
-#   green driver rows since round 2.
-# - 13 etl/gold/catalog queries covering S1-S9, T1-T6, V1-V3, J1-J3,
-#   P3/P4/P7, W2/W4, QC2 (the round-2 set-cover plus the durable-
-#   catalog roundtrip).
+# 25 is the floor, not a choice: the 13 Q01..Q13 family ids are each
+# covered only by ``wh_*`` queries (all driver-checked since r2, so
+# none rotates into the window on freshness), and T1-T6/S4/V1-V3/
+# QC1/QC2 are each covered only by their one etl/gold/qc query. The
+# two core ids NOT covered below — S1/S2/S3/S6/S9 (bronze loaders)
+# and J5/O2 — ride on the _COVERFILL fresh queries instead, which
+# count toward the first-ever quota while keeping the 70-id cover.
 _PINNED = frozenset({
-    # wh_* representatives (ids per VERDICT r3 coverage table)
-    "wh_q01_catalog",                # S5 S8
-    "wh_q01_columns",                # S8
-    "wh_q02_countries",              # P9 O1
-    # wh_q02_product_dims (Q02 P9 O1) un-pinned in round 4: every id
-    # it carries is covered by other pinned rows (wh_q02_countries
-    # covers Q02/P9/O1), it has had green driver rows since r1, and
-    # the freed slot lets all 15 round-4 spotlight debuts fit the
-    # 50-slot window. It rotates with the checked tier.
-    "wh_q03_birthdate_range",        # A1
-    "wh_q03_order_range",            # A1
-    "wh_q04_measures",               # A1
-    "wh_q04_metrics_report",         # U1
-    "wh_q05_revenue_by_category",    # A2 J4
-    "wh_q05_items_by_country",       # J5
-    "wh_q05_avg_cost_by_category",   # A8
-    "wh_q05_revenue_by_customer",    # A3
-    "wh_q06_top5_products_rank",     # W3 O3
-    "wh_q06_bottom3_customers",      # A5 O2
-    "wh_q07_monthly_ym",             # A4
-    "wh_q08_cumulative_yearly",      # W6 W7
-    "wh_q09_yoy_products",           # W5 W8
-    "wh_q10_customer_segments",      # A4 A9-adjacent derived-key
-    "wh_q11_category_share",         # W9
-    "wh_q12_report_customers",       # A3 A5
-    "wh_q13_report_products",        # A5 A8
-    "wh_qc_domains",                 # P9 QC1
-    "wh_qc_silver",                  # P5 P6 P8 A6 QC1
-    # medallion/catalog set-cover
-    "etl_bronze_crm_cust_info",      # S1 S2 S3 S6 S9
-    "etl_silver_audit_columns",      # S4 S7
-    "etl_silver_crm_cust_info",      # T1 P3 W1
+    # Q-family representatives (one per reference analysis script;
+    # no query covers two Q ids, so 13 is forced)
+    "wh_q01_columns",                # Q01 S8
+    "wh_q02_countries",              # Q02 P9 O1
+    "wh_q03_birthdate_range",        # Q03 A1
+    "wh_q04_metrics_report",         # Q04 A1 U1
+    "wh_q05_revenue_by_category",    # Q05 A2 J4
+    "wh_q06_top5_products_rank",     # Q06 W3 O3
+    "wh_q07_monthly_ym",             # Q07 A4 A5
+    "wh_q08_cumulative_yearly",      # Q08 A7 W6 W7
+    "wh_q09_yoy_products",           # Q09 W5 W8
+    "wh_q10_customer_segments",      # Q10 A7
+    "wh_q11_category_share",         # Q11 W9
+    "wh_q12_report_customers",       # Q12 A3
+    "wh_q13_report_products",        # Q13 A5 A8
+    # quality + medallion singletons
+    "wh_qc_silver",                  # QC1 P5 P6 P8 A6
+    "etl_silver_audit_columns",      # S4 S7 U1
+    "etl_silver_crm_cust_info",      # T1 P2 P3 W1
     "etl_silver_crm_prd_info",       # T2 W4
     "etl_silver_crm_sales_details",  # T3 A9
-    "etl_silver_erp_cust_az12",      # T4
+    "etl_silver_erp_cust_az12",      # T4 P5
     "etl_silver_erp_loc_a101",       # T5 P7
     "etl_silver_erp_px_cat_g1v2",    # T6
-    "gold_dim_customers",            # V1 J1 W2
-    "gold_dim_products",             # V2 J2 P4
-    "gold_fact_sales",               # V3 J3
-    "star_integrity_check",          # QC2 J6
-    "catalog_roundtrip",             # S5 S6 durable-catalog path
+    "gold_dim_customers",            # V1 J1 P1 S5 W2
+    "gold_dim_products",             # V2 J2 P4 S5
+    "gold_fact_sales",               # V3 J3 S5
+    "star_integrity_check",          # QC2 A6 J6
+})
+
+# Deterministic coverage fill: FRESH (never driver-checked) queries
+# that restore the core ids the shrunken pin set dropped. They sort
+# with the spotlight tier so they are guaranteed a window slot, and
+# being first-ever they count toward the rotation quota rather than
+# against it.
+_COVERFILL = frozenset({
+    "etl_bronze_crm_sales_details",  # S1 S2 S3 S6 S9 (bronze loader)
+    "returned_item_customers",       # J5 O2 (+ P6 O1 A3)
 })
 
 
@@ -125,29 +121,22 @@ _PINNED = frozenset({
 # a committed CORRECTNESS file records them (then they're ordinary
 # checked queries and the slots go back to the rotation).
 _SPOTLIGHT = frozenset({
-    "semantic_dedup_cells_exact",
-    "lsh_index_pruned_topk",
-    "pq_ann_topk_distfit",
-    "incremental_dedup_delta",
-    "domain_mixture_realized",
-    "bpe_train_merges",
-    "dsir_target_sample",
-    "bpe_encode_stats",
-    "stream_ingest_new_fingerprints",
-    "incremental_dedup_delta_sketch",
-    "exact_substring_spans",
-    "lm_quality_scores",
-    # pii_multi_class_stats is NOT spotlighted — the one round-4
-    # registration held back (35 pinned + 15 fresh-0 fill the window
-    # exactly): it is the least novel addition (regex extension of
-    # the long-gated pii_scrub_stats) and rotates in next round.
-    "rag_chunk_manifest",
-    "curriculum_shard_order",
-    "stream_ingest_near_dup_bands",
-    # Round-5 spotlight queue (refresh this set once CORRECTNESS_r04
-    # is committed and the names above age out): ccnet_bucket_sample,
-    # source_quota_cap, length_bucket_batches, dedup_yield_report,
-    # domain_mixture_temperature, pii_multi_class_stats.
+    # The 11 late-round-4 registrations (VERDICT r4 ask #1): they
+    # registered after r4's window froze, so their first driver hash
+    # rows land this round.
+    "split_leakage_repair",
+    "split_leakage_repair_chain",
+    "ccnet_bucket_sample",
+    "source_quota_cap",
+    "length_bucket_batches",
+    "dedup_yield_report",
+    "domain_mixture_temperature",
+    "embedding_drift_by_label",
+    "rag_chunk_dedup_rate",
+    "corpus_summary_card",
+    "pii_multi_class_stats",
+    # Round-5 registrations debut here as they ship.
+    "stream_ingest_near_dup_maintained",
 })
 
 
@@ -175,25 +164,30 @@ def _driver_history() -> tuple[int, frozenset[str]]:
 def _run_priority_key(names_checked: frozenset[str], rnd: int):
     """Ordering for the returned registry dict. A driver that walks
     the dict in insertion order under a wall-clock budget cuts the
-    TAIL — so the head must carry (a) the pinned set-cover of every
-    SURVEY §2 id (36 queries, green every round), then (b) the
-    rotation: never-driver-checked queries first, within each group
-    shuffled by md5(name | round) so the ~14 free slots cycle ~14
-    FRESH queries through the hard-signal gate each round until all
-    ~196 registry queries have had one (VERDICT r3 ask #2). A driver
-    that sorts independently is unaffected."""
+    TAIL — so the head must carry (a) the 25-query pinned set-cover
+    (green every round), then (b) the spotlight/coverfill fresh tier
+    (this round's debuts + the two coverage-fill queries), then (c)
+    the rotation: never-driver-checked ORACLE-GATED queries first
+    (rows-only fresh queries sort after them — VERDICT r4 ask #3: a
+    scarce slot should buy a hash row, not a rows-only row), within
+    each group shuffled by md5(name | round) so the ~25 free slots
+    cycle fresh queries through the hard-signal gate each round. A
+    driver that sorts independently is unaffected."""
     import hashlib
 
     def key(item: tuple[str, Query]) -> tuple[int, int, str]:
-        name, _ = item
+        name, q = item
         if name in _PINNED:
             return (0, 0, name)
-        if name in _SPOTLIGHT and name not in names_checked:
-            fresh = 0  # this round's new operators: debut hash row
-        elif name not in names_checked:
-            fresh = 1
+        if name not in names_checked:
+            if name in _SPOTLIGHT or name in _COVERFILL:
+                fresh = 0  # debuts + coverage fill: guaranteed slot
+            elif q.oracle is not None:
+                fresh = 1  # fresh, hash-gateable
+            else:
+                fresh = 2  # fresh, rows-only: last among fresh
         else:
-            fresh = 2
+            fresh = 3
         h = hashlib.md5(f"{name}|r{rnd}".encode()).hexdigest()
         return (1, fresh, h)
 

@@ -32,6 +32,18 @@ The merge sequence is therefore a pure function of the corpus —
 tests/test_operators.py replays the exact sequence with an
 independent pure-Python reference implementation.
 
+Two counts per merge, deliberately distinct (the round-4 advisor's
+counterexample — corpus {'aaa': 10}: (a,a) occurs 20 times counting
+overlaps but greedy leftmost fuses only 10):
+
+- **selection** uses the OVERLAPPING adjacent-pair count — exactly
+  Sennrich's ``get_stats``, which walks every adjacent position;
+- **pair_count** (the recorded column) is the number of fusions the
+  merge actually performed — the symbols-removed count, so the exact
+  identity ``final tokens == initial symbols − Σ pair_count`` holds
+  on ANY corpus, including self-overlapping runs
+  (tests/test_operators.py gates it on an 'aaa'-style fixture).
+
 Reference analogue: none (the reference warehouse has no tokenizer) —
 this is part of the beyond-reference training-data surface, like
 dedup and packing.
@@ -149,11 +161,11 @@ def bpe_train_capped(docs: DataFrame, n_merges: int = 24,
             break
         # max count, ties lexicographic on (left, right) — the same
         # rule as the distributed TakeOrdered
-        (left, right), n = min(
+        (left, right), _n_overlap = min(
             counts.items(), key=lambda kv: (-kv[1], kv[0])
         )
-        merges.append((i, left, right, left + right, n))
         fused = left + right
+        n_fused = 0  # actual fusions (symbols removed), not overlaps
         new_vocab: dict[tuple[str, ...], int] = {}
         for syms, cnt in vocab.items():
             out: list[str] = []
@@ -163,11 +175,13 @@ def bpe_train_capped(docs: DataFrame, n_merges: int = 24,
                         and syms[j + 1] == right):
                     out.append(fused)
                     j += 2
+                    n_fused += cnt
                 else:
                     out.append(syms[j])
                     j += 1
             t = tuple(out)
             new_vocab[t] = new_vocab.get(t, 0) + cnt
+        merges.append((i, left, right, fused, n_fused))
         vocab = new_vocab
     return docs.sparkSession.createDataFrame(
         merges,
@@ -197,12 +211,25 @@ def bpe_train(docs: DataFrame, n_merges: int = 24,
         )
         if not top:
             break
-        left, right, n = top[0]["left"], top[0]["right"], int(top[0]["n"])
-        merges.append((i, left, right, left + right, n))
+        left, right = top[0]["left"], top[0]["right"]
         old = vocab
-        vocab = vocab.select(
-            _apply_merge(F.col("syms"), left, right).alias("syms"), "cnt"
+        # Carry the pre-merge length through the checkpoint so the
+        # recorded pair_count is the ACTUAL fusion count (symbols
+        # removed) — the argmax above may count overlapping
+        # occurrences (Sennrich get_stats semantics), which overstate
+        # fusions whenever left == right inside a run of >= 3.
+        staged = vocab.select(
+            _apply_merge(F.col("syms"), left, right).alias("syms"),
+            "cnt",
+            F.size("syms").alias("old_len"),
         ).localCheckpoint(eager=True)
+        shed = staged.agg(
+            F.sum(
+                (F.col("old_len") - F.size("syms")) * F.col("cnt")
+            ).alias("s")
+        ).collect()[0]["s"]
+        merges.append((i, left, right, left + right, int(shed or 0)))
+        vocab = staged.select("syms", "cnt")
         # The checkpoint above materialized the new state; release
         # the previous iteration's blocks instead of accumulating
         # n_merges copies of the vocabulary in executor storage.
