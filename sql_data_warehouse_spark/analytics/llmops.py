@@ -1064,6 +1064,28 @@ def int8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ivf_ann_topk_int8",
+    survey="ext-sim ext-quant A7 W3 J-broadcast",
+    tags=("llmops",),
+    oracle=similarity.ivf_int8_topk_sql(query_filter="vec_id < 5", k=10,
+                                        nprobe=2),
+)
+def ivf_ann_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over an int8-quantized index (VERDICT r5 ask #8): the
+    label-centroid coarse quantizer, the probe ranking AND the
+    in-cluster scoring all run on exact integer dots, so the entire
+    approximate pipeline — quantizer fit included — hash-gates. The
+    compressed-index production shape: int8 codes shrink the probed
+    scan 4×, and the probe prunes it to nprobe/n_labels of the
+    corpus before I/O."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_int8_topk(emb, queries, k=10, nprobe=2)
+
+
+@query(
     "media_audio_features",
     survey="ext-media ext-codec ext-dsp mapInPandas",
     tags=("llmops", "multimodal"),

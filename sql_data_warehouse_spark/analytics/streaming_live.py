@@ -548,3 +548,156 @@ def stream_ingest_near_dup_bands(spark: SparkSession,
         .dropDuplicates(["doc_id", "band_idx"])
     )
     return _drain(stream, "append")
+
+
+@query(
+    "stream_ingest_near_dup_maintained",
+    survey="ext-stream ext-dedup ext-incremental ext-acid J-semi P9",
+    tags=("streaming", "live", "txn"),
+    oracle=f"""
+        WITH delta_bands AS MATERIALIZED (
+            {dedup._minhash_bands_sql(doc_filter="doc_id % 5 = 0")}
+        ),
+        base_bands AS MATERIALIZED (
+            {dedup._minhash_bands_sql(doc_filter="doc_id % 5 != 0")}
+        ),
+        base_coll AS (
+          SELECT DISTINCT d.doc_id, d.band_idx
+          FROM delta_bands d
+          JOIN (SELECT DISTINCT band_idx, band_hash FROM base_bands) b
+            USING (band_idx, band_hash)
+        ),
+        delta_coll AS (
+          SELECT DISTINCT b.doc_id, a.band_idx
+          FROM delta_bands a JOIN delta_bands b
+            ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id
+        )
+        SELECT DISTINCT doc_id, band_idx FROM (
+          SELECT * FROM base_coll UNION ALL SELECT * FROM delta_coll
+        )
+    """,
+)
+def stream_ingest_near_dup_maintained(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Streaming near-dup ingest with a MAINTAINED LSH band index
+    (VERDICT r4 ask #4 / r5 ask #2) — the production upgrade of
+    ``stream_ingest_near_dup_bands``, whose base index is rebuilt and
+    only ever PROBED: here the index is a transactional table
+    (``TxnTable``) initialized from the base corpus once, and every
+    micro-batch (a) probes it for band collisions, then (b) APPENDS
+    its own band hashes in an atomic commit — so later batches
+    collide against earlier ingested delta docs through the index,
+    not just against the static base. Without the index-update write
+    path, every cross-batch delta-delta collision would be missed
+    and the hash gate below would fail.
+
+    Determinism under ANY micro-batch assignment/order: each
+    unordered colliding pair is observed exactly once — at the
+    second doc's probe (the first is already in the index) or by the
+    intra-batch self-join when both share a batch — and the emitted
+    row is canonical regardless of which doc observed it: collisions
+    with a BASE entry attribute to the probing delta doc, collisions
+    between two delta docs attribute to the LARGER doc_id. The
+    DuckDB twin replays exactly that set, so the whole maintained
+    pipeline (OPH + banding + probe + index maintenance) hash-gates.
+
+    Scale shape: the index is the stored artifact a 100 TB crawl
+    pipeline maintains (Delta/manifest table; here TxnTable with the
+    same atomic-commit semantics) — per-ingest cost is the batch's
+    band projection + a probe join whose small side (the batch)
+    broadcasts + one O(batch) append; the base×base pairing never
+    forms. The one corpus-wide cost, building the initial index, is
+    paid once per table lifetime, not per ingest."""
+    src = _delta_docs_zone(spark, sf_dir)
+    base_docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 != 0
+    )
+    return maintained_near_dup_ingest(spark, src, base_docs)
+
+
+def maintained_near_dup_ingest(spark: SparkSession, src: str,
+                               base_docs: DataFrame,
+                               max_files_per_trigger: int = 2) -> DataFrame:
+    """Core of ``stream_ingest_near_dup_maintained``, split out so
+    tests can drive it with a controlled landing zone (e.g. one file
+    per near-dup twin, ``max_files_per_trigger=1`` — forcing the
+    collision to cross a micro-batch boundary, which only the
+    index-update write path can catch)."""
+    import glob as _glob
+
+    from ..sources.txn import TxnTable
+
+    idx_root = scratch_dir("wh_band_index_")
+    coll_dir = scratch_dir("wh_band_coll_")
+    ckpt = scratch_dir("stream_idx_ckpt_")
+    tbl = TxnTable(idx_root)
+    tbl.overwrite(
+        dedup.minhash_band_hashes(base_docs)
+        .select("doc_id", "band_idx", "band_hash")
+    )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        bands = (
+            dedup.minhash_band_hashes_inrow(batch_df)
+            .select("doc_id", "band_idx", "band_hash")
+            # consumed three times (probe, intra self-join, append):
+            # materialize once, never recompute the minhash pass
+            .localCheckpoint(eager=True)
+        )
+        idx = tbl.read(spark)
+        probe = (
+            bands.alias("a")
+            .join(
+                idx.alias("b"),
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_hash") == F.col("b.band_hash")),
+            )
+            .select(
+                F.when(F.col("b.doc_id") % 5 != 0, F.col("a.doc_id"))
+                .otherwise(F.greatest(F.col("a.doc_id"), F.col("b.doc_id")))
+                .alias("doc_id"),
+                F.col("a.band_idx").alias("band_idx"),
+            )
+        )
+        intra = (
+            bands.alias("a")
+            .join(
+                bands.alias("b"),
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("b.doc_id").alias("doc_id"),
+                F.col("a.band_idx").alias("band_idx"),
+            )
+        )
+        out = probe.unionByName(intra).distinct()
+        out.write.mode("append").parquet(coll_dir)
+        tbl.append(bands)  # the index-update write path
+
+    try:
+        q = (
+            spark.readStream.schema(
+                "doc_id long, text string, lang string, source string,"
+                " n_chars long"
+            )
+            .option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .parquet(src)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if _glob.glob(f"{coll_dir}/*.parquet"):
+            coll = spark.read.parquet(coll_dir).distinct()
+        else:  # no collisions in any batch: empty, schema-stable
+            coll = spark.createDataFrame([], "doc_id long, band_idx int")
+        out = spark.createDataFrame(coll.collect(), coll.schema)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(idx_root, ignore_errors=True)
+        shutil.rmtree(coll_dir, ignore_errors=True)
+    return out

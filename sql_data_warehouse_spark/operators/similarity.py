@@ -1167,6 +1167,124 @@ def int8_quantize(df: DataFrame, id_col: str = "vec_id",
     )
 
 
+def ivf_int8_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+                  nprobe: int = 2, id_col: str = "vec_id",
+                  vec_col: str = "embedding",
+                  query_id_col: str = "query_id",
+                  dim: int = SIM_DIM) -> DataFrame:
+    """IVF ANN over an INT8-quantized index — the all-integer twin of
+    :func:`ivf_topk` (VERDICT r5 ask #8): the per-label centroids
+    (deterministic scaled-int64 means, the IVF coarse quantizer) are
+    int8-quantized alongside the corpus and the queries, the probe
+    ranking (query→centroid) and the in-cluster scoring are both the
+    exact unrolled integer dot, so EVERY score in the pipeline is an
+    exact integer and the full IVF path — quantizer fit, probe
+    selection, cluster scan, ranking — hash-gates against the DuckDB
+    twin (float-scored IVF gates on bit-replayed IEEE folds instead;
+    integer scores remove even that sensitivity).
+
+    Scale shape — identical to ``ivf_topk``: the centroid table is
+    one row per label (broadcast), probes are |queries|·nprobe rows
+    (broadcast), and the corpus is scanned once with the broadcast
+    probe filter pruning to nprobe/n_labels of the data; int8 codes
+    make that scan 4× lighter than the float path. No shuffle
+    touches the corpus."""
+    cent = _centroids(embeddings, vec_col)
+    cent_q = int8_quantize(
+        cent.select(F.col("label"), F.col("centroid").alias(vec_col)),
+        id_col="label", vec_col=vec_col, dim=dim,
+    ).select(F.col("vec_id").alias("label"), F.col("q").alias("c_q"))
+    qq = int8_quantize(queries, query_id_col, vec_col, dim).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("q_q"))
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("cent_dot"), F.asc("label"))
+    probes = (
+        qq.crossJoin(F.broadcast(cent_q))
+        .select(
+            "query_id", "q_q", "label",
+            F.expr(_int_dot_fixed_sql("q_q", "c_q", dim)).alias("cent_dot"),
+        )
+        .withColumn("probe_rank", F.row_number().over(w_probe))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select("query_id", "q_q", "label")
+    )
+    e = embeddings.select("label", F.col(id_col).alias("vec_id"),
+                          F.col(vec_col).alias(vec_col))
+    e_q = int8_quantize(e, "vec_id", vec_col, dim).join(
+        e.select("vec_id", "label"), "vec_id")
+    scored = e_q.join(F.broadcast(probes), "label").select(
+        "query_id", "vec_id",
+        F.expr(_int_dot_fixed_sql("q_q", "q", dim)).alias("dot_int"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("dot_int"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_int8_topk_sql(query_filter: str, k: int = 10, nprobe: int = 2,
+                      dim: int = SIM_DIM) -> str:
+    """DuckDB twin of :func:`ivf_int8_topk`: same scaled-int64
+    centroid means (CENTROID_CTES_SQL), same round-half-up int8
+    quantization over the HOF-fold norm, same integer dots and
+    rank/tiebreaks."""
+    from ..functions.vectors import dot_sql
+
+    def _qz(vec: str) -> str:
+        nrm = f"sqrt({dot_sql(vec, vec)})"
+        return f"""
+            CASE WHEN {nrm} = 0
+                 THEN list_transform({vec}, v -> CAST(0 AS BIGINT))
+                 ELSE list_transform({vec},
+                     v -> CAST(floor(CAST(v AS DOUBLE) / {nrm} * 127.0
+                                     + 0.5) AS BIGINT))
+            END
+        """
+
+    int_dot = """
+        CAST(list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+                list_transform(list_zip({a}, {b}), z -> z[1] * z[2])),
+            (x, y) -> x + y) AS BIGINT)
+    """
+    return f"""
+        WITH {CENTROID_CTES_SQL},
+        qz AS (
+          SELECT vec_id, label, {_qz("embedding")} AS q FROM embeddings
+        ),
+        cq AS (
+          SELECT label, {_qz("centroid")} AS c_q FROM cent_arr
+        ),
+        queries AS (
+          SELECT vec_id AS query_id, q AS q_q FROM qz WHERE {query_filter}
+        ),
+        probes AS (
+          SELECT query_id, q_q, label FROM (
+            SELECT q.query_id, q.q_q, c.label,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY {int_dot.format(a="q.q_q", b="c.c_q")} DESC,
+                              c.label ASC
+                   ) AS probe_rank
+            FROM queries q CROSS JOIN cq c
+          ) WHERE probe_rank <= {nprobe}
+        ),
+        scored AS (
+          SELECT p.query_id, e.vec_id,
+                 {int_dot.format(a="p.q_q", b="e.q")} AS dot_int
+          FROM qz e JOIN probes p USING (label)
+        )
+        SELECT query_id, vec_id, dot_int, rank FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY dot_int DESC, vec_id ASC) AS INTEGER)
+                    AS rank
+          FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
 def int8_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
                   id_col: str = "vec_id", vec_col: str = "embedding",
                   query_id_col: str = "query_id",

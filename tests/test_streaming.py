@@ -248,3 +248,50 @@ def test_replay_resumes_exactly_once(spark):
         )
     }
     assert got == want
+
+
+def test_maintained_index_catches_cross_batch_near_dup(
+        spark, tmp_path_factory):
+    """The point of stream_ingest_near_dup_maintained vs the
+    probe-only form: two near-dup DELTA docs arriving in DIFFERENT
+    micro-batches can only collide through the index-update write
+    path (the second batch probes the band entries the first batch
+    appended). One file per doc + maxFilesPerTrigger=1 forces the
+    pair across a batch boundary in every run."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from sql_data_warehouse_spark.analytics.streaming_live import (
+        maintained_near_dup_ingest,
+    )
+
+    src = str(tmp_path_factory.mktemp("maint_src"))
+    text = ("the quick brown fox jumps over the lazy dog and then "
+            "jumps over it once more for good measure today")
+    for fname, doc_id in [("a.parquet", 10), ("b.parquet", 20)]:
+        papq.write_table(
+            pa.table({
+                "doc_id": pa.array([doc_id], pa.int64()),
+                "text": [text],
+                "lang": ["en"],
+                "source": ["t"],
+                "n_chars": pa.array([len(text)], pa.int64()),
+            }),
+            f"{src}/{fname}",
+        )
+    base = spark.createDataFrame(
+        [(3, "a completely unrelated base document about database "
+             "engines and columnar storage formats", "en", "t", 90)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    got = {
+        (r["doc_id"], r["band_idx"])
+        for r in maintained_near_dup_ingest(
+            spark, src, base, max_files_per_trigger=1
+        ).collect()
+    }
+    # identical text => identical signature => all 4 bands collide;
+    # attribution is canonical: the LARGER delta id carries the pair
+    assert {d for d, _ in got} == {20}
+    assert len(got) == 4
