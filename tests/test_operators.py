@@ -401,6 +401,47 @@ def test_bpe_encode_matches_train_identity(spark):
     assert enc[0] == init_symbols - shed, (enc[0], init_symbols, shed)
 
 
+def test_bpe_identity_on_self_overlapping_runs(spark):
+    """The identity's hard case (r4 advisor counterexample): runs like
+    'aaaa' where the argmax pair OVERLAPS itself — Sennrich-count 3·n
+    occurrences of (a,a) but greedy leftmost fuses only 2·n. Both
+    trainers must record pair_count = actual fusions so
+    ``final tokens == initial symbols − Σ pair_count`` holds, and the
+    distributed fold (sum_n deltas) must agree with the driver loop
+    exactly on this corpus too."""
+    from pyspark.sql import Row
+
+    from sql_data_warehouse_spark.operators.bpe import (
+        bpe_encode_stats, bpe_train, bpe_train_capped, word_freq,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, lang="xx", text="aaaa aaa aa baa aab")
+         for i in range(10)]
+    )
+    mt = bpe_train_capped(docs, n_merges=4).collect()
+    dist = [tuple(r) for r in bpe_train(docs, n_merges=4).collect()]
+    assert dist == [tuple(r) for r in mt], (dist, mt)
+    # first merge is (a,a): 10 docs × (2+1+1+1+1) greedy fusions —
+    # the overlapping Sennrich count would be 10 × (3+2+1+1+1) = 80
+    first = mt[0]
+    assert (first["left"], first["right"]) == ("a", "a")
+    assert first["pair_count"] == 60
+
+    merges = [(r["left"], r["right"]) for r in mt]
+    shed = sum(r["pair_count"] for r in mt)
+    init_symbols = (
+        word_freq(docs)
+        .select((F.length("w") + 1) * F.col("cnt"))
+        .groupBy().sum().collect()[0][0]
+    )
+    enc = bpe_encode_stats(docs, merges).agg(
+        F.sum("total_tokens"), F.sum("total_init_symbols")
+    ).collect()[0]
+    assert enc[1] == init_symbols
+    assert enc[0] == init_symbols - shed, (enc[0], init_symbols, shed)
+
+
 def test_cc_distributed_loop_matches_driver_finish(spark):
     """The hybrid CC's two paths must agree exactly: force the same
     edge set through the distributed pointer-doubling loop and the
