@@ -531,9 +531,14 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ivf_kmeans_ann_topk",
     survey="ext-sim A7 W3",
     tags=("llmops",),
-    oracle=None,  # iterative fit — not SQL-expressible; recall vs the
-    #               exact baseline + determinism asserted in
-    #               tests/test_kmeans.py
+    # the 2-iteration Lloyd fit UNROLLS into chained CTE stages (the
+    # BPE-oracle move); discrete argmin assignments survive the
+    # numpy-vs-SQL fold difference by nine orders of magnitude of
+    # measured margin, and the output cosines replay the fixed fold
+    # bit-for-bit — see kmeans.ivf_kmeans_topk_sql. Recall vs the
+    # exact baseline stays asserted in tests/test_kmeans.py.
+    oracle=kmeans.ivf_kmeans_topk_sql(query_filter="vec_id < 5", k=10,
+                                      nprobe=3, n_clusters=8, n_iter=2),
 )
 def ivf_kmeans_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over a LEARNED coarse quantizer: 2 Lloyd iterations of
