@@ -592,9 +592,13 @@ def _pq_query_vectors(emb: DataFrame) -> list[tuple[int, list[float]]]:
     "pq_ann_topk",
     survey="ext-sim ext-pq W3",
     tags=("llmops",),
-    oracle=None,  # iterative codebook fit — not SQL-expressible;
-    #               recall vs the exact L2 baseline gated in
-    #               tests/test_similarity_recall.py
+    # the multi-subspace Lloyd fit unrolls into chained CTE stages
+    # (pq.pq_ann_topk_sql — the BPE/kmeans-oracle move), with
+    # measured decision margins 7+ orders above float-fold noise and
+    # fold-order-exact outputs; recall vs the exact L2 baseline
+    # stays gated in tests/test_similarity_recall.py
+    oracle=pq.pq_ann_topk_sql(query_filter="vec_id < 5", m=16, k=16,
+                              n_iter=2),
 )
 def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (operators/pq.py): 16 subspaces × 16
@@ -617,9 +621,11 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pq_ann_topk_distfit",
     survey="ext-sim ext-pq W3",
     tags=("llmops",),
-    oracle=None,  # iterative codebook fit — not SQL-expressible;
-    #               recall vs the exact L2 baseline gated in
-    #               tests/test_similarity_recall.py (0.82@10)
+    # same unrolled-Lloyd oracle as pq_ann_topk (both queries search
+    # the session-shared pq_fit index); the distributed-fit machinery
+    # is what this entry pays for when it runs first
+    oracle=pq.pq_ann_topk_sql(query_filter="vec_id < 5", m=16, k=16,
+                              n_iter=2),
 )
 def pq_ann_topk_distfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ANN over codebooks from the DISTRIBUTED multi-subspace
