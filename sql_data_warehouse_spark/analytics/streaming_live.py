@@ -490,6 +490,30 @@ def stream_ingest_new_fingerprints(spark: SparkSession,
     return _drain(stream, "append")
 
 
+def _base_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base-corpus LSH band relation (doc_id, band_idx, band_hash),
+    built ONCE per (session, sf_dir) and eagerly checkpointed — the
+    stored-index artifact both near-dup ingest entries consult (in
+    production it IS the maintained table; locally the checkpoint
+    stands in for reading it). Building it per entry would pay the
+    corpus-wide minhash pass twice per suite run — the same
+    amortization as ``llmops._pq_shared``."""
+    cache = getattr(spark, "_wh_base_band_idx", None)
+    if cache is None:
+        cache = {}
+        spark._wh_base_band_idx = cache
+    if sf_dir not in cache:
+        cache[sf_dir] = (
+            dedup.minhash_band_hashes(
+                load_table(spark, sf_dir, "documents")
+                .filter(F.col("doc_id") % 5 != 0)
+            )
+            .select("doc_id", "band_idx", "band_hash")
+            .localCheckpoint(eager=True)
+        )
+    return cache[sf_dir]
+
+
 @query(
     "stream_ingest_near_dup_bands",
     survey="ext-stream ext-dedup ext-incremental J-semi P9",
@@ -529,10 +553,7 @@ def stream_ingest_near_dup_bands(spark: SparkSession,
     rebuilt per drain)."""
     src = _delta_docs_zone(spark, sf_dir)
     base_bands = (
-        dedup.minhash_band_hashes(
-            load_table(spark, sf_dir, "documents")
-            .filter(F.col("doc_id") % 5 != 0)
-        )
+        _base_band_index(spark, sf_dir)
         .select("band_idx", "band_hash")
         .distinct()
     )
@@ -610,20 +631,21 @@ def stream_ingest_near_dup_maintained(spark: SparkSession,
     forms. The one corpus-wide cost, building the initial index, is
     paid once per table lifetime, not per ingest."""
     src = _delta_docs_zone(spark, sf_dir)
-    base_docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % 5 != 0
+    return maintained_near_dup_ingest(
+        spark, src, _base_band_index(spark, sf_dir)
     )
-    return maintained_near_dup_ingest(spark, src, base_docs)
 
 
 def maintained_near_dup_ingest(spark: SparkSession, src: str,
-                               base_docs: DataFrame,
+                               base_bands: DataFrame,
                                max_files_per_trigger: int = 2) -> DataFrame:
     """Core of ``stream_ingest_near_dup_maintained``, split out so
     tests can drive it with a controlled landing zone (e.g. one file
     per near-dup twin, ``max_files_per_trigger=1`` — forcing the
     collision to cross a micro-batch boundary, which only the
-    index-update write path can catch)."""
+    index-update write path can catch). ``base_bands`` is the base
+    corpus's (doc_id, band_idx, band_hash) relation — the registered
+    query passes the session-shared ``_base_band_index``."""
     import glob as _glob
 
     from ..sources.txn import TxnTable
@@ -632,10 +654,7 @@ def maintained_near_dup_ingest(spark: SparkSession, src: str,
     coll_dir = scratch_dir("wh_band_coll_")
     ckpt = scratch_dir("stream_idx_ckpt_")
     tbl = TxnTable(idx_root)
-    tbl.overwrite(
-        dedup.minhash_band_hashes(base_docs)
-        .select("doc_id", "band_idx", "band_hash")
-    )
+    tbl.overwrite(base_bands.select("doc_id", "band_idx", "band_hash"))
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         bands = (

@@ -279,6 +279,8 @@ def test_maintained_index_catches_cross_batch_near_dup(
             }),
             f"{src}/{fname}",
         )
+    from sql_data_warehouse_spark.operators import dedup
+
     base = spark.createDataFrame(
         [(3, "a completely unrelated base document about database "
              "engines and columnar storage formats", "en", "t", 90)],
@@ -288,7 +290,8 @@ def test_maintained_index_catches_cross_batch_near_dup(
     got = {
         (r["doc_id"], r["band_idx"])
         for r in maintained_near_dup_ingest(
-            spark, src, base, max_files_per_trigger=1
+            spark, src, dedup.minhash_band_hashes(base),
+            max_files_per_trigger=1,
         ).collect()
     }
     # identical text => identical signature => all 4 bands collide;
