@@ -1142,7 +1142,8 @@ def _int_dot_fixed_sql(a: str, b: str, dim: int) -> str:
 
 def int8_quantize(df: DataFrame, id_col: str = "vec_id",
                   vec_col: str = "embedding",
-                  dim: int = SIM_DIM) -> DataFrame:
+                  dim: int = SIM_DIM,
+                  keep: tuple[str, ...] = ()) -> DataFrame:
     """(id, q): L2-normalize then scalar-quantize to [-127, 127]
     longs — ``qᵢ = floor(vᵢ/‖v‖ · 127 + ½)`` (round-half-up, exact
     IEEE ops over the fixed-fold norm, so the DuckDB twin replays it
@@ -1152,6 +1153,7 @@ def int8_quantize(df: DataFrame, id_col: str = "vec_id",
     the index build."""
     staged = df.select(
         F.col(id_col).alias("vec_id"),
+        *keep,
         F.col(vec_col).alias("_v"),
         norm_fixed(vec_col, dim).alias("_n"),
     )
@@ -1163,6 +1165,7 @@ def int8_quantize(df: DataFrame, id_col: str = "vec_id",
     )
     return staged.select(
         "vec_id",
+        *keep,
         F.when(F.col("_n") == 0, zero).otherwise(quant).alias("q"),
     )
 
@@ -1208,10 +1211,11 @@ def ivf_int8_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
         .filter(F.col("probe_rank") <= nprobe)
         .select("query_id", "q_q", "label")
     )
+    # label rides through the quantization projection (keep=) — a
+    # join-back to recover it would shuffle the corpus at scale
     e = embeddings.select("label", F.col(id_col).alias("vec_id"),
                           F.col(vec_col).alias(vec_col))
-    e_q = int8_quantize(e, "vec_id", vec_col, dim).join(
-        e.select("vec_id", "label"), "vec_id")
+    e_q = int8_quantize(e, "vec_id", vec_col, dim, keep=("label",))
     scored = e_q.join(F.broadcast(probes), "label").select(
         "query_id", "vec_id",
         F.expr(_int_dot_fixed_sql("q_q", "q", dim)).alias("dot_int"),
