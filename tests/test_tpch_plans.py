@@ -171,3 +171,22 @@ def test_temperature_mixture_single_corpus_shuffle(spark):
 
     plan = _plan(inc.domain_mixture_temperature(spark, SF_SMOKE))
     assert plan.count("documents.parquet") <= 1, plan
+
+
+def test_ivf_int8_corpus_never_shuffle_joins(spark):
+    """ivf_ann_topk_int8's scale contract: the corpus side joins only
+    against broadcast relations (probes) — no sort-merge join, and no
+    corpus self-join to recover the label column (it rides through
+    the quantization projection; a join-back would shuffle the corpus
+    at 100 TB)."""
+    from sql_data_warehouse_spark.operators import similarity
+    from sql_data_warehouse_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = _plan(similarity.ivf_int8_topk(emb, queries, k=10, nprobe=2))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
