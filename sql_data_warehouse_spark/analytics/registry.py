@@ -167,6 +167,7 @@ _SPOTLIGHT = frozenset({
     # Round-6 registrations debut here.
     "stream_ingest_near_dup_maintained",
     "ivf_ann_topk_int8",
+    "gold_dim_customers_scalable_sk",
 })
 
 

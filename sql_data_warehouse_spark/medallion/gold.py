@@ -12,8 +12,11 @@ Scale notes (SURVEY §4.3):
   by construction. Both dimensions are bounded (customers ≤ tens of
   millions even at 100 TB of *fact* data; products far smaller), so
   the one-task window holds; the fact table NEVER takes a global
-  window. If a dimension ever outgrows one task, swap to
-  ``xxhash64(natural_key)`` behind the same column contract.
+  window. For a dimension that outgrows one task,
+  ``gold_dim_customers_scalable_sk`` assigns the SAME keys via the
+  two-phase ``operators/skew.scalable_row_number`` (deterministic
+  range buckets → local rank + exact offsets — n reducers instead of
+  one), hash-gated against the same oracle.
 - The fact resolves surrogate keys by joining the dims on natural
   keys; both dims are explicitly ``broadcast()`` so the fact-side scan
   never shuffles — at 100 TB this is a map-side-only plan.
@@ -44,19 +47,18 @@ SILVER_CTES = ",\n".join(f"s_{t} AS ({sql})" for t, sql in SILVER_SQL.items())
 
 # ------------------------------------------------------- dim_customers (V1)
 
-def gold_dim_customers(spark: SparkSession, silver: SilverSource = silver_df) -> DataFrame:
-    """gold.dim_customers (load_gold.sql:22-42): 3-way left join on
-    the CRM natural key, CRM-master gender fallback to ERP, global
-    ROW_NUMBER surrogate key ordered by the unique ``cst_id``."""
+def _dim_customers_unkeyed(spark: SparkSession,
+                           silver: SilverSource) -> DataFrame:
+    """The dim_customers relation BEFORE surrogate-key assignment —
+    shared by the reference-faithful global-window form and the
+    scale-safe two-phase form."""
     ci = silver(spark, "crm_cust_info")
     ca = silver(spark, "erp_cust_az12")
     la = silver(spark, "erp_loc_a101")
-    w = Window.orderBy("cst_id")
     return (
         ci.join(F.broadcast(ca), ci.cst_key == ca.cid, "left")
         .join(F.broadcast(la), ci.cst_key == la.cid, "left")
         .select(
-            F.row_number().over(w).cast("long").alias("customer_key"),
             F.col("cst_id").alias("customer_id"),
             F.col("cst_key").alias("customer_number"),
             F.col("cst_firstname").alias("first_name"),
@@ -69,6 +71,43 @@ def gold_dim_customers(spark: SparkSession, silver: SilverSource = silver_df) ->
             F.col("cntry").alias("country"),
             F.col("cst_create_date").cast("timestamp").alias("create_date"),
         )
+    )
+
+
+def gold_dim_customers(spark: SparkSession, silver: SilverSource = silver_df) -> DataFrame:
+    """gold.dim_customers (load_gold.sql:22-42): 3-way left join on
+    the CRM natural key, CRM-master gender fallback to ERP, global
+    ROW_NUMBER surrogate key ordered by the unique ``cst_id`` —
+    reference-faithful (the single-partition window is the W2 scale
+    hazard, SURVEY §4.3; ``gold_dim_customers_scalable_sk`` is the
+    100 TB form, same keys)."""
+    w = Window.orderBy("customer_id")
+    return _dim_customers_unkeyed(spark, silver).select(
+        F.row_number().over(w).cast("long").alias("customer_key"), "*"
+    )
+
+
+def gold_dim_customers_scalable_sk(spark: SparkSession,
+                                   silver: SilverSource = silver_df
+                                   ) -> DataFrame:
+    """dim_customers with the surrogate key assigned by the
+    SCALE-SAFE two-phase rule (operators/skew.scalable_row_number:
+    range-repartition on the unique natural order, local rank, exact
+    partition-count offsets) instead of the reference's global
+    unpartitioned window — byte-identical keys (hash-gated against
+    the SAME oracle as ``gold_dim_customers``), but the heavy shuffle
+    fans out over all reducers instead of funnelling the dimension
+    through one task (W2 scale hazard, SURVEY §4.3/§7)."""
+    from ..operators.skew import scalable_row_number
+
+    keyed = scalable_row_number(
+        _dim_customers_unkeyed(spark, silver),
+        order_col="customer_id", key_col="customer_key",
+    )
+    return keyed.select(
+        "customer_key", "customer_id", "customer_number", "first_name",
+        "last_name", "gender", "marital_status", "birthdate", "country",
+        "create_date",
     )
 
 

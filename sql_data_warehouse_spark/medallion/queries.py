@@ -221,6 +221,27 @@ for _v in _GOLD_SURVEY:
     )(_mkg(_v))
 
 
+@query(
+    "gold_dim_customers_scalable_sk",
+    oracle=gold_sql("dim_customers"),
+    survey="V1 J1 W2 P1 S5 ext-skew",
+    tags=("medallion", "gold", "skew"),
+)
+def gold_dim_customers_scalable_sk_q(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """dim_customers with the W2 surrogate key assigned by the
+    SCALE-SAFE two-phase generator (operators/skew.
+    scalable_row_number: deterministic driver-computed range buckets
+    → per-bucket rank on n reducers → exact cumulative offsets)
+    instead of the reference's global unpartitioned window — the
+    resolution of the W2 scale hazard (SURVEY §4.3/§7). Hash-gated
+    against the SAME DuckDB oracle as ``gold_dim_customers``: the
+    keys are byte-identical, only the shuffle shape changes."""
+    from .gold import gold_dim_customers_scalable_sk
+
+    return gold_dim_customers_scalable_sk(spark)
+
+
 # ------------------------------------------------------ S4 audit column
 #
 # Gate for the reference's DEFAULT-GETDATE() audit column

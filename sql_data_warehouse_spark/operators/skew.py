@@ -22,7 +22,7 @@ from a stable row attribute (hash of a secondary column), not rand().
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -53,3 +53,72 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return salted_big.join(exploded_small, [key, "__salt"]).drop("__salt")
+
+
+def scalable_row_number(df: DataFrame, order_col: str,
+                        key_col: str = "sk",
+                        n_parts: int | None = None) -> DataFrame:
+    """Global ROW_NUMBER over a UNIQUE, non-null, numeric
+    ``order_col`` without the single-partition shuffle — the
+    scale-safe surrogate-key generator (the reference's W2
+    ``ROW_NUMBER() OVER (ORDER BY ...)`` funnels the whole relation
+    through ONE reducer; fine at 100k rows, a wall at 100 TB).
+
+    Three phases, keys equal to the global window's bit-for-bit:
+
+    1. **Deterministic range boundaries**, computed ONCE driver-side
+       (``approxQuantile`` — one column-pruned stats pass) and inlined
+       as literals. This is what makes the two downstream consumers
+       agree: a ``repartitionByRange`` pid would be re-sampled per
+       exchange (measured: 608 duplicate keys from divergent
+       boundaries between the count branch and the rank branch).
+       Boundary PLACEMENT still doesn't matter for correctness — the
+       bucket rule is monotone in ``order_col``, so bucket i's rows
+       all precede bucket i+1's and a row's global rank is (rows in
+       earlier buckets) + (local rank) regardless of where the cuts
+       fall.
+    2. **Local rank per bucket**: one shuffle keyed by bucket — n
+       reducers each holding ~1/n of the data, never one reducer
+       holding all of it.
+    3. **Exact bucket counts** (map-side-combined aggregation over a
+       second column-pruned scan) cumulated by one tiny window over n
+       rows and broadcast back.
+
+    Requires ``order_col`` unique and non-null (a surrogate key needs
+    a unique natural ordering anyway); ties across a bucket boundary
+    would otherwise split a rank. Gated byte-identical to the global
+    window by ``gold_dim_customers_scalable_sk`` (same DuckDB oracle
+    as the reference-faithful form) and tests/test_operators.py."""
+    spark = df.sparkSession
+    n = n_parts or spark.sparkContext.defaultParallelism
+    cuts = sorted(set(
+        df.stat.approxQuantile(order_col, [i / n for i in range(1, n)],
+                               0.001)
+    ))
+    bounds = F.array(*[F.lit(float(c)) for c in cuts])
+    bucket = F.aggregate(
+        bounds,
+        F.lit(0),
+        lambda acc, b: acc + F.when(
+            b <= F.col(order_col).cast("double"), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    bucketed = df.withColumn("_b", bucket)
+    local = bucketed.withColumn(
+        "_lrank",
+        F.row_number().over(
+            Window.partitionBy("_b").orderBy(F.col(order_col).asc())
+        ),
+    )
+    counts = bucketed.groupBy("_b").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = Window.orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_b",
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "_b")
+        .withColumn(key_col, (F.col("_off") + F.col("_lrank")).cast("long"))
+        .drop("_b", "_lrank", "_off")
+    )

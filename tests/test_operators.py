@@ -491,3 +491,36 @@ def test_minhash_inrow_bands_equal_aggregate_form(spark):
     a = minhash_band_hashes(docs).orderBy("doc_id", "band_idx").collect()
     b = minhash_band_hashes_inrow(docs).orderBy("doc_id", "band_idx").collect()
     assert a == b
+
+
+def test_scalable_row_number_equals_global_window(spark):
+    """The two-phase surrogate-key generator (W2 scale hazard
+    resolution) must reproduce the global unpartitioned window's keys
+    bit-for-bit, regardless of input partitioning — boundary
+    placement shifts bucket membership, never global rank."""
+    from pyspark.sql import Window as W
+
+    from sql_data_warehouse_spark.operators.skew import (
+        scalable_row_number,
+    )
+
+    # non-contiguous, shuffled ids across several input partitions
+    ids = [i * 7 % 9973 for i in range(2000)]
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in ids], "id long, payload string"
+    )
+    want = {
+        r["id"]: r["sk"]
+        for r in base.select(
+            "id", F.row_number().over(W.orderBy("id")).cast("long")
+            .alias("sk")
+        ).collect()
+    }
+    for n_input in (1, 7):
+        got = {
+            r["id"]: r["sk"]
+            for r in scalable_row_number(
+                base.repartition(n_input), "id", n_parts=5
+            ).collect()
+        }
+        assert got == want
