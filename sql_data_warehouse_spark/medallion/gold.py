@@ -131,30 +131,83 @@ DIM_CUSTOMERS_BODY = """
 
 # -------------------------------------------------------- dim_products (V2)
 
+def _dim_products_unkeyed(spark: SparkSession,
+                          silver: SilverSource) -> DataFrame:
+    """The dim_products relation BEFORE surrogate-key assignment
+    (current rows only, category lookup joined) — shared by the
+    reference-faithful global-window form and the scale-safe
+    two-phase form. Carries the raw ``prd_start_dt``/``prd_key``
+    order columns alongside the renamed output columns."""
+    pr = silver(spark, "crm_prd_info").filter(F.col("prd_end_dt").isNull())
+    pcg = silver(spark, "erp_px_cat_g1v2")
+    return pr.join(F.broadcast(pcg), pr.cat_id == pcg.id, "left").select(
+        F.col("prd_start_dt"),
+        F.col("prd_key"),
+        F.col("prd_id").alias("product_id"),
+        F.col("prd_key").alias("product_number"),
+        F.col("prd_nm").alias("product_name"),
+        F.col("cat_id").alias("category_id"),
+        F.col("cat").alias("category"),
+        F.col("subcat").alias("subcategory"),
+        F.col("prd_cost").alias("cost"),
+        F.col("prd_line").alias("product_line"),
+        F.col("prd_start_dt").cast("timestamp").alias("start_date"),
+        F.col("maintenance"),
+    )
+
+
+_DIM_PRODUCTS_COLS = [
+    "product_key", "product_id", "product_number", "product_name",
+    "category_id", "category", "subcategory", "cost", "product_line",
+    "start_date", "maintenance",
+]
+
+
 def gold_dim_products(spark: SparkSession, silver: SilverSource = silver_df) -> DataFrame:
     """gold.dim_products (load_gold.sql:49-66): keep current rows
     (``prd_end_dt IS NULL``), broadcast-join the 36-row category
     lookup, surrogate key ordered by (start_date, product_number) —
-    unique because SCD end-dating leaves one current row per key."""
-    pr = silver(spark, "crm_prd_info").filter(F.col("prd_end_dt").isNull())
-    pcg = silver(spark, "erp_px_cat_g1v2")
+    unique because SCD end-dating leaves one current row per key.
+    The global composite-key window is reference-faithful (the W2
+    scale hazard, SURVEY §4.3); ``gold_dim_products_scalable_sk`` is
+    the 100 TB form, same keys."""
     w = Window.orderBy("prd_start_dt", "prd_key")
-    return (
-        pr.join(F.broadcast(pcg), pr.cat_id == pcg.id, "left")
-        .select(
-            F.row_number().over(w).cast("long").alias("product_key"),
-            F.col("prd_id").alias("product_id"),
-            F.col("prd_key").alias("product_number"),
-            F.col("prd_nm").alias("product_name"),
-            F.col("cat_id").alias("category_id"),
-            F.col("cat").alias("category"),
-            F.col("subcat").alias("subcategory"),
-            F.col("prd_cost").alias("cost"),
-            F.col("prd_line").alias("product_line"),
-            F.col("prd_start_dt").cast("timestamp").alias("start_date"),
-            F.col("maintenance"),
-        )
+    return _dim_products_unkeyed(spark, silver).select(
+        F.row_number().over(w).cast("long").alias("product_key"), "*"
+    ).select(*_DIM_PRODUCTS_COLS)
+
+
+def gold_dim_products_scalable_sk(spark: SparkSession,
+                                  silver: SilverSource = silver_df
+                                  ) -> DataFrame:
+    """dim_products with the surrogate key assigned by the SCALE-SAFE
+    two-phase rule over the COMPOSITE order key (VERDICT r6 ask #3 —
+    the reference's second W2 site, ``ROW_NUMBER() OVER (ORDER BY
+    prd_start_dt, prd_key)``, load_gold.sql:51, previously only had
+    the single-partition-window form).
+
+    Range buckets come from the leading key alone, mapped to a
+    number: epoch-day(prd_start_dt) — ``datediff`` is a strictly
+    monotone bijection on dates, so (epoch_day, prd_key) orders
+    identically to (prd_start_dt, prd_key). ``prd_key`` tie-breaks
+    INSIDE buckets only, which is sound because the bucket id is a
+    pure function of the epoch-day VALUE: rows sharing a start date
+    can never straddle a boundary wherever the quantile cuts fall
+    (proof in ``operators/skew.scalable_row_number``). Byte-identical
+    keys — hash-gated against the SAME oracle as
+    ``gold_dim_products`` — with the dimension fanned over all
+    reducers instead of one task."""
+    from ..operators.skew import scalable_row_number
+
+    unkeyed = _dim_products_unkeyed(spark, silver).withColumn(
+        "_ord_day",
+        F.datediff(F.col("prd_start_dt"), F.lit("1970-01-01")),
     )
+    keyed = scalable_row_number(
+        unkeyed, order_col="_ord_day", key_col="product_key",
+        tiebreakers=("prd_key",),
+    )
+    return keyed.select(*_DIM_PRODUCTS_COLS)
 
 
 DIM_PRODUCTS_BODY = """

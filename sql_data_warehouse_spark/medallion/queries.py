@@ -242,6 +242,29 @@ def gold_dim_customers_scalable_sk_q(spark: SparkSession,
     return gold_dim_customers_scalable_sk(spark)
 
 
+@query(
+    "gold_dim_products_scalable_sk",
+    oracle=gold_sql("dim_products"),
+    survey="V2 J2 W2 P4 S5 ext-skew",
+    tags=("medallion", "gold", "skew"),
+)
+def gold_dim_products_scalable_sk_q(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """dim_products with the COMPOSITE-key W2 surrogate key
+    (``ROW_NUMBER() OVER (ORDER BY prd_start_dt, prd_key)``,
+    reference load_gold.sql:51) assigned by the scale-safe two-phase
+    generator (VERDICT r6 ask #3): range buckets on
+    epoch-day(prd_start_dt) — ties on the bucket key cannot straddle
+    a boundary because the bucket id is a pure function of the value
+    — with ``prd_key`` tie-breaking inside buckets. Hash-gated
+    against the SAME DuckDB oracle as ``gold_dim_products``: keys
+    byte-identical, shuffle fanned over all reducers instead of one
+    global-window task."""
+    from .gold import gold_dim_products_scalable_sk
+
+    return gold_dim_products_scalable_sk(spark)
+
+
 # ------------------------------------------------------ S4 audit column
 #
 # Gate for the reference's DEFAULT-GETDATE() audit column

@@ -57,10 +57,11 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
 
 def scalable_row_number(df: DataFrame, order_col: str,
                         key_col: str = "sk",
-                        n_parts: int | None = None) -> DataFrame:
-    """Global ROW_NUMBER over a UNIQUE, non-null, numeric
-    ``order_col`` without the single-partition shuffle — the
-    scale-safe surrogate-key generator (the reference's W2
+                        n_parts: int | None = None,
+                        tiebreakers: tuple[str, ...] = ()) -> DataFrame:
+    """Global ROW_NUMBER over a non-null numeric ``order_col`` (plus
+    optional ``tiebreakers``) without the single-partition shuffle —
+    the scale-safe surrogate-key generator (the reference's W2
     ``ROW_NUMBER() OVER (ORDER BY ...)`` funnels the whole relation
     through ONE reducer; fine at 100k rows, a wall at 100 TB).
 
@@ -84,17 +85,37 @@ def scalable_row_number(df: DataFrame, order_col: str,
        second column-pruned scan) cumulated by one tiny window over n
        rows and broadcast back.
 
-    Requires ``order_col`` unique and non-null (a surrogate key needs
-    a unique natural ordering anyway); ties across a bucket boundary
-    would otherwise split a rank. Gated byte-identical to the global
-    window by ``gold_dim_customers_scalable_sk`` (same DuckDB oracle
-    as the reference-faithful form) and tests/test_operators.py."""
+    **Composite order keys** (the reference's second W2 site,
+    ``ROW_NUMBER() OVER (ORDER BY prd_start_dt, prd_key)``,
+    load_gold.sql:51): pass the remaining key columns as
+    ``tiebreakers``. Only ``order_col`` drives the range bucketing;
+    the local window orders by the FULL composite key. Ties in
+    ``order_col`` can never straddle a bucket boundary — the bucket
+    id is a pure function of the ``order_col`` VALUE (count of cuts
+    ≤ value), so two rows with equal ``order_col`` always land in the
+    same bucket no matter where ``approxQuantile`` placed the cuts,
+    and within that one bucket the local window applies the exact
+    composite order. Rows with distinct ``order_col`` sort correctly
+    across buckets because the bucket rule is monotone in
+    ``order_col``. Hence: global rank = (rows in earlier buckets) +
+    (composite local rank), for any boundary placement.
+
+    Requires (``order_col``, *tiebreakers*) unique and ``order_col``
+    non-null and numeric (a surrogate key needs a unique natural
+    ordering anyway). Gated byte-identical to the global window by
+    ``gold_dim_customers_scalable_sk`` / ``gold_dim_products_scalable_sk``
+    (same DuckDB oracles as the reference-faithful forms),
+    tests/test_operators.py, and the tie-stress property test in
+    tests/test_properties.py."""
     spark = df.sparkSession
     n = n_parts or spark.sparkContext.defaultParallelism
+    # n == 1 → no cuts (single bucket): approxQuantile rejects an
+    # empty probability list, and the one-bucket plan IS the global
+    # window, which is what a one-reducer request means.
     cuts = sorted(set(
         df.stat.approxQuantile(order_col, [i / n for i in range(1, n)],
                                0.001)
-    ))
+    )) if n > 1 else []
     bounds = F.array(*[F.lit(float(c)) for c in cuts])
     bucket = F.aggregate(
         bounds,
@@ -104,10 +125,13 @@ def scalable_row_number(df: DataFrame, order_col: str,
         ).otherwise(F.lit(0)),
     )
     bucketed = df.withColumn("_b", bucket)
+    order_keys = [F.col(order_col).asc()] + [
+        F.col(c).asc() for c in tiebreakers
+    ]
     local = bucketed.withColumn(
         "_lrank",
         F.row_number().over(
-            Window.partitionBy("_b").orderBy(F.col(order_col).asc())
+            Window.partitionBy("_b").orderBy(*order_keys)
         ),
     )
     counts = bucketed.groupBy("_b").agg(F.count(F.lit(1)).alias("_cnt"))

@@ -192,3 +192,51 @@ def test_quota_cap_two_phase_equals_naive(spark, rows, cap, n_salt):
                 F.col("rank").cast("long").alias("rank"))
     ).collect()))
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 6),          # bucket key: HEAVY ties
+                  st.integers(0, 500)),       # tiebreak key (deduped)
+        min_size=1, max_size=60,
+    ),
+    n_parts=st.integers(1, 8),
+)
+@_SETTLE
+def test_scalable_row_number_composite_equals_global_window(
+        spark, rows, n_parts):
+    """The composite-key two-phase surrogate key (W2, dim_products
+    form: range-bucket on the leading key, tie-break inside buckets)
+    must equal the global ``ROW_NUMBER() OVER (ORDER BY a, b)`` for
+    ANY corpus and bucket count — in particular when the leading key
+    is MASSIVELY tied (≤7 distinct values vs up to 8 range buckets),
+    the boundary-straddling-ties hazard the bucket rule must absorb:
+    equal leading keys always share a bucket because the bucket id is
+    a pure function of the value (VERDICT r6 ask #3)."""
+    from pyspark.sql import Window as W
+
+    from sql_data_warehouse_spark.operators.skew import (
+        scalable_row_number,
+    )
+
+    uniq = {}
+    for day, key in rows:
+        uniq[key] = day
+    data = [Row(day=d, key=f"k{k:04d}") for k, d in uniq.items()]
+    df = spark.createDataFrame(data, "day long, key string")
+    want = {
+        (r["day"], r["key"]): r["sk"]
+        for r in df.select(
+            "day", "key",
+            F.row_number().over(W.orderBy("day", "key")).cast("long")
+            .alias("sk"),
+        ).collect()
+    }
+    got = {
+        (r["day"], r["key"]): r["sk"]
+        for r in scalable_row_number(
+            df.repartition(3), "day", n_parts=n_parts,
+            tiebreakers=("key",),
+        ).collect()
+    }
+    assert got == want
