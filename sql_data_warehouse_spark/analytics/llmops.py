@@ -326,12 +326,24 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lsh_ann_topk",
     survey="ext-sim",
     tags=("llmops",),
-    oracle=None,  # bucketed ANN: approximate by design; rows-only gate
+    # HASH-GATED since r7 (VERDICT r6 ask #2): buckets and cosine are
+    # sequential folds (bit-identical cross-engine), and the builder's
+    # adaptive_band_bits resolves to the oracle's static
+    # SIM_LSH_BAND_BITS at every gate scale (n ≤ 2000 → 4 bits; the
+    # proven embedding_lsh_clusters pattern). The twin replays DISTINCT
+    # band collisions — set-equal to the first-collision rule.
+    oracle=similarity.lsh_index_topk_sql(k=10, query_filter="vec_id < 5"),
 )
 def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN — the scale path (scores only
-    bucket-mates). Approximate: gated rows-only; the exact twin
-    (ann_cosine_topk) is the hash-gated baseline."""
+    bucket-mates; the corpus never self-pairs outside shared
+    buckets). Exact twin: ann_cosine_topk (brute force). Bucket bits
+    adapt to the corpus (Σ bucket² stays linear); at the driver's
+    gate scale that resolves to the static oracle's width, so the
+    whole approximate pipeline — banding, candidate generation,
+    scoring, ranking — is hash-gated, not just row-counted. A frozen
+    builder constant was rejected: it would quadratically degrade
+    the sf≥1 bench while buying nothing at the gate scale."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -361,12 +373,19 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_near_dup_lsh",
     survey="ext-dedup",
     tags=("llmops",),
-    oracle=None,  # approximate by design (bucketed recall); rows-only
+    # HASH-GATED since r7 (VERDICT r6 ask #2) — same pattern as
+    # lsh_ann_topk above: seqfold buckets + seqfold verify cosine,
+    # adaptive bits == the oracle's static width at the gate scale.
+    oracle=similarity.near_dup_lsh_pairs_sql(threshold=0.35),
 )
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed near-dup pairs: Σ bucket² work instead of n² —
     band width adapts to the corpus so bucket sizes (and the
-    per-band self-join) stay bounded as n grows."""
+    per-band self-join) stay bounded as n grows. Candidates are
+    exact-cosine verified (precision 1.0; the recall floor vs the
+    exact twin is gated in tests/test_similarity_recall.py), and the
+    DuckDB twin replays banding + verification bit-for-bit at the
+    gate scale."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.embedding_near_dup_pairs_lsh(
         emb, threshold=0.35,
@@ -417,11 +436,15 @@ def lsh_index_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "semantic_dedup_clusters",
     survey="ext-dedup ext-semdedup ext-sim A2 J-self",
     tags=("llmops",),
-    oracle=None,  # learned cells from an iterative Lloyd fit — not
-    #               SQL-expressible; within-cell cluster correctness +
-    #               cell recall vs the exact ground truth are gated in
-    #               tests/test_similarity_recall.py, and the bounded
-    #               label-cell twin below keeps the hash gate
+    # HASH-GATED since r7 (VERDICT r6 ask #5): the learned Lloyd fit
+    # unrolls into chained CTE stages with the density-adaptive k
+    # computed IN SQL, then the recursive-CTE closure proven on
+    # dedup_clusters replays the label propagation (margins measured
+    # in kmeans.semantic_dedup_kmeans_sql's docstring). Cell recall
+    # vs exact ground truth stays gated in
+    # tests/test_similarity_recall.py.
+    oracle=kmeans.semantic_dedup_kmeans_sql(threshold=0.35,
+                                            target_cell=500, n_iter=2),
 )
 def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table with LEARNED density-
@@ -571,6 +594,15 @@ def _pq_shared(spark: SparkSession, sf_dir: str) -> tuple[list, DataFrame]:
     recall + determinism gates in tests/test_similarity_recall.py."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PQ_SHARED:
+        # Evict entries from other applications first (ADVICE r6 #3):
+        # a long-lived process that restarts Spark sessions would
+        # otherwise pin dead sessions' checkpointed DataFrames and
+        # codebooks forever. Entries for the CURRENT app (other
+        # sf_dirs) stay — that cross-query sharing is the cache's
+        # point.
+        app = spark.sparkContext.applicationId
+        for stale in [k for k in _PQ_SHARED if k[0] != app]:
+            del _PQ_SHARED[stale]
         emb = load_table(spark, sf_dir, "embeddings")
         books = pq.pq_fit(emb, m=16, k=16, n_iter=2)
         wide = pq.pq_encode(emb, books).localCheckpoint(eager=True)

@@ -304,6 +304,66 @@ def ivf_kmeans_topk(embeddings: DataFrame, queries: DataFrame,
     )
 
 
+def _kmeans_dist_sql(v: str, c: str) -> str:
+    """|c|^2 - 2 v.c: orders identically to |v-c|^2 (per-row |v|^2
+    dropped), the same ranking score as :func:`_sq_l2_sql`."""
+    from ..functions.vectors import dot_sql
+
+    return f"({dot_sql(c, c)} - 2.0 * {dot_sql(v, c)})"
+
+
+def _lloyd_chain_ctes(k_sql: str, n_iter: int) -> list[str]:
+    """The shared unrolled-Lloyd CTE chain: emb / dims / c0 (the
+    md5-ordered seed draw) and ``n_iter`` (a{j} assignment,
+    c{j+1} scaled-int64 mean) stage pairs — exactly ``kmeans_fit``'s
+    loop. ``k_sql`` is the cluster-count SQL: a literal int for the
+    fixed-k IVF oracle, or a scalar subquery (k = ceil(n/target) —
+    the SemDeDup density-adaptive rule) for data-sized cells; the
+    chain itself never needs k as a Python constant because every
+    stage joins the WHOLE c{j} relation."""
+    parts = [f"""
+        emb AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+        dims AS MATERIALIZED (
+          SELECT vec_id, unnest(embedding) AS x,
+                 unnest(range(1, len(embedding) + 1)) AS pos
+          FROM emb
+        ),
+        c0 AS MATERIALIZED (
+          SELECT cid, c FROM (
+            SELECT (ROW_NUMBER() OVER (
+                      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)) - 1
+                     AS cid,
+                   embedding AS c
+            FROM emb
+          ) WHERE cid < {k_sql}
+        )"""]
+    for j in range(n_iter):
+        parts.append(f"""
+        a{j} AS MATERIALIZED (
+          SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY {_kmeans_dist_sql("e.embedding", "c.c")} ASC,
+                              c.cid ASC) AS rn
+            FROM emb e CROSS JOIN c{j} c
+          ) WHERE rn = 1
+        ),
+        c{j + 1} AS MATERIALIZED (
+          SELECT p.cid, COALESCE(m.arr, p.c) AS c
+          FROM c{j} p LEFT JOIN (
+            SELECT cid, list(cc ORDER BY pos) AS arr FROM (
+              SELECT a.cid, d.pos,
+                     CAST(SUM(CAST(floor(CAST(d.x AS DOUBLE) * 1000000.0
+                                         + 0.5) AS BIGINT)) AS DOUBLE)
+                       / 1000000.0 / COUNT(*) AS cc
+              FROM a{j} a JOIN dims d USING (vec_id)
+              GROUP BY a.cid, d.pos
+            ) GROUP BY cid
+          ) m USING (cid)
+        )""")
+    return parts
+
+
 def ivf_kmeans_topk_sql(query_filter: str, k: int = 10, nprobe: int = 3,
                         n_clusters: int = 8, n_iter: int = 2) -> str:
     """DuckDB twin of ``kmeans_fit`` + :func:`ivf_kmeans_topk` — the
@@ -324,53 +384,10 @@ def ivf_kmeans_topk_sql(query_filter: str, k: int = 10, nprobe: int = 3,
     order on both sides), and the cosine scores replay the unrolled
     fixed fold bit-for-bit (``functions.vectors.cosine_sql`` — the
     pairing proven by the green ``ivf_ann_topk`` gate)."""
-    from ..functions.vectors import cosine_sql, dot_sql
+    from ..functions.vectors import cosine_sql
 
-    def dist(v: str, c: str) -> str:
-        # |c|^2 - 2 v.c: orders identically to |v-c|^2 (per-row |v|^2
-        # dropped), the same ranking score as _sq_l2_sql
-        return f"({dot_sql(c, c)} - 2.0 * {dot_sql(v, c)})"
-
-    parts = [f"""
-        emb AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
-        dims AS MATERIALIZED (
-          SELECT vec_id, unnest(embedding) AS x,
-                 unnest(range(1, len(embedding) + 1)) AS pos
-          FROM emb
-        ),
-        c0 AS MATERIALIZED (
-          SELECT cid, c FROM (
-            SELECT (ROW_NUMBER() OVER (
-                      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)) - 1
-                     AS cid,
-                   embedding AS c
-            FROM emb
-          ) WHERE cid < {n_clusters}
-        )"""]
-    for j in range(n_iter):
-        parts.append(f"""
-        a{j} AS MATERIALIZED (
-          SELECT vec_id, cid FROM (
-            SELECT e.vec_id, c.cid,
-                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                     ORDER BY {dist("e.embedding", "c.c")} ASC,
-                              c.cid ASC) AS rn
-            FROM emb e CROSS JOIN c{j} c
-          ) WHERE rn = 1
-        ),
-        c{j + 1} AS MATERIALIZED (
-          SELECT p.cid, COALESCE(m.arr, p.c) AS c
-          FROM c{j} p LEFT JOIN (
-            SELECT cid, list(cc ORDER BY pos) AS arr FROM (
-              SELECT a.cid, d.pos,
-                     CAST(SUM(CAST(floor(CAST(d.x AS DOUBLE) * 1000000.0
-                                         + 0.5) AS BIGINT)) AS DOUBLE)
-                       / 1000000.0 / COUNT(*) AS cc
-              FROM a{j} a JOIN dims d USING (vec_id)
-              GROUP BY a.cid, d.pos
-            ) GROUP BY cid
-          ) m USING (cid)
-        )""")
+    dist = _kmeans_dist_sql
+    parts = _lloyd_chain_ctes(str(n_clusters), n_iter)
     cn = f"c{n_iter}"
     parts.append(f"""
         q AS (SELECT vec_id AS query_id, embedding AS q_vec
@@ -409,4 +426,72 @@ def ivf_kmeans_topk_sql(query_filter: str, k: int = 10, nprobe: int = 3,
                     AS INTEGER) AS rank
           FROM scored
         ) WHERE rank <= {k}
+    """
+
+
+def semantic_dedup_kmeans_sql(threshold: float = 0.35,
+                              target_cell: int = 500,
+                              n_iter: int = 2) -> str:
+    """DuckDB twin of ``similarity.semantic_dedup_clusters_kmeans``
+    (VERDICT r6 ask #5): the SAME unrolled-Lloyd chain as
+    :func:`ivf_kmeans_topk_sql` — but with the DENSITY-ADAPTIVE cell
+    count ``k = max(1, ceil(n / target_cell))`` computed IN SQL (a
+    scalar subquery over the corpus; only the seed CTE needs k, every
+    Lloyd stage joins the whole centroid relation) — followed by the
+    recursive-CTE transitive-closure oracle already proven on
+    ``dedup_clusters`` / ``semantic_dedup_sql``: exact sequential
+    cosine within each learned cell, min-label closure over the edge
+    set, min-id keeper rule.
+
+    Cross-engine argument (the fixed-iteration gate pattern): cell
+    assignment is a DISCRETE argmin, stable whenever the
+    best-vs-second-best centroid margin exceeds the numpy-vs-SQL
+    fold divergence (~1e-14 relative) — measured at sf0.1 (n=2000,
+    k=4, the smallest corpus where k > 1): minimum final-assignment
+    margin 1.9e-5 on d2 values of magnitude ~1, nine orders above
+    float noise, and the WHOLE pipeline (fit → assign → verify →
+    closure) hash-matches this twin at sf0.1 (at the sf0.01 gate
+    scale k=1 and assignment is degenerate). Centroid means are
+    exact scaled-int64 decimals; the verify cosine and the closure
+    replay the sequential folds bit-for-bit (the pairing proven by
+    the green ``semantic_dedup_cells_exact`` gate)."""
+    from ..functions.vectors import cosine_sql
+
+    k_sql = (f"GREATEST(1, CAST(ceil((SELECT COUNT(*) FROM emb)"
+             f" / {float(target_cell)!r}) AS INT))")
+    parts = _lloyd_chain_ctes(k_sql, n_iter)
+    cn = f"c{n_iter}"
+    parts.append(f"""
+        af AS MATERIALIZED (
+          SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY {_kmeans_dist_sql("e.embedding", "c.c")} ASC,
+                              c.cid ASC) AS rn
+            FROM emb e CROSS JOIN {cn} c
+          ) WHERE rn = 1
+        ),
+        pairs AS MATERIALIZED (
+          SELECT a.vec_id AS src, b.vec_id AS dst
+          FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id
+          JOIN emb ea ON ea.vec_id = a.vec_id
+          JOIN emb eb ON eb.vec_id = b.vec_id
+          WHERE {cosine_sql("ea.embedding", "eb.embedding")} >= {threshold}
+        ),
+        edges AS (
+          SELECT src, dst FROM pairs
+          UNION ALL
+          SELECT dst, src FROM pairs
+        ),
+        reach(id, lab) AS (
+          SELECT vec_id, vec_id FROM emb
+          UNION
+          SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+        )""")
+    ctes = ",".join(parts)
+    return f"""
+        WITH RECURSIVE {ctes}
+        SELECT id AS vec_id, MIN(lab) AS cluster_id,
+               (id = MIN(lab)) AS is_kept
+        FROM reach GROUP BY id
     """

@@ -137,49 +137,6 @@ def _plane_coeffs(plane: int, dim: int) -> list[float]:
     ]
 
 
-def _bucket_array(vec_col: str, n_bands: int, band_bits: int,
-                  dim: int) -> Column:
-    """Array of all ``n_bands`` bucket ids for a vector — computed
-    once per vector (pre-explode) and carried whole so candidate
-    pairs can be deduplicated with the first-collision rule instead
-    of a score-then-groupBy.
-
-    Implemented as an Arrow-batched Pandas UDF doing ONE numpy
-    matmul (batch × dim) @ (dim × n_bands·band_bits) per Arrow
-    batch: dense linear algebra is the one hot path where neither
-    Catalyst shape works — an unrolled SQL sum (n_bands·band_bits·dim
-    ≈ thousands of terms) OOMs Janino's codegen under small driver
-    heaps, and a ``zip_with``/``aggregate`` fold is interpreted
-    per-element (~10× slower). The plane matrix is a plain literal
-    captured by value (cloudpickle), so workers need no imports
-    beyond numpy/pandas; sign-at-exactly-zero may differ from a
-    sequential fold (float sum order), which only matters for ties
-    that cannot occur with real-valued embeddings."""
-    planes = [
-        _plane_coeffs(p, dim) for p in range(n_bands * band_bits)
-    ]  # (n_planes, dim) literal — captured by value below
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import ArrayType, LongType
-
-    nb, bb = n_bands, band_bits
-
-    @pandas_udf(ArrayType(LongType()))
-    def _buckets(vecs: pd.Series) -> pd.Series:
-        import numpy as np
-        import pandas as _pd
-
-        if len(vecs) == 0:
-            return _pd.Series([], dtype=object)
-        P = np.asarray(planes, dtype=np.float64).T  # dim × planes
-        M = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
-        bits = (M @ P) > 0  # batch × (nb·bb), plane-major
-        weights = (1 << np.arange(bb, dtype=np.int64))
-        buckets = bits.reshape(len(M), nb, bb) @ weights  # batch × nb
-        return _pd.Series(list(buckets))
-
-    return _buckets(F.col(vec_col))
-
-
 def adaptive_band_bits(n_vectors: int,
                        target_bucket: int = 125) -> int:
     """Bits per band sized to the corpus: expected bucket size
@@ -206,12 +163,24 @@ def _banded(embeddings: DataFrame, id_col: str, vec_col: str,
     in a Project BELOW the Generate (two selects — a select mixing a
     generator with heavy expressions would re-evaluate them per
     exploded row), so each costs one fold per *vector*, not per
-    band or per pair."""
+    band or per pair.
+
+    Buckets come from the SEQUENTIAL ±fold
+    (:func:`_bucket_array_seqfold`, bit-identical to the unrolled
+    DuckDB sign bits) so every consumer of this relation is
+    hash-gatable. A one-matmul-per-batch variant (numpy summation
+    order, low-bit drift vs the SQL fold) was the original
+    rows-only path here; it was retired when ``lsh_ann_topk`` and
+    ``embedding_near_dup_lsh`` gained hash gates (VERDICT r6 ask #2)
+    — the fold still vectorizes across rows, the bucket step is a
+    minor cost next to pair scoring, and one bucket codepath means
+    the gate covers every LSH entry."""
     pre = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
         norm_fixed(vec_col, dim).alias("vnorm"),
-        _bucket_array(vec_col, n_bands, band_bits, dim).alias("buckets"),
+        _bucket_array_seqfold(vec_col, n_bands, band_bits, dim)
+        .alias("buckets"),
     )
     return pre.select(
         "vec_id", "vec", "vnorm", "buckets",
@@ -273,11 +242,8 @@ def lsh_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
         .select(
             "query_id",
             "vec_id",
-            _cosine_pre(
-                dot_fixed("q_vec", "vec", dim),
-                F.col("q_norm"),
-                F.col("vnorm"),
-            ).alias("cosine_sim"),
+            _cosine_seqfold("q_vec", "vec", "q_norm", "vnorm", dim)
+            .alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -524,11 +490,8 @@ def embedding_near_dup_pairs_lsh(embeddings: DataFrame,
         .select(
             "vec_id_a",
             "vec_id_b",
-            _cosine_pre(
-                dot_fixed("vec_a", "vec_b", dim),
-                F.col("norm_a"),
-                F.col("norm_b"),
-            ).alias("cosine_sim"),
+            _cosine_seqfold("vec_a", "vec_b", "norm_a", "norm_b", dim)
+            .alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -914,13 +877,14 @@ def _bucket_col_sql(vec_sql: str, band: int, band_bits: int,
 def _bucket_array_seqfold(vec_col: str, n_bands: int, band_bits: int,
                           dim: int) -> Column:
     """Arrow-batched bucket array that is BIT-IDENTICAL to the
-    unrolled-SQL sign bits (:func:`_sign_bit_sql`), unlike the
-    matmul path (:func:`_bucket_array`) whose summation order drifts
-    in the low bits: each hyperplane score is accumulated
+    unrolled-SQL sign bits (:func:`_sign_bit_sql`) — unlike a
+    one-matmul-per-batch fold (retired in r7) whose summation order
+    drifts in the low bits: each hyperplane score is accumulated
     left-to-right over the dimensions — numpy only vectorizes ACROSS
     rows, the adds stay sequential per vector, and the ±1 multiplies
     are IEEE-exact — so the DuckDB twin replays every bucket id
-    bit-for-bit and the hash gate holds. Replaces the one giant
+    bit-for-bit and the hash gate holds. Since r7 this is the ONLY
+    bucket codepath (every LSH entry hash-gates through it). Replaces the one giant
     n_bands·band_bits·dim-term projection, which overflowed janino's
     64 KB method limit and ran interpreted at ~5 ms/row (measured
     10.7 s for a 2000-row corpus, BASELINE.md round 4)."""
@@ -1020,9 +984,9 @@ def embedding_near_dup_lsh_clusters(embeddings: DataFrame,
     unrolled in-join cosine past the silent hugeMethodLimit fallback
     (~16-21 µs/pair); the Arrow folds do the same arithmetic at
     ~0.3 µs each (23.1 s → single digits at sf0.1, BASELINE.md r4).
-    The matmul-bucketed pair form (`embedding_near_dup_lsh`) remains
-    the maximum-throughput rows-only variant (summation-order drift,
-    no gate)."""
+    The pair form (`embedding_near_dup_lsh`) shares the same seqfold
+    band/verify path and is hash-gated since r7
+    (:func:`near_dup_lsh_pairs_sql`)."""
     from .dedup import connected_components
 
     pre = embeddings.select(
@@ -1125,6 +1089,40 @@ def lsh_clusters_sql(threshold: float = 0.35,
         )
         SELECT id AS vec_id, MIN(lab) AS cluster_id
         FROM reach GROUP BY id
+    """
+
+
+def near_dup_lsh_pairs_sql(threshold: float = 0.35,
+                           n_bands: int = SIM_LSH_BANDS,
+                           band_bits: int = SIM_LSH_BAND_BITS,
+                           dim: int = SIM_DIM) -> str:
+    """DuckDB twin of :func:`embedding_near_dup_pairs_lsh`: the same
+    per-band sequential sign-bit buckets, DISTINCT candidate pairs
+    (set-equal to the first-collision rule), the same sequential
+    cosine ≥ threshold verify. Emits (vec_id_a, vec_id_b, cosine_sim)
+    exactly once per surviving pair."""
+    band_rows = "\n          UNION ALL\n          ".join(
+        f"SELECT vec_id, embedding, {b} AS band,"
+        f" {_bucket_col_sql('embedding', b, band_bits, dim, base=1)} AS bucket"
+        f" FROM embeddings"
+        for b in range(n_bands)
+    )
+    return f"""
+        WITH bands AS MATERIALIZED (
+          {band_rows}
+        ),
+        cand AS MATERIALIZED (
+          SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket
+           AND a.vec_id < b.vec_id
+        )
+        SELECT c.vec_id_a, c.vec_id_b,
+               {cosine_sql("ea.embedding", "eb.embedding")} AS cosine_sim
+        FROM cand c
+        JOIN embeddings ea ON ea.vec_id = c.vec_id_a
+        JOIN embeddings eb ON eb.vec_id = c.vec_id_b
+        WHERE {cosine_sql("ea.embedding", "eb.embedding")} >= {threshold}
     """
 
 
