@@ -645,7 +645,15 @@ def maintained_near_dup_ingest(spark: SparkSession, src: str,
     collision to cross a micro-batch boundary, which only the
     index-update write path can catch). ``base_bands`` is the base
     corpus's (doc_id, band_idx, band_hash) relation — the registered
-    query passes the session-shared ``_base_band_index``."""
+    query passes the session-shared ``_base_band_index``.
+
+    Base membership travels IN the index as an ``is_base`` flag
+    column (ADVICE r6 #2): base rows are tagged at bootstrap,
+    appended batch rows are tagged false, so the canonical
+    attribution rule — collision with a BASE entry attributes to the
+    probing doc, delta-delta collision to the larger doc_id — holds
+    for ANY caller's base corpus, not just one whose base ids happen
+    to satisfy a hardcoded predicate."""
     import glob as _glob
 
     from ..sources.txn import TxnTable
@@ -654,7 +662,10 @@ def maintained_near_dup_ingest(spark: SparkSession, src: str,
     coll_dir = scratch_dir("wh_band_coll_")
     ckpt = scratch_dir("stream_idx_ckpt_")
     tbl = TxnTable(idx_root)
-    tbl.overwrite(base_bands.select("doc_id", "band_idx", "band_hash"))
+    tbl.overwrite(
+        base_bands.select("doc_id", "band_idx", "band_hash")
+        .withColumn("is_base", F.lit(True))
+    )
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         bands = (
@@ -673,8 +684,9 @@ def maintained_near_dup_ingest(spark: SparkSession, src: str,
                 & (F.col("a.band_hash") == F.col("b.band_hash")),
             )
             .select(
-                F.when(F.col("b.doc_id") % 5 != 0, F.col("a.doc_id"))
-                .otherwise(F.greatest(F.col("a.doc_id"), F.col("b.doc_id")))
+                F.when(~F.col("b.is_base"),
+                       F.greatest(F.col("a.doc_id"), F.col("b.doc_id")))
+                .otherwise(F.col("a.doc_id"))
                 .alias("doc_id"),
                 F.col("a.band_idx").alias("band_idx"),
             )
@@ -694,7 +706,8 @@ def maintained_near_dup_ingest(spark: SparkSession, src: str,
         )
         out = probe.unionByName(intra).distinct()
         out.write.mode("append").parquet(coll_dir)
-        tbl.append(bands)  # the index-update write path
+        # the index-update write path: ingested docs are delta rows
+        tbl.append(bands.withColumn("is_base", F.lit(False)))
 
     try:
         q = (

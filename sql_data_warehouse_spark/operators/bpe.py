@@ -424,9 +424,24 @@ def _bpe_chain_ctes(n_merges: int, max_vocab: int) -> str:
           SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS sn FROM p{i}
         )""")
         if i < n_merges:
+            # top{i} is TOTAL (ADVICE r6 #1): if the vocabulary
+            # exhausts before n_merges, p{i} is empty and a bare
+            # LIMIT-1 top would collapse every later v stage through
+            # the cross join. The sentinel row (n = -1, so it never
+            # outranks a real pair) keeps the chain alive; its
+            # replace() is a guaranteed no-op because an empty p{i}
+            # means NO word in head has two adjacent symbols left, so
+            # no chr(2)..chr(3)-delimited pair of any spelling exists
+            # in any s. The train twin drops sentinel merges via
+            # `WHERE sum{i}.sn > 0` (no pairs => no merge emitted),
+            # matching the Spark loop's `if not counts: break`.
             parts.append(f"""
         top{i} AS (
-          SELECT l, r FROM p{i} ORDER BY n DESC, l ASC, r ASC LIMIT 1
+          SELECT l, r FROM (
+            SELECT l, r, n FROM p{i}
+            UNION ALL
+            SELECT chr(1), chr(1), CAST(-1 AS BIGINT)
+          ) ORDER BY n DESC, l ASC, r ASC LIMIT 1
         ),
         v{i + 1} AS MATERIALIZED (
           SELECT w, cnt, in_head,
@@ -446,7 +461,8 @@ def bpe_train_capped_sql(n_merges: int = 24,
         f"""          SELECT CAST({i} AS INTEGER) AS merge_idx,
                  t.l AS "left", t.r AS "right", t.l || t.r AS merged,
                  CAST(s{i}.sn - s{i + 1}.sn AS BIGINT) AS pair_count
-          FROM top{i} t, sum{i} s{i}, sum{i + 1} s{i + 1}"""
+          FROM top{i} t, sum{i} s{i}, sum{i + 1} s{i + 1}
+          WHERE s{i}.sn > 0"""
         for i in range(n_merges)
     )
     return f"""

@@ -442,6 +442,52 @@ def test_bpe_identity_on_self_overlapping_runs(spark):
     assert enc[0] == init_symbols - shed, (enc[0], init_symbols, shed)
 
 
+def test_bpe_oracle_survives_vocab_exhaustion(spark):
+    """ADVICE r6 #1: a corpus whose vocabulary exhausts before
+    n_merges (every in-head word fused to one symbol) must give the
+    unrolled DuckDB chain the same SHORTER merge table and the real
+    final token totals — the sentinel ``top{i}`` keeps later ``v``
+    stages alive instead of collapsing them to empty relations, and
+    ``WHERE sum{i}.sn > 0`` drops sentinel merges exactly where the
+    Spark loop breaks on ``not counts``."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import Row
+
+    from sql_data_warehouse_spark.operators.bpe import (
+        bpe_encode_stats, bpe_train_capped, bpe_train_capped_sql,
+        bpe_encode_stats_sql,
+    )
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2],
+        "lang": ["en", "en"],
+        "text": ["ab ab a", "ab b"],
+    })
+    docs = spark.createDataFrame([Row(**r) for r in pdf.to_dict("records")])
+    n_merges = 8  # corpus supports only 3 merges
+
+    got = [tuple(r) for r in bpe_train_capped(
+        docs, n_merges=n_merges).collect()]
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = sorted(
+        tuple(r) for r in con.sql(
+            bpe_train_capped_sql(n_merges=n_merges)).fetchall()
+    )
+    assert got == want and 0 < len(got) < n_merges, (got, want)
+
+    merges = [(left, right) for _, left, right, _, _ in got]
+    enc = sorted(
+        tuple(r) for r in bpe_encode_stats(docs, merges).collect()
+    )
+    enc_sql = sorted(
+        tuple(r) for r in con.sql(
+            bpe_encode_stats_sql(n_merges=n_merges)).fetchall()
+    )
+    assert enc == enc_sql and enc[0][2] > 0, (enc, enc_sql)
+
+
 def test_cc_distributed_loop_matches_driver_finish(spark):
     """The hybrid CC's two paths must agree exactly: force the same
     edge set through the distributed pointer-doubling loop and the
