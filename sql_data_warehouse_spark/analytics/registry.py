@@ -164,32 +164,77 @@ def coverfill(checked: frozenset[str]) -> frozenset[str]:
 # tests/test_registry_cover.py::test_spotlight_names_resolve, so a
 # ghost (announced-but-unshipped) entry can never ship again.
 _SPOTLIGHT = frozenset({
-    # Round-6 registrations debut here.
-    "stream_ingest_near_dup_maintained",
-    "ivf_ann_topk_int8",
-    "gold_dim_customers_scalable_sk",
+    # Round-7 registrations and gate upgrades debut here.
+    "gold_dim_products_scalable_sk",     # NEW: composite-key scalable SK
+    # rows-only -> hash-gated this round (VERDICT r6 asks #2/#5): the
+    # new gates must face the driver's DuckDB in the same round they
+    # ship (semantic_dedup_clusters has an OLD green row for retired
+    # label-cell semantics, so the oracle-retrofit freshness rule
+    # alone would not re-window it — spotlight outranks checked).
+    "lsh_ann_topk",
+    "embedding_near_dup_lsh",
+    "semantic_dedup_clusters",
+    # r5/r6 oracle retrofits the driver has never hash-verified
+    # (ADVICE r6 #4 — their only history rows are err=no_oracle).
+    "bpe_train_merges",
+    "bpe_encode_stats",
+    "pq_ann_topk_distfit",
+    "ivf_kmeans_ann_topk",
+    # VERDICT r6 ask #1 priority names from the never-checked pool.
+    "dedup_pipeline_keep_best",
+    "gopher_repetition",
+    "winnow_near_dup_pairs",
+    "token_budget_pack",
 })
 
 
 def _driver_history() -> tuple[int, frozenset[str]]:
-    """(current round number, names with a driver CORRECTNESS row in
-    any past round) — both derived from the committed
-    ``CORRECTNESS_r*.json`` files at the repo root, so the rotation
-    below is deterministic for a given checkout: every process the
-    driver spawns this round computes the same window."""
+    """(current round number, names the driver has EFFECTIVELY
+    checked) — derived from the committed ``CORRECTNESS_r*.json``
+    files at the repo root, so the rotation below is deterministic
+    for a given checkout: every process the driver spawns this round
+    computes the same window.
+
+    "Effectively checked" (ADVICE r6 #4): a name whose every recorded
+    row is ``err == "no_oracle"`` while the registry NOW carries an
+    oracle has never faced the hash gate — its oracle was retrofitted
+    after the rows were recorded — so it counts as fresh and re-enters
+    the rotation's hard-signal tier. Rows-only entries (oracle still
+    None) keep counting as checked: a rows-only row is the strongest
+    signal they can ever get. Callers must have imported the query
+    modules first (``all_queries`` does)."""
     import json
     from pathlib import Path
 
     root = Path(__file__).resolve().parents[2]
-    checked: set[str] = set()
+    errs: dict[str, list[str | None]] = {}
     n = 0
     for p in sorted(root.glob("CORRECTNESS_r*.json")):
         try:
-            checked.update(json.loads(p.read_text()))
-            n += 1
+            data = json.loads(p.read_text())
         except (OSError, ValueError):
             continue
+        n += 1
+        for name, rec in data.items():
+            errs.setdefault(name, []).append(
+                rec.get("err") if isinstance(rec, dict) else None
+            )
+    checked: set[str] = set()
+    for name, es in errs.items():
+        q = _REGISTRY.get(name)
+        if (q is not None and q.oracle is not None
+                and all(e == "no_oracle" for e in es)):
+            continue  # oracle retrofitted after every recorded row
+        checked.add(name)
     return n + 1, frozenset(checked)
+
+
+def driver_checked() -> frozenset[str]:
+    """Public view of the effective driver-checked set (imports the
+    query modules first so the oracle-retrofit rule can consult the
+    registry) — tests mirror the real window through this."""
+    _import_query_modules()
+    return _driver_history()[1]
 
 
 def _run_priority_key(names_checked: frozenset[str], rnd: int,
@@ -206,7 +251,15 @@ def _run_priority_key(names_checked: frozenset[str], rnd: int,
     #3: a scarce slot should buy a hash row, not a rows-only row),
     within each group shuffled by md5(name | round) so the ~25 free
     slots cycle fresh queries through the hard-signal gate each
-    round. A driver that sorts independently is unaffected."""
+    round. A driver that sorts independently is unaffected.
+
+    Spotlight outranks the checked test (not just the fresh
+    sub-tiers): a name whose GATE changed this round can carry an
+    old green row for retired semantics (semantic_dedup_clusters'
+    r3 label-cell row), and its new oracle still must face the
+    driver in the round it ships. The set is refreshed every round
+    and ghost-gated by tests/test_registry_cover.py, so a stale
+    entry cannot hog a slot across rounds."""
     import hashlib
 
     def key(item: tuple[str, Query]) -> tuple[int, int, str]:
@@ -215,10 +268,10 @@ def _run_priority_key(names_checked: frozenset[str], rnd: int,
             return (0, 0, name)
         if name in fill:
             return (1, 0, name)  # guaranteed slot even when not fresh
-        if name not in names_checked:
-            if name in _SPOTLIGHT:
-                fresh = 0  # debuts: guaranteed slot
-            elif q.oracle is not None:
+        if name in _SPOTLIGHT:
+            fresh = 0  # debuts & regated gates: guaranteed slot
+        elif name not in names_checked:
+            if q.oracle is not None:
                 fresh = 1  # fresh, hash-gateable
             else:
                 fresh = 2  # fresh, rows-only: last among fresh

@@ -30,6 +30,7 @@ from sql_data_warehouse_spark.analytics.registry import (
     all_queries,
     core_ids,
     coverfill,
+    driver_checked,
     ordered_names,
 )
 
@@ -38,11 +39,19 @@ ROOT = Path(__file__).resolve().parents[1]
 WINDOW = 50  # driver truncation (CORRECTNESS_r01..r05 each hold 50 rows)
 
 
-def _checked() -> frozenset[str]:
+def _raw_checked() -> frozenset[str]:
+    """Names with ANY recorded driver row (including err=no_oracle
+    rows that predate a retrofitted oracle) — only the pinned-set
+    provenance test wants this; freshness logic mirrors the real
+    window through :func:`driver_checked` (ADVICE r6 #4)."""
     names: set[str] = set()
     for p in sorted(ROOT.glob("CORRECTNESS_r*.json")):
         names.update(json.loads(p.read_text()).keys())
     return frozenset(names)
+
+
+def _checked() -> frozenset[str]:
+    return driver_checked()
 
 
 @pytest.fixture(scope="module")
@@ -54,7 +63,7 @@ def test_pinned_is_minimal_25(registry):
     assert len(_PINNED) == 25
     assert _PINNED <= set(registry)
     # every pinned query is proven: it has had a green driver row
-    assert _PINNED <= _checked()
+    assert _PINNED <= _raw_checked()
 
 
 def test_spotlight_names_resolve(registry):
@@ -119,14 +128,19 @@ def test_cover_survives_simulated_future_rounds(registry):
 
 
 def test_window_has_first_ever_names(registry):
-    """>=min(25, remaining-fresh) first-ever names per round (the
-    supply of never-checked queries is finite; once it drains the
-    quota is everything that remains — r5 ADVICE low #4)."""
+    """Every non-pinned window slot buys a first-time hash row for
+    the CURRENT gate: >= min(25, remaining-fresh) effectively-fresh
+    names per round (never checked, or checked only before their
+    oracle existed — ADVICE r6 #4), minus only spotlight entries
+    whose gate changed this round (they carry an old green row for
+    retired semantics but still must face the driver — the
+    semantic_dedup_clusters case)."""
     checked = _checked()
     remaining_fresh = [n for n in registry if n not in checked]
     window = list(registry)[:WINDOW]
     fresh = [n for n in window if n not in checked]
-    quota = min(25, len(remaining_fresh))
+    regated = [n for n in window if n in _SPOTLIGHT and n in checked]
+    quota = min(25 - len(regated), len(remaining_fresh))
     assert len(fresh) >= quota, f"only {len(fresh)} fresh names in window"
     # the window itself still covers every core id
     got: set[str] = set()
@@ -136,11 +150,12 @@ def test_window_has_first_ever_names(registry):
 
 
 def test_spotlight_and_coverfill_inside_window(registry):
+    """Spotlight now outranks the checked test outright (a regated
+    name with an old green row still debuts its NEW gate), so every
+    spotlight name must sit inside the window."""
     checked = _checked()
     window = set(list(registry)[:WINDOW])
-    expected = coverfill(checked) | {
-        n for n in _SPOTLIGHT if n not in checked
-    }
+    expected = coverfill(checked) | set(_SPOTLIGHT)
     missing = expected - window
     assert not missing, f"debuts outside the driver window: {sorted(missing)}"
 
