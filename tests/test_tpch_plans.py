@@ -190,3 +190,36 @@ def test_ivf_int8_corpus_never_shuffle_joins(spark):
     plan = _plan(similarity.ivf_int8_topk(emb, queries, k=10, nprobe=2))
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") == 1
+
+
+def test_scalable_sk_windows_stay_bucketed(spark):
+    """The W2 scale contract for BOTH scalable surrogate-key forms:
+    every window in the plan partitions by the range bucket (the
+    dimension never funnels through one unpartitioned window task),
+    and the offsets relation joins back by broadcast. The global
+    cumulative-offset window runs over n_buckets rows, but Spark
+    still plans it as a Window node — it must be the ONLY
+    unpartitioned one and its input is the tiny per-bucket count
+    aggregate, which the plan shows as the AdaptiveSparkPlan child of
+    the offsets branch."""
+    from sql_data_warehouse_spark.medallion.gold import (
+        gold_dim_customers_scalable_sk,
+        gold_dim_products_scalable_sk,
+    )
+
+    for df in (gold_dim_customers_scalable_sk(spark),
+               gold_dim_products_scalable_sk(spark)):
+        plan = _plan(df)
+        w_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+        # a Window node prints `[funcs], [partition], [order]`;
+        # an UNPARTITIONED one drops the middle group
+        unpart = [ln for ln in w_lines if len(ln.split("], [")) == 2]
+        assert len(unpart) <= 1, unpart
+        # ...and the one allowed unpartitioned window is the
+        # n_buckets-row offset cumsum (ordered by the bucket id),
+        # never a window over dimension rows
+        assert all("_b#" in ln for ln in unpart), unpart
+        # the corpus-sized local rank runs partitioned by the bucket
+        assert any("windowspecdefinition(_b#" in ln for ln in w_lines
+                   if len(ln.split("], [")) == 3), w_lines
+        assert "BroadcastHashJoin" in plan
