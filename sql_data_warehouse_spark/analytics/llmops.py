@@ -385,7 +385,15 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-cosine verified (precision 1.0; the recall floor vs the
     exact twin is gated in tests/test_similarity_recall.py), and the
     DuckDB twin replays banding + verification bit-for-bit at the
-    gate scale."""
+    gate scale.
+
+    Scale caveat (measured, BASELINE.md r7 spot table): PAIR
+    ENUMERATION is intrinsically output-bound — at high duplication
+    multiplicity the true pair count itself grows with multiplicity²
+    (the sf10 ×100-replica corpus emits ~10M verified pairs), so this
+    form is the bounded verifier/reporting query; corpus-scale dedup
+    consumes cluster MEMBERSHIP instead (embedding_lsh_clusters /
+    semantic_dedup_clusters — linear output, one row per vector)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.embedding_near_dup_pairs_lsh(
         emb, threshold=0.35,
