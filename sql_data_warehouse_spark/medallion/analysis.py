@@ -484,6 +484,36 @@ def wh_q06_top5_products_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "wh_q06_top5_products_dense_rank",
+    survey="Q06 W3 O3",
+    oracle=f"""
+        {_W} SELECT * FROM (
+            SELECT product_name, total_revenue,
+                   CAST(DENSE_RANK() OVER (ORDER BY total_revenue DESC)
+                        AS BIGINT) AS dense_rank_products
+            FROM ({_PRODUCT_REVENUE_SQL})
+        ) WHERE dense_rank_products <= 5
+    """,
+)
+def wh_q06_top5_products_dense_rank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """06_ranking_analysis.sql:10 names DENSE_RANK in the script's
+    technique header but the body never calls it — this twin closes
+    that gap with the gapless-rank semantics the header advertises:
+    under ties DENSE_RANK keeps admitting distinct revenue levels
+    until 5 LEVELS (not 5 rows) are in, so it can return more rows
+    than the RANK form. Same single-pass plan shape as
+    wh_q06_top5_products_rank: one agg, one window, filter."""
+    w = Window.orderBy(F.desc("total_revenue"))
+    return (
+        _product_revenue(spark)
+        .withColumn("dense_rank_products", F.dense_rank().over(w).cast("long"))
+        .filter(F.col("dense_rank_products") <= 5)
+    )
+
+
+@query(
     "wh_q06_worst5_products",
     survey="Q06 O2",
     oracle=f"""
