@@ -143,6 +143,26 @@ def main() -> None:
 
         _landing_zone(spark, sf_dir)
 
+    # Session-shared index artifacts (round 7): the PQ codebook+code
+    # table and the base LSH band relation are built once per session
+    # and reused by every consumer query. Timed as explicit setup
+    # entries for the same reason as the medallion cache — AND so the
+    # retry-on-spike policy can never strip a real one-time build from
+    # whichever consumer the rotation happens to order first (a
+    # retried first-consumer re-runs warm, and min() would otherwise
+    # erase the build cost from the suite total).
+    def build_pq_index() -> None:
+        from sql_data_warehouse_spark.analytics.llmops import _pq_shared
+
+        _pq_shared(spark, sf_dir)
+
+    def build_band_index() -> None:
+        from sql_data_warehouse_spark.analytics.streaming_live import (
+            _base_band_index,
+        )
+
+        _base_band_index(spark, sf_dir)
+
     # Durability gates whose wall-clock is subprocess JVM startup, not
     # engine work, are excluded from the throughput bench; they remain
     # in queries()/oracle_sql(), so the driver's CORRECTNESS gate still
@@ -170,6 +190,13 @@ def main() -> None:
         timed("_medallion_cache_build", build_medallion_cache)
     if not only or any(n.startswith("stream_") for n in queries):
         timed("_stream_landing_zone", build_landing_zone)
+    if not only or any(n.startswith("pq_ann_") for n in queries):
+        timed("_pq_index_build", build_pq_index)
+    if not only or any(
+        n in ("stream_ingest_near_dup_bands",
+              "stream_ingest_near_dup_maintained") for n in queries
+    ):
+        timed("_lsh_band_index_build", build_band_index)
 
     for name, q in queries.items():
         df_builder = q.builder
