@@ -223,3 +223,27 @@ def test_scalable_sk_windows_stay_bucketed(spark):
         assert any("windowspecdefinition(_b#" in ln for ln in w_lines
                    if len(ln.split("], [")) == 3), w_lines
         assert "BroadcastHashJoin" in plan
+
+
+def test_q06_rank_twins_rank_window_over_aggregate(spark):
+    """Both Q06 window-rank forms (RANK and the round-7 DENSE_RANK
+    twin) must plan exactly ONE ranking window, and it must rank the
+    AGGREGATED total_revenue column (the 295-row product-revenue
+    relation — dim-sized by design), never a raw fact column. The
+    other Window nodes in the plan are the medallion ETL's own
+    (dedup/end-dating/surrogate keys), already gated elsewhere. No
+    join may degrade to a nested loop."""
+    from sql_data_warehouse_spark.medallion import analysis
+
+    for builder, func in (
+        (analysis.wh_q06_top5_products_rank, "[rank(total_revenue"),
+        (analysis.wh_q06_top5_products_dense_rank,
+         "[dense_rank(total_revenue"),
+    ):
+        plan = _plan(builder(spark, SF_SMOKE))
+        rank_lines = [
+            ln for ln in plan.splitlines()
+            if "Window [" in ln and func in ln
+        ]
+        assert len(rank_lines) == 1, (func, plan)
+        assert "BroadcastNestedLoopJoin" not in plan
