@@ -665,3 +665,88 @@ def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ------------------------------------------------- bucketed co-located join
+
+def _bucketed_marts(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Session-shared bucketed fact layout (orders + lineitem, both
+    hash-bucketed 8 ways on the order key, one sorted file per
+    bucket): the storage-layout strategy for repeated big-fact joins
+    at 100 TB — both sides land co-partitioned on disk, so every
+    subsequent join/aggregation on the key reads bucket i against
+    bucket i with NO shuffle exchange. Built once per (session,
+    sf_dir) like ``llmops._pq_shared``; in production this IS the
+    warehouse table layout (``bucketBy`` on the canonical join key at
+    ingest), not a per-query step. The ``repartition(8, key)`` before
+    the write yields exactly one file per bucket, which lets Spark
+    also elide the per-bucket sort on the scan side."""
+    cache = getattr(spark, "_wh_bucketed_marts", None)
+    if cache is None:
+        cache = {}
+        spark._wh_bucketed_marts = cache
+    if sf_dir not in cache:
+        import hashlib
+
+        from .. import tmputil
+
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        base = tmputil.scratch_dir("wh_bucketed_")
+        names = []
+        for table, key in (("orders", "o_orderkey"),
+                           ("lineitem", "l_orderkey")):
+            name = f"wh_{table}_bucketed_{tag}"
+            (
+                load_table(spark, sf_dir, table)
+                .repartition(8, F.col(key))
+                .write.format("parquet")
+                .bucketBy(8, key)
+                .sortBy(key)
+                .option("path", f"{base}/{table}")
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+            names.append(name)
+        cache[sf_dir] = (names[0], names[1])
+    return cache[sf_dir]
+
+
+@query(
+    "bucketed_colocated_join",
+    survey="ext-bucketing ext-layout J3 A2 O1",
+    oracle=f"""
+        SELECT o.o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               {MONEY_SUM_SQL.format(
+                   expr="l.l_extendedprice * (1.0 - l.l_discount)")}
+                   AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+    """,
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join over the bucketed layout (``_bucketed_marts``):
+    lineitem joins orders bucket-to-bucket with ZERO shuffle exchange
+    on the join key — the plan gate
+    (tests/test_tpch_plans.py::test_bucketed_join_is_exchange_free)
+    asserts no ``Exchange hashpartitioning`` feeds the join and both
+    scans read ``Bucketed: true``. The ``merge`` hint pins the
+    sort-merge strategy the layout exists for: at 100 TB neither fact
+    side broadcasts, and without bucketing this join shuffles BOTH
+    corpora every run. The only exchange left is the 5-group
+    post-join priority rollup."""
+    onm, lnm = _bucketed_marts(spark, sf_dir)
+    o = spark.table(onm)
+    li = spark.table(lnm)
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            money_sum(revenue).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -247,3 +247,18 @@ def test_q06_rank_twins_rank_window_over_aggregate(spark):
         ]
         assert len(rank_lines) == 1, (func, plan)
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_join_is_exchange_free(spark):
+    """The bucketed-layout scale contract: both fact scans read the
+    bucketed files (Bucketed: true), the fact-fact join is sort-merge
+    with NO shuffle exchange on the join key, and the only exchange
+    in the whole plan is the 5-group post-join priority rollup."""
+    from sql_data_warehouse_spark.analytics import extended
+
+    plan = _plan(extended.bucketed_colocated_join(spark, SF_SMOKE))
+    assert plan.count("Bucketed: true") == 2, plan
+    assert "SortMergeJoin" in plan
+    ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(ex) == 1 and "o_orderpriority" in ex[0], ex
+    assert "orderkey" not in ex[0]
