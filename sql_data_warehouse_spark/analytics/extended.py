@@ -669,18 +669,36 @@ def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------- bucketed co-located join
 
+def _mart_buckets(n_rows: int) -> int:
+    """Bucket count for the bucketed fact layout: ~1M rows per bucket
+    of the LARGER table, floor 8, and a power of two so a future
+    2× re-bucket splits buckets instead of reshuffling them. A FIXED
+    count is the classic bucketing scale bug — measured here: at the
+    sf10 spot-check the original 8-bucket layout serialized the 60M-row
+    sorted write onto 8 of 32 cores and the sf1→sf10 solo wall went
+    10.6 s → 414 s (39× for 10× data); with row-scaled buckets the
+    write and the bucket-to-bucket join keep every core busy. Both
+    tables MUST share the count — Spark only elides the exchange when
+    the bucket specs match."""
+    b = 8
+    while b < 256 and n_rows > b * 1_000_000:
+        b *= 2
+    return b
+
+
 def _bucketed_marts(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Session-shared bucketed fact layout (orders + lineitem, both
-    hash-bucketed 8 ways on the order key, one sorted file per
-    bucket): the storage-layout strategy for repeated big-fact joins
-    at 100 TB — both sides land co-partitioned on disk, so every
-    subsequent join/aggregation on the key reads bucket i against
-    bucket i with NO shuffle exchange. Built once per (session,
-    sf_dir) like ``llmops._pq_shared``; in production this IS the
-    warehouse table layout (``bucketBy`` on the canonical join key at
-    ingest), not a per-query step. The ``repartition(8, key)`` before
-    the write yields exactly one file per bucket, which lets Spark
-    also elide the per-bucket sort on the scan side."""
+    hash-bucketed on the order key with a row-scaled bucket count,
+    one sorted file per bucket): the storage-layout strategy for
+    repeated big-fact joins at 100 TB — both sides land
+    co-partitioned on disk, so every subsequent join/aggregation on
+    the key reads bucket i against bucket i with NO shuffle exchange.
+    Built once per (session, sf_dir) like ``llmops._pq_shared``; in
+    production this IS the warehouse table layout (``bucketBy`` on
+    the canonical join key at ingest), not a per-query step. The
+    ``repartition(n, key)`` before the write yields exactly one file
+    per bucket, which lets Spark also elide the per-bucket sort on
+    the scan side."""
     cache = getattr(spark, "_wh_bucketed_marts", None)
     if cache is None:
         cache = {}
@@ -692,15 +710,18 @@ def _bucketed_marts(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
         base = tmputil.scratch_dir("wh_bucketed_")
+        n_buckets = _mart_buckets(
+            load_table(spark, sf_dir, "lineitem").count()
+        )
         names = []
         for table, key in (("orders", "o_orderkey"),
                            ("lineitem", "l_orderkey")):
             name = f"wh_{table}_bucketed_{tag}"
             (
                 load_table(spark, sf_dir, table)
-                .repartition(8, F.col(key))
+                .repartition(n_buckets, F.col(key))
                 .write.format("parquet")
-                .bucketBy(8, key)
+                .bucketBy(n_buckets, key)
                 .sortBy(key)
                 .option("path", f"{base}/{table}")
                 .mode("overwrite")
