@@ -771,3 +771,47 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "bucket_pruned_lookup",
+    survey="ext-bucketing ext-layout ext-pruning J3 A3 P7",
+    oracle=f"""
+        SELECT o.o_orderkey, o.o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               {MONEY_SUM_SQL.format(
+                   expr="l.l_extendedprice * (1.0 - l.l_discount)")}
+                   AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IN (1, 2, 3)
+        GROUP BY o.o_orderkey, o.o_orderpriority
+        ORDER BY o.o_orderkey
+    """,
+)
+def bucket_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup over the bucketed layout (``_bucketed_marts``):
+    an equality/IN filter on the bucket key lets Spark open ONLY the
+    buckets those keys hash to — the scan prints
+    ``SelectedBucketsCount: k (out of n)`` and every other bucket
+    file is never read (gated in tests/test_tpch_plans.py::
+    test_bucket_pruned_lookup_reads_one_bucket). This is the
+    second payoff of authoring the layout once at ingest: the same
+    files that make the fact-fact join exchange-free make key
+    lookups O(corpus/n_buckets) I/O — at 100 TB with thousands of
+    buckets, an order-detail fetch reads gigabytes, not the corpus.
+    Shares the session-shared marts with ``bucketed_colocated_join``
+    (no extra build)."""
+    onm, lnm = _bucketed_marts(spark, sf_dir)
+    o = spark.table(onm).filter(F.col("o_orderkey").isin(1, 2, 3))
+    li = spark.table(lnm).filter(F.col("l_orderkey").isin(1, 2, 3))
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            money_sum(revenue).alias("revenue"),
+        )
+        .orderBy("o_orderkey")
+    )

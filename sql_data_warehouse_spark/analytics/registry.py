@@ -168,6 +168,7 @@ _SPOTLIGHT = frozenset({
     "gold_dim_products_scalable_sk",     # NEW: composite-key scalable SK
     "wh_q06_top5_products_dense_rank",   # NEW: closes VERDICT r6 missing #4
     "bucketed_colocated_join",           # NEW: exchange-free bucketed layout
+    "bucket_pruned_lookup",              # NEW: bucket-pruned point lookup
     # rows-only -> hash-gated this round (VERDICT r6 asks #2/#5): the
     # new gates must face the driver's DuckDB in the same round they
     # ship (semantic_dedup_clusters has an OLD green row for retired

@@ -262,3 +262,21 @@ def test_bucketed_join_is_exchange_free(spark):
     ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
     assert len(ex) == 1 and "o_orderpriority" in ex[0], ex
     assert "orderkey" not in ex[0]
+
+
+def test_bucket_pruned_lookup_reads_one_bucket(spark):
+    """Bucket pruning: the IN-list point lookup must open only the
+    buckets its keys hash to on BOTH sides of the join — the scan
+    prints SelectedBucketsCount k out of n with k < n — and keep the
+    join exchange-free on the key."""
+    import re
+
+    from sql_data_warehouse_spark.analytics import extended
+
+    plan = _plan(extended.bucket_pruned_lookup(spark, SF_SMOKE))
+    picks = re.findall(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert len(picks) == 2, plan
+    for k, n in picks:
+        assert int(k) < int(n), picks
+    ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert all("orderkey" not in ln for ln in ex), ex
