@@ -200,6 +200,16 @@ partsupp relation DERIVED from observed lineitems — Q2
 `excess_stock_suppliers`: all 22 TPC-H queries adapted; plus the
 CUBE lattice `revenue_cube`),
 rollup/pivot/set-ops, skew mitigation (`operators/skew.py`),
+graph analytics (`operators/graph.py`: scaled-integer fixed-iteration
+PageRank over the part co-purchase graph `copurchase_pagerank_top20`
+— keyed join+agg per iteration over a cached adjacency relation,
+BIGINT arithmetic end-to-end so the iterative result hash-gates
+bit-for-bit against the unrolled-CTE oracle), sketch calibration
+(`minhash_estimate_error`: MinHash-estimated vs exact Jaccard on a
+deterministic md5 sample of LSH candidate pairs — the measurement
+that picks the pipeline's verify threshold), vocabulary mining
+(`ngram_doc_freq_topk`: per-language trigram document frequency with
+the salted two-stage top-k, no single-partition language window),
 physical layout (`sources/layout.py`, plan-asserted in
 `tests/test_layout.py`), and dataset curation for training runs
 (deterministic splits, stratified sampling, shard + sequence-packing

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators import graph as _graph
 from ..sources import load_table
 from .registry import query
 from ..tmputil import scratch_dir
@@ -993,4 +994,35 @@ def part_type_price_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.groupBy("p_type").agg(
         mad_cents(c).alias("mad_cents"),
         n_rows(c).alias("n_parts"),
+    )
+
+
+# --------------------------------------------------------------- graph
+
+
+@query(
+    "copurchase_pagerank_top20",
+    survey="ext-graph A2 A7 O2",
+    oracle=_graph.copurchase_pagerank_sql(),
+)
+def copurchase_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph (parts connected when
+    they ship in the same order), 3 fixed iterations, top-20 parts.
+
+    The graph family the reference lacks entirely; see
+    ``operators/graph.py`` for the scaled-integer formulation that
+    makes an iterative double-typed algorithm hash-gateable: ranks
+    are BIGINTs at 10^12 scale, contributions use integer division,
+    and integer sums are exact + associative, so the result is
+    bit-identical across partitionings and engines. Plan shape per
+    iteration: one keyed join (ranks→edge sources) + one keyed agg
+    (sum per destination) over a localCheckpoint-ed edge relation —
+    the canonical distributed PageRank step, linear in |edges|.
+    Top-20 compiles to TakeOrderedAndProject (no global sort)."""
+    edges = _graph.copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    ranks = _graph.pagerank_scaled(edges, n_iter=3)
+    return (
+        ranks.orderBy(F.col("rank_scaled").desc(), F.col("node"))
+        .limit(20)
+        .select(F.col("node").alias("part_id"), "rank_scaled")
     )

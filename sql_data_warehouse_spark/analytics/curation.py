@@ -652,3 +652,60 @@ def corpus_summary_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_tokens"),
         F.sum(train.cast("long")).alias("n_train"),
     )
+
+
+@query(
+    "ngram_doc_freq_topk",
+    survey="ext-text A2 W3 P9",
+    oracle=f"""
+        WITH grams AS (
+          SELECT DISTINCT doc_id, lang,
+                 unnest({token_ngrams_sql('text', 3)}) AS gram
+          FROM documents
+        ),
+        dfreq AS (
+          SELECT lang, gram, CAST(COUNT(*) AS BIGINT) AS doc_freq
+          FROM grams GROUP BY lang, gram
+        )
+        SELECT lang, gram, doc_freq, rnk FROM (
+          SELECT lang, gram, doc_freq,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY doc_freq DESC, gram) AS BIGINT) AS rnk
+          FROM dfreq
+        ) WHERE rnk <= 10
+    """,
+)
+def ngram_doc_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary mining: top-10 token trigrams per language by
+    DOCUMENT frequency (distinct docs containing the gram — the df
+    statistic behind idf, stop-phrase lists, and boilerplate
+    detection).
+
+    Scale shape: explode grams → distinct (doc, lang, gram) → keyed
+    count with map-side partial aggregation. The top-k is
+    ``operators/skew.salted_grouped_topk``, NOT a single window over
+    ``lang``: a per-language window funnels every gram of a language
+    through one partition (the W2 global-window hazard — languages
+    are few, grams are billions). Correct because the global top-10
+    under the total order (doc_freq DESC, gram ASC) is contained in
+    the union of its salt classes' top-10s under the same order
+    (property-tested in tests/test_properties.py)."""
+    from ..operators.curation import ngrams_of
+    from ..operators.skew import salted_grouped_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", tokens(F.col("text")).alias("w"))
+    grams = (
+        toks.select(
+            "doc_id", "lang",
+            F.explode(ngrams_of(F.col("w"), 3)).alias("gram"),
+        )
+        .distinct()
+    )
+    dfreq = grams.groupBy("lang", "gram").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_freq"))
+    return salted_grouped_topk(
+        dfreq, "lang", [F.col("doc_freq").desc(), F.col("gram")],
+        k=10, salt_from="gram",
+    ).select("lang", "gram", "doc_freq", "rnk")

@@ -89,6 +89,22 @@ def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "minhash_estimate_error",
+    survey="ext-dedup J-self A8",
+    tags=("llmops",),
+    oracle=dedup.minhash_estimate_error_sql(),
+)
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit: MinHash-estimated vs exact Jaccard on
+    every LSH candidate pair (operators/dedup.py
+    ``minhash_estimate_error``) — the measurement that calibrates the
+    pipeline's verify threshold. Bounded by |candidates| (banded
+    Σ bucket² join), one shared shingle scan feeds sketch + exact."""
+    return dedup.minhash_estimate_error(
+        load_table(spark, sf_dir, "documents"))
+
+
+@query(
     "jaccard_pairs_sample",
     survey="ext-dedup J-self A8",
     tags=("llmops",),

@@ -165,6 +165,9 @@ def coverfill(checked: frozenset[str]) -> frozenset[str]:
 # ghost (announced-but-unshipped) entry can never ship again.
 _SPOTLIGHT = frozenset({
     # Round-7 registrations and gate upgrades debut here.
+    "copurchase_pagerank_top20",         # NEW: graph family (scaled-int PageRank)
+    "minhash_estimate_error",            # NEW: sketch-accuracy audit
+    "ngram_doc_freq_topk",               # NEW: vocab mining, salted top-k
     "gold_dim_products_scalable_sk",     # NEW: composite-key scalable SK
     "wh_q06_top5_products_dense_rank",   # NEW: closes VERDICT r6 missing #4
     "bucketed_colocated_join",           # NEW: exchange-free bucketed layout

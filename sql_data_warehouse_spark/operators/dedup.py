@@ -1628,3 +1628,155 @@ def incremental_dedup_delta_sketch_sql(threshold: float = 0.35,
         FROM documents d LEFT JOIN stats s ON s.doc_id = d.doc_id
         WHERE d.doc_id % {delta_mod} = 0
     """
+
+
+# -------------------------------------------------- sketch-accuracy audit
+
+def minhash_estimate_error(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           n_perm: int = N_PERMUTATIONS,
+                           band_size: int = BAND_SIZE,
+                           k: int = SHINGLE_K,
+                           sample_nibbles: int = 1) -> DataFrame:
+    """Sketch-accuracy audit ("measure, don't guess" applied to the
+    dedup pipeline itself): for every LSH candidate pair, the MinHash
+    signature-agreement estimate of Jaccard next to the EXACT
+    n-gram Jaccard → (doc_a, doc_b, est_jaccard, exact_jaccard,
+    abs_err). Feeding this into a threshold sweep is how the
+    ``min_jaccard`` verify cut in ``dedup_pipeline_keep_best`` gets
+    chosen from data rather than folklore.
+
+    Scale shape: one normalize+shingle scan feeds signatures AND the
+    exact verifier (the persisted-set pattern of
+    ``dedup_pipeline_keep_best``); candidates come from the banded
+    Σ bucket² self-join and are then SAMPLED 16^-``sample_nibbles``
+    (leading md5 nibbles of the pair key) BEFORE the verify joins. The sample is what
+    makes the audit scale-safe at high duplication density: in a
+    clone-heavy corpus the candidate-pair list itself is quadratic
+    in clone-group size (the lesson behind ``dedup_keep_best_chain``
+    — measured 245 s / 289 k pairs at the sf1 near-dup sweep
+    unsampled, and an estimator audit needs a sample, not the
+    census). md5 exists in both engines, so the sample is
+    deterministic and the oracle replays it exactly. Values are
+    exact rationals (matches/n_perm, |∩|/|∪|) divided once into
+    doubles, so the audit is hash-gateable bit-for-bit."""
+    # Eager-build pattern (as dedup_pipeline_keep_best): the shingle
+    # scan — the dominant per-byte cost — runs once into an in-memory
+    # cache that feeds the OPH stage and both verifier joins; only
+    # the doc-sized signature relation and the candidate-sized result
+    # are checkpointed, never the corpus-sized shingle sets.
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    sets = shingle_sets(df.repartition(n_part), text_col, id_col, k).persist()
+    try:
+        sigs = minhash_signatures_from_sets(sets, n_perm).localCheckpoint()
+        pairs = _candidate_pairs_from_bands(
+            _band_hashes(sigs, n_perm, band_size))
+        if sample_nibbles > 0:
+            pairs = pairs.filter(
+                F.substring(
+                    F.md5(F.concat_ws("|", "doc_a", "doc_b")),
+                    1, sample_nibbles,
+                ) == "0" * sample_nibbles
+            )
+        # The sampled pair list is tiny — checkpoint it so the est
+        # and exact computations below don't each replay the band
+        # self-join, and join ONCE per side against a combined
+        # (signature, shingle-set) doc profile: 2 keyed joins total,
+        # est + exact + error computed per-row in a single select.
+        pairs = pairs.localCheckpoint()
+        profile = sigs.join(sets, "doc_id")
+        pa = profile.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("signature").alias("sig_a"),
+            F.col("sh").alias("sh_a"),
+        ).hint("merge")
+        pb = profile.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("signature").alias("sig_b"),
+            F.col("sh").alias("sh_b"),
+        ).hint("merge")
+        matches = F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda m: m,
+            )
+        )
+        inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+        union = F.size("sh_a") + F.size("sh_b") - inter
+        est = (matches.cast("double") / F.lit(float(n_perm)))
+        exact = inter.cast("double") / union.cast("double")
+        out = (
+            pairs.join(pa, "doc_a")
+            .join(pb, "doc_b")
+            .select(
+                "doc_a", "doc_b",
+                est.alias("est_jaccard"),
+                exact.alias("exact_jaccard"),
+                F.abs(est - exact).alias("abs_err"),
+            )
+            .localCheckpoint()  # sample-sized; releases the cache below
+        )
+    finally:
+        sets.unpersist()
+    return out
+
+
+def minhash_estimate_error_sql(n_perm: int = N_PERMUTATIONS,
+                               k: int = SHINGLE_K,
+                               sample_nibbles: int = 1) -> str:
+    """DuckDB twin: signatures/bands re-derived from text (MIN over
+    the shingle multiset equals MIN over the distinct set, so the
+    from-sets Spark path and this from-text SQL agree), estimate via
+    positionwise signature agreement, exact Jaccard via
+    list_intersect on the distinct shingle sets."""
+    band_size = BAND_SIZE
+    n_bands = n_perm // band_size
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, md5({concat}) AS band_hash FROM sigs".format(
+            b=b,
+            concat=" || '|' || ".join(
+                f"signature[{b * band_size + j + 1}]" for j in range(band_size)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+        WITH sigs AS MATERIALIZED ({_minhash_sig_sql(n_perm, k)}),
+        bands AS MATERIALIZED ({band_rows}),
+        pairs AS (
+          SELECT doc_a, doc_b FROM (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+          )
+          WHERE substring(md5(doc_a || '|' || doc_b), 1, {sample_nibbles})
+                = '{"0" * sample_nibbles}'
+        ),
+        sets AS MATERIALIZED (
+          SELECT doc_id, {shingle_set_sql(k)} AS sh FROM documents
+        ),
+        est AS (
+          SELECT p.doc_a, p.doc_b,
+                 CAST(len(list_filter(range(1, {n_perm + 1}),
+                          i -> sa.signature[i] = sb.signature[i])) AS DOUBLE)
+                   / {float(n_perm)} AS est_jaccard
+          FROM pairs p
+          JOIN sigs sa ON sa.doc_id = p.doc_a
+          JOIN sigs sb ON sb.doc_id = p.doc_b
+        ),
+        exact AS (
+          SELECT p.doc_a, p.doc_b,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / CAST(len(a.sh) + len(b.sh)
+                          - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   AS exact_jaccard
+          FROM pairs p
+          JOIN sets a ON a.doc_id = p.doc_a
+          JOIN sets b ON b.doc_id = p.doc_b
+        )
+        SELECT e.doc_a, e.doc_b, e.est_jaccard, x.exact_jaccard,
+               abs(e.est_jaccard - x.exact_jaccard) AS abs_err
+        FROM est e
+        JOIN exact x ON x.doc_a = e.doc_a AND x.doc_b = e.doc_b
+    """

@@ -1,0 +1,178 @@
+"""Graph analytics over relational co-occurrence edges.
+
+The reference has no graph surface (pure sales-star T-SQL,
+`/root/reference/scripts/analysis/`), but a warehouse holding an
+order/lineitem fact already contains an implicit graph: parts are
+connected when they ship in the same order. PageRank over that
+co-purchase graph is the classic "importance" score driving
+recommendations, and it showcases the engine's iterative-algorithm
+shape next to the label-propagation connected components in
+``operators/dedup.py``.
+
+Design for 100 TB:
+
+- **Edge construction is keyed, never all-pairs.** The lineitem
+  self-join is on ``l_orderkey``, so fan-out per order is
+  C(items, 2) with items ≤ 7 in TPC-H-shaped data — edges ≈ 3× the
+  fact rows, built in one shuffle on the order key.
+- **Fixed-iteration PageRank is a chain of keyed join+agg steps** —
+  the standard distributed formulation. Ranks and degrees are both
+  keyed by node, so AQE coalesces the exchange reuse; the edge
+  relation is localCheckpoint-ed once and reused by every iteration
+  instead of re-running the self-join per step.
+- **Integer arithmetic end-to-end.** Ranks are scaled BIGINTs
+  (1.0 → 10^12); per-edge contributions use integer division and the
+  damping update is ``0.15 + 0.85·s`` in scaled integer form
+  (``150_000_000_000 + (85 * s) DIV 100``). Integer sums are exact
+  and associative, so the result is bit-identical regardless of
+  partitioning — and identical to the DuckDB oracle — where a
+  double-summed PageRank would drift in the low bits per shuffle
+  layout. Overflow headroom: contributions ≤ 10^12, so a node needs
+  > 10^6 in-neighbours before ``85 * s`` nears the 9.2·10^18 BIGINT
+  ceiling; at that degree you'd shard the hot node first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RANK_SCALE = 1_000_000_000_000  # 1.0 in scaled-integer rank units
+
+
+def copurchase_edges(lineitem: DataFrame) -> DataFrame:
+    """Undirected co-purchase edges (both directions materialized):
+    two parts are connected when any order contains both. One shuffle
+    keyed by order; per-order fan-out is C(items, 2)."""
+    li = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .distinct()
+        # Materialize the one-direction edge list ONCE (checkpoint,
+        # not cache — the caller owns the returned lineage, so there
+        # is no release point for a persist): the union below
+        # references it twice, the degree aggregation a third time
+        # and the degree join a fourth — without it the orderkey
+        # self-join would replay for each reference.
+        .localCheckpoint()
+    )
+    return und.union(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def pagerank_scaled(edges: DataFrame, n_iter: int = 3,
+                    damping_pct: int = 85) -> DataFrame:
+    """Fixed-iteration PageRank in scaled-integer arithmetic →
+    (node, rank_scaled). ``edges`` must contain BOTH directions of
+    every undirected edge (as :func:`copurchase_edges` emits), so
+    every node has in-edges and survives each update.
+
+    Each iteration is one keyed join (ranks → adjacency sources) and
+    one aggregation (sum contributions per destination) — the
+    canonical distributed PageRank step over a cached adjacency
+    relation, so iterations reuse the materialized edges instead of
+    replaying the construction lineage ``n_iter`` times.
+    """
+    # Iterate over an ADJACENCY relation, not the flat edge list: the
+    # per-iteration sort-merge join then sorts ~|nodes| rows instead
+    # of |edges| (measured 6.6 s → 4.5 s at sf0.1), the degree is the
+    # array size for free, and the explode happens after the join so
+    # the wide relation never enters a sort. Array order is
+    # irrelevant (contributions are summed), so the result stays
+    # partitioning-independent.
+    #
+    # Skew note: collect_list bounds rows at max-degree, which in
+    # this data model is SF-INDEPENDENT (~30 lineitems/part ×
+    # ~3 co-items per order regardless of scale factor — both sides
+    # of the ratio grow linearly), so there is no hot-node hazard at
+    # 100 TB for co-purchase graphs. For power-law graphs (web,
+    # social) chunk hot nodes by grouping on
+    # (src, pmod(hash(dst), ceil(deg/1024))) with the degree joined
+    # in first, or fall back to the flat-edge join (same math, one
+    # extra sort of |edges| per iteration).
+    adj = (
+        edges.groupBy("src")
+        .agg(F.collect_list("dst").alias("dsts"))
+        .select("src", F.size("dsts").cast("long").alias("deg"), "dsts")
+    )
+    # Cached once (memory, not a disk checkpoint): every iteration
+    # joins against this relation, and without the cache iteration i
+    # would rebuild it i times (the ranks lineage nests all previous
+    # iterations). The final node-sized rank relation is checkpointed
+    # eagerly so the cache can be released before returning.
+    ed = adj.persist()
+    try:
+        ranks = ed.select(
+            F.col("src").alias("node"),
+            F.lit(RANK_SCALE).cast("long").alias("r"),
+        )
+        base = RANK_SCALE - RANK_SCALE * damping_pct // 100
+        for _ in range(n_iter):
+            contrib = ed.join(ranks, ed["src"] == ranks["node"]).select(
+                F.explode("dsts").alias("node"),
+                F.expr("r DIV deg").alias("c"),
+            )
+            ranks = (
+                contrib.groupBy("node")
+                .agg(F.sum("c").alias("s"))
+                .select(
+                    "node",
+                    F.expr(
+                        f"CAST({base} + ({damping_pct} * s) DIV 100 AS BIGINT)"
+                    ).alias("r"),
+                )
+            )
+        out = ranks.select(
+            "node", F.col("r").alias("rank_scaled")
+        ).localCheckpoint()
+    finally:
+        ed.unpersist()
+    return out
+
+
+def copurchase_pagerank_sql(n_iter: int = 3, damping_pct: int = 85,
+                            top_n: int = 20) -> str:
+    """DuckDB twin: identical scaled-integer updates, iterations
+    unrolled as CTEs (r1..rN). Exact by construction — every step is
+    integer division and exact integer sums on both engines."""
+    base = RANK_SCALE - RANK_SCALE * damping_pct // 100
+    steps = []
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        steps.append(
+            f"r{i} AS (SELECT e.dst AS node, "
+            f"CAST({base} + ({damping_pct} * SUM(r.r // d.deg)) // 100 AS BIGINT) AS r "
+            f"FROM edges e JOIN deg d ON e.src = d.src "
+            f"JOIN {prev} r ON r.node = e.src GROUP BY e.dst)"
+        )
+        prev = f"r{i}"
+    chain = ",\n        ".join(steps)
+    return f"""
+        WITH und AS MATERIALIZED (
+          SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a
+          JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        edges AS MATERIALIZED (
+          SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und
+        ),
+        deg AS MATERIALIZED (
+          SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src
+        ),
+        r0 AS (SELECT src AS node, CAST({RANK_SCALE} AS BIGINT) AS r FROM deg),
+        {chain}
+        SELECT node AS part_id, r AS rank_scaled
+        FROM {prev}
+        ORDER BY r DESC, node
+        LIMIT {top_n}
+    """

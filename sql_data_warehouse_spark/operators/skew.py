@@ -146,3 +146,37 @@ def scalable_row_number(df: DataFrame, order_col: str,
         .withColumn(key_col, (F.col("_off") + F.col("_lrank")).cast("long"))
         .drop("_b", "_lrank", "_off")
     )
+
+
+def salted_grouped_topk(df: DataFrame, group_col: str,
+                        order_cols: list[Column], k: int,
+                        salt_from: str, n_salts: int = 32,
+                        rank_col: str = "rnk") -> DataFrame:
+    """Per-group top-k under a TOTAL order without a per-group global
+    window: stage 1 takes the local top-k within (group, salt)
+    buckets, stage 2 ranks only the ≤ k·n_salts survivors per group.
+
+    A direct ``row_number() OVER (PARTITION BY group)`` funnels every
+    row of a group through ONE partition — the W2 global-window
+    hazard when groups are huge (e.g. per-language vocabulary
+    statistics: few languages, billions of grams). Correct for any
+    total order because each member of the true per-group top-k is
+    within the top-k of its own salt class under the same order —
+    the same containment argument as
+    ``curation.source_quota_cap`` (property-tested in
+    tests/test_properties.py). ``order_cols`` must be a TOTAL order
+    (include a tiebreaker) or ranks are nondeterministic in any
+    formulation."""
+    salt = F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salts))
+    w_local = Window.partitionBy(group_col, salt).orderBy(*order_cols)
+    pruned = (
+        df.withColumn("_lr", F.row_number().over(w_local))
+        .filter(F.col("_lr") <= k)
+        .drop("_lr")
+    )
+    w_global = Window.partitionBy(group_col).orderBy(*order_cols)
+    return (
+        pruned.withColumn(
+            rank_col, F.row_number().over(w_global).cast("long"))
+        .filter(F.col(rank_col) <= k)
+    )

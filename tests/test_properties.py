@@ -240,3 +240,90 @@ def test_scalable_row_number_composite_equals_global_window(
         ).collect()
     }
     assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1, max_size=30,
+    ),
+    n_iter=st.integers(1, 3),
+)
+@_SETTLE
+def test_pagerank_scaled_matches_sequential_reference(spark, edges, n_iter):
+    """The scaled-integer PageRank must equal a sequential reference
+    implementation EXACTLY for any graph, iteration count, and input
+    partitioning — integer division + exact integer sums are what
+    make the iterative result partitioning-independent (and therefore
+    hash-gateable against the unrolled-CTE oracle)."""
+    from collections import defaultdict
+
+    from sql_data_warehouse_spark.operators.graph import (
+        RANK_SCALE, pagerank_scaled,
+    )
+
+    und = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    if not und:
+        return
+    directed = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in directed], "src long, dst long"
+    ).repartition(4)
+    got = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank_scaled(df, n_iter=n_iter).collect()
+    }
+
+    adj = defaultdict(list)
+    for a, b in directed:
+        adj[a].append(b)
+    r = {n: RANK_SCALE for n in adj}
+    base = RANK_SCALE - RANK_SCALE * 85 // 100
+    for _ in range(n_iter):
+        s = defaultdict(int)
+        for n, vs in adj.items():
+            c = r[n] // len(vs)
+            for v in vs:
+                s[v] += c
+        r = {n: base + (85 * s[n]) // 100 for n in adj}
+    assert got == r
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2),      # group: few, like languages
+                  st.integers(0, 40),     # item id (deduped per group)
+                  st.integers(0, 5)),     # value: HEAVY ties
+        min_size=1, max_size=60,
+    ),
+    k=st.integers(1, 6),
+    n_salts=st.integers(1, 8),
+)
+@_SETTLE
+def test_salted_grouped_topk_equals_global_window(spark, rows, k, n_salts):
+    """salted_grouped_topk must equal the direct per-group window for
+    ANY corpus, k, and salt count — including heavy value ties and
+    groups smaller than k (the containment argument under a total
+    order, same family as the quota-cap property)."""
+    from pyspark.sql import Window as W
+
+    from sql_data_warehouse_spark.operators.skew import salted_grouped_topk
+
+    uniq = {}
+    for g, item, v in rows:
+        uniq[(g, item)] = v
+    data = [Row(grp=f"g{g}", item=f"i{i:03d}", val=v)
+            for (g, i), v in uniq.items()]
+    df = spark.createDataFrame(data, "grp string, item string, val long")
+    order = [F.col("val").desc(), F.col("item")]
+    got = sorted(map(tuple, salted_grouped_topk(
+        df.repartition(3), "grp", order, k=k, salt_from="item",
+        n_salts=n_salts,
+    ).select("grp", "item", "val", "rnk").collect()))
+    w = W.partitionBy("grp").orderBy(*order)
+    want = sorted(map(tuple, (
+        df.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("grp", "item", "val", "rnk")
+    ).collect()))
+    assert got == want

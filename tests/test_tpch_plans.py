@@ -280,3 +280,34 @@ def test_bucket_pruned_lookup_reads_one_bucket(spark):
         assert int(k) < int(n), picks
     ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
     assert all("orderkey" not in ln for ln in ex), ex
+
+
+def test_pagerank_topk_is_take_ordered_no_nested_loop(spark):
+    """copurchase_pagerank_top20's scale claims in the plan: the
+    top-20 compiles to TakeOrderedAndProject (distributed per-
+    partition top-k, no global sort), and no iteration degenerates
+    to a nested-loop or cartesian join."""
+    from sql_data_warehouse_spark.analytics import all_queries
+
+    df = all_queries()["copurchase_pagerank_top20"].builder(
+        spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_topk_windows_are_salted_then_bounded(spark):
+    """ngram_doc_freq_topk's scale claim: the corpus-sized window
+    partitions by (lang, salt) — never by lang alone — so no single
+    partition carries a whole language's gram statistics."""
+    from sql_data_warehouse_spark.analytics import all_queries
+
+    df = all_queries()["ngram_doc_freq_topk"].builder(spark, SF_SMOKE)
+    plan = _plan(df)
+    w_specs = [ln for ln in plan.splitlines() if "Window" in ln]
+    # the salt expression is projected to a _w0 column below the
+    # Window node; the salted stage shows as a second partition key
+    assert any("_w0" in ln for ln in w_specs), w_specs
+    assert "pmod(xxhash64(gram" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
