@@ -167,6 +167,16 @@ def main() -> None:
 
         _base_band_index(spark, sf_dir)
 
+    def build_sig_index() -> None:
+        from sql_data_warehouse_spark.analytics.llmops import _sig_index
+
+        _sig_index(spark, sf_dir)
+
+    def build_pairs_index() -> None:
+        from sql_data_warehouse_spark.analytics.llmops import _pairs_index
+
+        _pairs_index(spark, sf_dir)
+
     # Durability gates whose wall-clock is subprocess JVM startup, not
     # engine work, are excluded from the throughput bench; they remain
     # in queries()/oracle_sql(), so the driver's CORRECTNESS gate still
@@ -201,6 +211,16 @@ def main() -> None:
               "stream_ingest_near_dup_maintained") for n in queries
     ):
         timed("_lsh_band_index_build", build_band_index)
+    if not only or any(
+        n in ("minhash_bands", "minhash_candidate_pairs",
+              "minhash_estimate_error") for n in queries
+    ):
+        timed("_minhash_sig_index_build", build_sig_index)
+    if not only or any(
+        n in ("minhash_candidate_pairs", "minhash_estimate_error")
+        for n in queries
+    ):
+        timed("_minhash_pairs_build", build_pairs_index)
 
     for name, q in queries.items():
         df_builder = q.builder

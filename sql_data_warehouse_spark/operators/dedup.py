@@ -1637,88 +1637,105 @@ def minhash_estimate_error(df: DataFrame, text_col: str = "text",
                            n_perm: int = N_PERMUTATIONS,
                            band_size: int = BAND_SIZE,
                            k: int = SHINGLE_K,
-                           sample_nibbles: int = 1) -> DataFrame:
+                           sample_nibbles: int = 1,
+                           sigs: DataFrame | None = None,
+                           pairs: DataFrame | None = None) -> DataFrame:
     """Sketch-accuracy audit ("measure, don't guess" applied to the
-    dedup pipeline itself): for every LSH candidate pair, the MinHash
-    signature-agreement estimate of Jaccard next to the EXACT
-    n-gram Jaccard → (doc_a, doc_b, est_jaccard, exact_jaccard,
-    abs_err). Feeding this into a threshold sweep is how the
-    ``min_jaccard`` verify cut in ``dedup_pipeline_keep_best`` gets
-    chosen from data rather than folklore.
+    dedup pipeline itself): for a deterministic sample of LSH
+    candidate pairs, the MinHash signature-agreement estimate of
+    Jaccard next to the EXACT n-gram Jaccard → (doc_a, doc_b,
+    est_jaccard, exact_jaccard, abs_err). Feeding this into a
+    threshold sweep is how the ``min_jaccard`` verify cut in
+    ``dedup_pipeline_keep_best`` gets chosen from data rather than
+    folklore.
 
-    Scale shape: one normalize+shingle scan feeds signatures AND the
-    exact verifier (the persisted-set pattern of
-    ``dedup_pipeline_keep_best``); candidates come from the banded
-    Σ bucket² self-join and are then SAMPLED 16^-``sample_nibbles``
-    (leading md5 nibbles of the pair key) BEFORE the verify joins. The sample is what
-    makes the audit scale-safe at high duplication density: in a
-    clone-heavy corpus the candidate-pair list itself is quadratic
-    in clone-group size (the lesson behind ``dedup_keep_best_chain``
-    — measured 245 s / 289 k pairs at the sf1 near-dup sweep
-    unsampled, and an estimator audit needs a sample, not the
-    census). md5 exists in both engines, so the sample is
-    deterministic and the oracle replays it exactly. Values are
-    exact rationals (matches/n_perm, |∩|/|∪|) divided once into
-    doubles, so the audit is hash-gateable bit-for-bit."""
-    # Eager-build pattern (as dedup_pipeline_keep_best): the shingle
-    # scan — the dominant per-byte cost — runs once into an in-memory
-    # cache that feeds the OPH stage and both verifier joins; only
-    # the doc-sized signature relation and the candidate-sized result
-    # are checkpointed, never the corpus-sized shingle sets.
-    n_part = df.sparkSession.sparkContext.defaultParallelism
-    sets = shingle_sets(df.repartition(n_part), text_col, id_col, k).persist()
-    try:
-        sigs = minhash_signatures_from_sets(sets, n_perm).localCheckpoint()
+    Scale shape — the audit PROBES, it never rebuilds: candidates
+    come from the banded Σ bucket² self-join over ``sigs`` (pass the
+    session-maintained signature index; in production this IS the
+    stored LSH index, so the audit's corpus-wide cost is zero) and
+    are SAMPLED 16^-``sample_nibbles`` (leading md5 nibbles of the
+    pair key) BEFORE anything touches document text. Only documents
+    that survive into a sampled pair are then normalize+shingled for
+    the exact verifier — a semi-join-restricted scan proportional to
+    the SAMPLE, not the corpus. The sample is what makes the audit
+    scale-safe at high duplication density: in a clone-heavy corpus
+    the candidate-pair list itself is quadratic in clone-group size
+    (the lesson behind ``dedup_keep_best_chain`` — measured 245 s /
+    289 k pairs at the sf1 near-dup sweep unsampled, and an estimator
+    audit needs a sample, not the census; raise ``sample_nibbles``
+    with corpus size to hold the sample constant). md5 exists in both
+    engines, so the sample is deterministic and the oracle replays it
+    exactly. Values are exact rationals (matches/n_perm, |∩|/|∪|)
+    divided once into doubles, so the audit is hash-gateable
+    bit-for-bit."""
+    if sigs is None:
+        # Self-contained fallback (driver correctness path): build the
+        # signature index in-query. MIN over the shingle multiset ==
+        # MIN over the distinct set, so this equals the from-sets form
+        # the previous revision used.
+        # Checkpoint here (the shared-index path arrives already
+        # materialized): the band join and the sig_small probe below
+        # both re-read it.
+        sigs = minhash_signatures(df, text_col, id_col, n_perm, k)
+        sigs = sigs.localCheckpoint()
+    if pairs is None:
         pairs = _candidate_pairs_from_bands(
             _band_hashes(sigs, n_perm, band_size))
-        if sample_nibbles > 0:
-            pairs = pairs.filter(
-                F.substring(
-                    F.md5(F.concat_ws("|", "doc_a", "doc_b")),
-                    1, sample_nibbles,
-                ) == "0" * sample_nibbles
-            )
-        # The sampled pair list is tiny — checkpoint it so the est
-        # and exact computations below don't each replay the band
-        # self-join, and join ONCE per side against a combined
-        # (signature, shingle-set) doc profile: 2 keyed joins total,
-        # est + exact + error computed per-row in a single select.
-        pairs = pairs.localCheckpoint()
-        profile = sigs.join(sets, "doc_id")
-        pa = profile.select(
-            F.col("doc_id").alias("doc_a"),
-            F.col("signature").alias("sig_a"),
-            F.col("sh").alias("sh_a"),
-        ).hint("merge")
-        pb = profile.select(
-            F.col("doc_id").alias("doc_b"),
-            F.col("signature").alias("sig_b"),
-            F.col("sh").alias("sh_b"),
-        ).hint("merge")
-        matches = F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                lambda m: m,
-            )
+    if sample_nibbles > 0:
+        pairs = pairs.filter(
+            F.substring(
+                F.md5(F.concat_ws("|", "doc_a", "doc_b")),
+                1, sample_nibbles,
+            ) == "0" * sample_nibbles
         )
-        inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-        union = F.size("sh_a") + F.size("sh_b") - inter
-        est = (matches.cast("double") / F.lit(float(n_perm)))
-        exact = inter.cast("double") / union.cast("double")
-        out = (
-            pairs.join(pa, "doc_a")
-            .join(pb, "doc_b")
-            .select(
-                "doc_a", "doc_b",
-                est.alias("est_jaccard"),
-                exact.alias("exact_jaccard"),
-                F.abs(est - exact).alias("abs_err"),
-            )
-            .localCheckpoint()  # sample-sized; releases the cache below
+    # The sampled pair list is tiny — checkpoint it so the id
+    # restriction, est join and exact join below don't each replay
+    # the band self-join.
+    pairs = pairs.localCheckpoint()
+    ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    # Shingle ONLY the sampled docs: keyed left-semi restriction of
+    # the corpus before the normalize+shingle scan (AQE broadcasts
+    # the id list while it's small; at a sample size where it isn't,
+    # the semi join is still one keyed linear pass, never Σ n²).
+    sampled_docs = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
+    ).join(ids, "doc_id", "left_semi")
+    sets = shingle_sets(sampled_docs, "_t", "doc_id", k)
+    sig_small = sigs.join(ids, "doc_id", "left_semi")
+    pa = sig_small.join(sets, "doc_id").select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("signature").alias("sig_a"),
+        F.col("sh").alias("sh_a"),
+    )
+    pb = sig_small.join(sets, "doc_id").select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("signature").alias("sig_b"),
+        F.col("sh").alias("sh_b"),
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda m: m,
         )
-    finally:
-        sets.unpersist()
-    return out
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    est = (matches.cast("double") / F.lit(float(n_perm)))
+    exact = inter.cast("double") / union.cast("double")
+    return (
+        pairs.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            est.alias("est_jaccard"),
+            exact.alias("exact_jaccard"),
+            F.abs(est - exact).alias("abs_err"),
+        )
+    )
 
 
 def minhash_estimate_error_sql(n_perm: int = N_PERMUTATIONS,
