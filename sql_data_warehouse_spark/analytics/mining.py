@@ -1,0 +1,221 @@
+"""Pattern-mining analytics: event-sequence transition matrices,
+vocabulary collocations (lift / pre-log PMI), and the 2-D skyline.
+
+These extend the reference's change-over-time and ranking families
+(`/root/reference/scripts/analysis/07_change_over_time_analysis.sql`,
+`06_ranking_analysis.sql`) with the sequence / co-occurrence /
+multi-criteria shapes a warehouse grows next — each a single
+declarative plan, each gated by an independently-derived DuckDB
+oracle.
+
+Cross-engine determinism: every probability/score here is a SINGLE
+division of exact BIGINT counts into a double (the registry's
+rational-score rule), never a log — JVM ``Math.log`` and libm differ
+by 1 ulp on some inputs (verify SKILL.md), so PMI is ranked by its
+pre-log rational form (lift); log is monotone, so the lift top-k IS
+the PMI top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import TOKENS_SQL, tokens
+from ..operators.skyline import pareto_frontier_2d, pareto_frontier_sql
+from ..sources import load_table
+from .registry import query
+
+# ---------------------------------------------- sequence transitions
+
+
+@query(
+    "event_transition_matrix",
+    survey="ext-sequence W4 A3 W9",
+    tags=("events", "mining"),
+    oracle="""
+        WITH t AS (
+          SELECT event_type AS from_type,
+                 LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS to_type
+          FROM events
+        ),
+        c AS (
+          SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_trans
+          FROM t WHERE to_type IS NOT NULL
+          GROUP BY from_type, to_type
+        )
+        SELECT from_type, to_type, n_trans,
+               CAST(n_trans AS DOUBLE)
+                 / CAST(SUM(n_trans) OVER (PARTITION BY from_type)
+                        AS DOUBLE) AS p_trans
+        FROM c
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: P(next event type | current event type). The row-
+    normalized matrix is the input to next-action prediction and the
+    anomaly score behind "this session's transitions are improbable".
+
+    Plan shape: one LEAD window PARTITIONED BY user_id (per-partition
+    rows = one user's events — bounded, sf-independent), then a
+    grouped count. The normalizing SUM window runs over the
+    TYPE×TYPE aggregate (rows ≈ |event types|², never ≈ events).
+    Determinism: (ts, event_id) is a total order per user, and
+    p_trans is one division of exact BIGINT counts."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    c = trans.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_trans"))
+    wt = Window.partitionBy("from_type")
+    return c.select(
+        "from_type", "to_type", "n_trans",
+        (F.col("n_trans").cast("double")
+         / F.sum("n_trans").over(wt).cast("double")).alias("p_trans"),
+    )
+
+
+# ------------------------------------------------- collocations (lift)
+
+_PMI_VOCAB = 64
+_PMI_TOPK = 50
+_DOC_TOKENS_SQL = TOKENS_SQL.format(col="text")
+
+
+@query(
+    "pmi_collocations_topk",
+    survey="ext-text A2 J-self O2",
+    tags=("llmops", "mining"),
+    oracle=f"""
+        WITH tok AS MATERIALIZED (
+          SELECT doc_id, t.tok
+          FROM documents,
+               UNNEST(list_distinct({_DOC_TOKENS_SQL})) AS t(tok)
+          WHERE t.tok <> ''
+        ),
+        dfc AS MATERIALIZED (
+          SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+          FROM tok GROUP BY tok
+        ),
+        vocab AS MATERIALIZED (
+          SELECT tok, df FROM dfc ORDER BY df DESC, tok LIMIT {_PMI_VOCAB}
+        ),
+        tv AS MATERIALIZED (
+          SELECT tok.doc_id, tok.tok FROM tok JOIN vocab USING (tok)
+        ),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        pc AS (
+          SELECT a.tok AS t1, b.tok AS t2, CAST(COUNT(*) AS BIGINT) AS n_co
+          FROM tv a JOIN tv b ON a.doc_id = b.doc_id AND a.tok < b.tok
+          GROUP BY a.tok, b.tok
+        )
+        SELECT t1, t2, n_co,
+               CAST(n_co * (SELECT n_docs FROM n) AS DOUBLE)
+                 / CAST(va.df * vb.df AS DOUBLE) AS lift
+        FROM pc
+        JOIN vocab va ON va.tok = pc.t1
+        JOIN vocab vb ON vb.tok = pc.t2
+        ORDER BY lift DESC, t1, t2
+        LIMIT {_PMI_TOPK}
+    """,
+)
+def pmi_collocations_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} collocations among the top-{V} document-frequency
+    vocabulary, ranked by LIFT = P(x,y) / (P(x)·P(y)) — the pre-log
+    rational form of PMI (log is monotone ⇒ same ranking, and lift is
+    one division of exact integer counts where PMI's log would drift
+    an ulp across engines). The staple vocabulary-mining signal for
+    tokenizer merges and phrase detection over a training corpus.
+
+    Plan shape: doc-frequency aggregate → top-V via sort+limit
+    (TakeOrderedAndProject, never a global window) → the tiny vocab
+    BROADCASTS into the doc-token restriction, so the co-occurrence
+    self-join is keyed on doc_id with per-doc fan-out ≤ C(V,2) — a
+    constant — and the grouped pair count shuffles ≤ V² rows. At
+    100 TB the only corpus-sized passes are the two token scans; no
+    stage is quadratic in anything but the constant V.
+
+    Overflow note: ``n_co · n_docs`` is exact in BIGINT up to ~9·10¹⁸
+    (n_docs ≈ 3·10⁹ at 100 TB ⇒ products ≤ ~10¹⁹ only if a pair
+    co-occurs in every doc; real corpora sit orders below — and both
+    engines would overflow together, not diverge)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    dfc = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    vocab = dfc.orderBy(F.col("df").desc(), "tok").limit(_PMI_VOCAB)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tv = tok.join(F.broadcast(vocab.select("tok")), "tok").select(
+        "doc_id", "tok")
+    a = tv.select("doc_id", F.col("tok").alias("t1"))
+    b = tv.select("doc_id", F.col("tok").alias("t2"))
+    pc = (
+        a.join(b, "doc_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+    )
+    va = vocab.select(F.col("tok").alias("t1"), F.col("df").alias("df1"))
+    vb = vocab.select(F.col("tok").alias("t2"), F.col("df").alias("df2"))
+    return (
+        pc.join(F.broadcast(va), "t1")
+        .join(F.broadcast(vb), "t2")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "t1", "t2", "n_co",
+            ((F.col("n_co") * F.col("n_docs")).cast("double")
+             / (F.col("df1") * F.col("df2")).cast("double")).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "t1", "t2")
+        .limit(_PMI_TOPK)
+    )
+
+
+# ------------------------------------------------------------ skyline
+
+
+@query(
+    "pareto_frontier_parts",
+    survey="ext-skyline P8 W-range A2",
+    tags=("tpch", "mining"),
+    oracle=pareto_frontier_sql(
+        rel="(SELECT p_partkey, "
+            "CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) "
+            "AS price_cents, CAST(p_size AS BIGINT) AS size_b FROM part)",
+        min_col="price_cents", max_col="size_b",
+        key_cols="a.p_partkey, a.price_cents, a.size_b",
+    ),
+)
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline of ``part`` on (cheapest retail price, largest size):
+    parts no other part beats on both axes — the multi-criteria
+    "best offers" query. Dominance ties on BOTH axes keep both rows.
+
+    Spark side is the bucketed O(n) rewrite
+    (:func:`..operators.skyline.pareto_frontier_2d`: per-bucket max
+    grid + value-range in-bucket windows — no pairwise stage); the
+    oracle is the quadratic NOT-EXISTS DEFINITION, so the gate checks
+    the rewrite against an independent derivation, same as the
+    salted-top-k and scalable-SK twins."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long").alias("price_cents"),
+        F.col("p_size").cast("long").alias("size_b"),
+    )
+    return pareto_frontier_2d(p, "price_cents", "size_b")

@@ -168,6 +168,9 @@ _SPOTLIGHT = frozenset({
     "copurchase_pagerank_top20",         # NEW: graph family (scaled-int PageRank)
     "minhash_estimate_error",            # NEW: sketch-accuracy audit
     "ngram_doc_freq_topk",               # NEW: vocab mining, salted top-k
+    "event_transition_matrix",           # NEW: Markov sequence mining
+    "pmi_collocations_topk",             # NEW: lift collocations (pre-log PMI)
+    "pareto_frontier_parts",             # NEW: bucketed 2-D skyline
     "gold_dim_products_scalable_sk",     # NEW: composite-key scalable SK
     "wh_q06_top5_products_dense_rank",   # NEW: closes VERDICT r6 missing #4
     "bucketed_colocated_join",           # NEW: exchange-free bucketed layout
@@ -290,7 +293,7 @@ def _run_priority_key(names_checked: frozenset[str], rnd: int,
 
 
 def _import_query_modules() -> None:
-    from . import advanced, core, curation, extended, incremental, llmops, reports, star, streaming_live, tpch, txn_queries  # noqa: F401  (side-effect: registration)
+    from . import advanced, core, curation, extended, incremental, llmops, mining, reports, star, streaming_live, tpch, txn_queries  # noqa: F401  (side-effect: registration)
     from ..medallion import analysis as _medallion_analysis  # noqa: F401
     from ..medallion import quality as _medallion_quality  # noqa: F401
     from ..medallion import queries as _medallion  # noqa: F401

@@ -327,3 +327,43 @@ def test_salted_grouped_topk_equals_global_window(spark, rows, k, n_salts):
         .select("grp", "item", "val", "rnk")
     ).collect()))
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 40),     # min-axis: HEAVY ties
+                  st.integers(0, 12)),    # max-axis: HEAVY ties
+        min_size=1, max_size=50,
+    ),
+    bucket_width=st.sampled_from([1, 3, 7, 1000]),
+)
+@_SETTLE
+def test_pareto_frontier_bucketed_equals_definition(spark, rows,
+                                                    bucket_width):
+    """pareto_frontier_2d (bucket-grid + range-frame windows, no
+    pairwise stage) must equal the quadratic dominance DEFINITION for
+    ANY point set and bucket width — including both-axes ties (all
+    kept), dominance chains inside one bucket, and dominators exactly
+    on bucket boundaries. Width 1000 collapses to a single bucket
+    (pure window path); width 1 makes every price its own bucket
+    (pure grid path)."""
+    from sql_data_warehouse_spark.operators.skyline import (
+        pareto_frontier_2d,
+    )
+
+    data = [Row(rid=i, price=p, size=s) for i, (p, s) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "rid long, price long, size long").repartition(3)
+    got = sorted(
+        r.rid for r in pareto_frontier_2d(
+            df, "price", "size", bucket_width=bucket_width
+        ).select("rid").collect()
+    )
+    want = sorted(
+        i for i, (p, s) in enumerate(rows)
+        if not any(
+            (op <= p and os >= s and (op < p or os > s))
+            for op, os in rows
+        )
+    )
+    assert got == want

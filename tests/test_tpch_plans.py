@@ -309,5 +309,61 @@ def test_ngram_topk_windows_are_salted_then_bounded(spark):
     # the salt expression is projected to a _w0 column below the
     # Window node; the salted stage shows as a second partition key
     assert any("_w0" in ln for ln in w_specs), w_specs
-    assert "pmod(xxhash64(gram" in plan
+    # the salted shuffle is the actual scale gate: the corpus-sized
+    # exchange partitions by (lang, salt), never by lang alone (the
+    # salt expression itself is folded into the aggregate's result
+    # projection, so its text never reaches executedPlan toString)
+    salted_ex = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+        and "lang" in ln and "_w0" in ln
+    ]
+    assert salted_ex, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_transition_matrix_windows_are_keyed_or_aggregate(spark):
+    """event_transition_matrix's scale claims: the corpus-sized LEAD
+    window is partitioned by user_id (bounded per-user partitions),
+    and the only other window (the normalizing SUM) runs over the
+    type×type aggregate. No pairwise stage anywhere."""
+    from sql_data_warehouse_spark.analytics import all_queries
+
+    df = all_queries()["event_transition_matrix"].builder(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert any(
+        "Exchange hashpartitioning" in ln and "user_id" in ln
+        for ln in plan.splitlines()
+    ), plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pmi_topk_is_take_ordered_vocab_broadcast(spark):
+    """pmi_collocations_topk: the final top-k compiles to
+    TakeOrderedAndProject (distributed top-k, no global sort of the
+    pair relation) and the vocab joins broadcast; the co-occurrence
+    self-join stays keyed (no nested-loop)."""
+    from sql_data_warehouse_spark.analytics import all_queries
+
+    df = all_queries()["pmi_collocations_topk"].builder(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pareto_frontier_windows_are_bucket_partitioned(spark):
+    """pareto_frontier_parts: the corpus-sized windows partition by
+    the price bucket — the single-partition window is only the
+    bucket-grid running max (aggregate-sized). No pairwise stage."""
+    from sql_data_warehouse_spark.analytics import all_queries
+
+    df = all_queries()["pareto_frontier_parts"].builder(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert any(
+        "Exchange hashpartitioning" in ln and "_b" in ln
+        for ln in plan.splitlines()
+    ), plan
+    assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
