@@ -260,37 +260,39 @@ def dedup_pipeline_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     with its cluster and keep/drop decision — the exact relation a
     training-data builder materializes before tokenization.
 
-    Scale shape: every stage is the bounded-cost variant — banded
-    LSH self-join (Σ bucket²), candidate-only verification (two
-    doc_id joins + per-row array_intersect), O(log diameter)
-    label propagation, and a per-cluster window over the tiny
-    cluster relation. Nothing touches n². The normalize+shingle
-    scan — the dominant per-byte cost — runs ONCE: the shingle-set
-    relation is persisted and feeds both the OPH/LSH stage and the
-    two verifier joins (previously three full text passes; the
-    connected-components loop materializes eagerly at build time,
-    so the cache is released before the result is returned)."""
+    Scale shape: every stage is the bounded-cost variant — candidate
+    pairs come from the SESSION PAIR INDEX (the maintained LSH
+    artifact; the Σ bucket² band join runs once per corpus snapshot,
+    not per consumer), verification shingles ONLY documents that
+    appear in a candidate pair (keyed left-semi restriction before
+    the normalize+shingle scan — the same probe-don't-rebuild shape
+    as ``minhash_estimate_error``), then O(log diameter) label
+    propagation and a per-cluster window over the tiny cluster
+    relation. Nothing touches n², and the corpus-wide text pass
+    exists only inside the maintained index build. The candidate-doc
+    shingle relation is eagerly checkpointed (it feeds both verifier
+    sides); it is candidate-bounded — at extreme duplication density,
+    where candidates ≈ corpus, the linear-volume
+    ``dedup_keep_best_chain`` form is the documented path."""
     docs = load_table(spark, sf_dir, "documents")
-    n_part = spark.sparkContext.defaultParallelism
-    sets = dedup.shingle_sets(docs.repartition(n_part)).persist()
-    try:
-        candidates = dedup.minhash_candidate_pairs_from_sets(sets)
-        verified = (
-            dedup.jaccard_verify_sets(candidates, sets)
-            .filter(F.col("jaccard") >= 0.35)
-            .select("doc_a", "doc_b")
-        )
-        # Propagate labels over edge ENDPOINTS only (nodes=None): in a
-        # deduped corpus ~90 % of docs are singletons, and at 100 TB the
-        # iterative frame must be ∝ |edges|, not |corpus| — singletons
-        # rejoin afterwards with label = own id via one left join.
-        cc = dedup.connected_components(verified, src="doc_a", dst="doc_b")
-        # cc's edge frontier is localCheckpoint-ed eagerly above, so the
-        # shingle cache has served every consumer by this point; a
-        # failed job inside the try releases it too instead of leaking
-        # the cached relation for the session lifetime.
-    finally:
-        sets.unpersist()
+    candidates = _pairs_index(spark, sf_dir)
+    ids = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .union(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    cand_docs = docs.select("doc_id", "text").join(ids, "doc_id", "left_semi")
+    sets = dedup.shingle_sets(cand_docs).localCheckpoint(eager=True)
+    verified = (
+        dedup.jaccard_verify_sets(candidates, sets)
+        .filter(F.col("jaccard") >= 0.35)
+        .select("doc_a", "doc_b")
+    )
+    # Propagate labels over edge ENDPOINTS only (nodes=None): in a
+    # deduped corpus ~90 % of docs are singletons, and at 100 TB the
+    # iterative frame must be ∝ |edges|, not |corpus| — singletons
+    # rejoin afterwards with label = own id via one left join.
+    cc = dedup.connected_components(verified, src="doc_a", dst="doc_b")
     labeled = (
         docs.select("doc_id", "n_chars")
         .join(cc.select(F.col("id").alias("doc_id"),
@@ -345,7 +347,8 @@ def incremental_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-Jaccard verification keeps the decision deterministic and
     the whole pipeline hash-gated."""
     return dedup.incremental_dedup_delta(
-        load_table(spark, sf_dir, "documents"), threshold=0.35, delta_mod=5
+        load_table(spark, sf_dir, "documents"), threshold=0.35, delta_mod=5,
+        sigs=_sig_index(spark, sf_dir),
     )
 
 
@@ -366,7 +369,8 @@ def incremental_dedup_delta_sketch(spark: SparkSession,
     (pure md5 arithmetic). The exact form stays registered for
     clean/moderate ingests where full match stats are wanted."""
     return dedup.incremental_dedup_delta_sketch(
-        load_table(spark, sf_dir, "documents"), threshold=0.35, delta_mod=5
+        load_table(spark, sf_dir, "documents"), threshold=0.35, delta_mod=5,
+        sigs=_sig_index(spark, sf_dir),
     )
 
 

@@ -503,10 +503,18 @@ def _base_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         cache = {}
         spark._wh_base_band_idx = cache
     if sf_dir not in cache:
+        # Derived from the session's full-corpus signature index, not
+        # re-hashed from text: signatures are per-doc, so the base
+        # band relation is exactly the banding projection of the
+        # id-filtered signature rows — one maintained artifact,
+        # every LSH surface derives (lazy import: llmops imports are
+        # registration-heavy and this module loads first in some
+        # paths).
+        from .llmops import _sig_index
+
         cache[sf_dir] = (
-            dedup.minhash_band_hashes(
-                load_table(spark, sf_dir, "documents")
-                .filter(F.col("doc_id") % 5 != 0)
+            dedup._band_hashes(
+                _sig_index(spark, sf_dir).filter(F.col("doc_id") % 5 != 0)
             )
             .select("doc_id", "band_idx", "band_hash")
             .localCheckpoint(eager=True)

@@ -1360,7 +1360,8 @@ def dedup_keep_best_chain_sql(min_jaccard: float = 0.35,
 def incremental_dedup_delta(docs: DataFrame, threshold: float = 0.35,
                             delta_mod: int = 5, text_col: str = "text",
                             id_col: str = "doc_id",
-                            k: int = SHINGLE_K) -> DataFrame:
+                            k: int = SHINGLE_K,
+                            sigs: DataFrame | None = None) -> DataFrame:
     """Dedup an INCOMING batch against an already-ingested corpus
     without ever re-pairing the corpus with itself — the shape every
     continuously-crawling training pipeline needs: at 100 TB the base
@@ -1390,49 +1391,56 @@ def incremental_dedup_delta(docs: DataFrame, threshold: float = 0.35,
     probe-the-index here, which is what replaces it at corpus scale).
     """
     is_delta = F.col("doc_id") % delta_mod == 0
-    # Small-file inputs arrive as one scan partition; spread the
-    # normalize+shingle pass (the dominant per-byte cost) before it
-    # runs (same as dedup_pipeline_keep_best).
-    n_part = docs.sparkSession.sparkContext.defaultParallelism
-    sets = shingle_sets(docs.repartition(n_part), text_col, id_col,
-                        k).persist()
-    # The OPH signature relation feeds BOTH sides of the candidate
-    # self-join; unpersisted, the dominant per-byte stage (the
-    # exploded-shingle groupBy under it) would run twice. One row of
-    # n_perm ints per doc — tiny to cache.
-    sigs = minhash_signatures_from_sets(sets).persist()
-    try:
-        bands = _band_hashes(sigs)
-        a = bands.filter(is_delta).alias("a")
-        # The base side is corpus-sized: sort-merge, never broadcast
-        # (see _candidate_pairs_from_bands).
-        b = bands.hint("merge").alias("b")
-        cand = (
-            a.join(
-                b,
-                (F.col("a.band_idx") == F.col("b.band_idx"))
-                & (F.col("a.band_hash") == F.col("b.band_hash"))
-                & (
-                    (F.col("b.doc_id") % delta_mod != 0)
-                    | (F.col("b.doc_id") < F.col("a.doc_id"))
-                ),
-            )
-            .select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-            )
-            .distinct()
+    if sigs is None:
+        # Self-contained fallback: build the signature index in-op.
+        # Callers with a maintained index (the production shape —
+        # ``analytics.llmops._sig_index`` locally) pass it instead,
+        # and the corpus-wide text pass disappears from the ingest.
+        sigs = minhash_signatures(docs, text_col, id_col).localCheckpoint()
+    bands = _band_hashes(sigs)
+    a = bands.filter(is_delta).alias("a")
+    # The base side is corpus-sized: sort-merge, never broadcast
+    # (see _candidate_pairs_from_bands).
+    b = bands.hint("merge").alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (
+                (F.col("b.doc_id") % delta_mod != 0)
+                | (F.col("b.doc_id") < F.col("a.doc_id"))
+            ),
         )
-        verified = (
-            jaccard_verify_sets(cand, sets)
-            .filter(F.col("jaccard") >= threshold)
-            # Materialize before the shingle cache is released: the
-            # stats aggregation below is consumed lazily by callers.
-            .localCheckpoint(eager=True)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
         )
-    finally:
-        sets.unpersist()
-        sigs.unpersist()
+        .distinct()
+        # Candidate-sized; checkpointed so the id restriction and the
+        # verify joins don't each replay the band probe.
+        .localCheckpoint()
+    )
+    # Shingle ONLY candidate docs (both endpoints): the verify cost is
+    # ∝ the delta's bucket collisions, and the full corpus is never
+    # re-shingled per ingest — the probe-don't-rebuild shape.
+    ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    cand_docs = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
+    ).join(ids, "doc_id", "left_semi")
+    sets = shingle_sets(cand_docs, "_t", "doc_id", k).localCheckpoint(
+        eager=True)  # feeds both verifier sides
+    verified = (
+        jaccard_verify_sets(cand, sets)
+        .filter(F.col("jaccard") >= threshold)
+        # Materialize: the stats aggregation below is consumed lazily
+        # by callers.
+        .localCheckpoint(eager=True)
+    )
     is_base_match = (F.col("doc_b") % delta_mod != 0).cast("long")
     stats = verified.groupBy(F.col("doc_a").alias("doc_id")).agg(
         F.sum(is_base_match).alias("n_base_matches"),
@@ -1508,7 +1516,8 @@ def incremental_dedup_delta_sketch(docs: DataFrame,
                                    k_sketch: int = BOTTOM_K,
                                    text_col: str = "text",
                                    id_col: str = "doc_id",
-                                   k: int = SHINGLE_K) -> DataFrame:
+                                   k: int = SHINGLE_K,
+                                   sigs: DataFrame | None = None) -> DataFrame:
     """The EXTREME-DUPLICATION-SAFE ingest dedup — the chain/sketch
     twin of :func:`incremental_dedup_delta`, with both unbounded
     costs replaced by their fixed-size counterparts:
@@ -1532,28 +1541,37 @@ def incremental_dedup_delta_sketch(docs: DataFrame,
     the DuckDB twin hash-gates the whole pipeline including the
     estimate."""
     is_delta = F.col("doc_id") % delta_mod == 0
-    n_part = docs.sparkSession.sparkContext.defaultParallelism
-    sets = shingle_sets(docs.repartition(n_part), text_col, id_col,
-                        k).persist()
-    sigs = minhash_signatures_from_sets(sets).persist()
-    try:
-        bands = _band_hashes(sigs)
-        w = Window.partitionBy("band_idx", "band_hash").orderBy("doc_id")
-        cand = (
-            bands.withColumn("doc_b", F.lag("doc_id").over(w))
-            .filter(is_delta & F.col("doc_b").isNotNull())
-            .select(F.col("doc_id").alias("doc_a"), "doc_b")
-            .distinct()
-        )
-        verified = (
-            jaccard_bottomk_verify(cand, bottomk_sketches(sets, k_sketch),
-                                   k_sketch)
-            .filter(F.col("jaccard_est") >= threshold)
-            .localCheckpoint(eager=True)
-        )
-    finally:
-        sets.unpersist()
-        sigs.unpersist()
+    if sigs is None:
+        # Self-contained fallback; production callers pass the
+        # maintained signature index (see incremental_dedup_delta).
+        sigs = minhash_signatures(docs, text_col, id_col).localCheckpoint()
+    bands = _band_hashes(sigs)
+    w = Window.partitionBy("band_idx", "band_hash").orderBy("doc_id")
+    cand = (
+        bands.withColumn("doc_b", F.lag("doc_id").over(w))
+        .filter(is_delta & F.col("doc_b").isNotNull())
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+        .localCheckpoint()  # candidate-sized; feeds ids + verify
+    )
+    # Sketch ONLY candidate docs — the verify payload is fixed-size
+    # per doc AND built from a candidate-restricted shingle pass.
+    ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    cand_docs = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
+    ).join(ids, "doc_id", "left_semi")
+    sets = shingle_sets(cand_docs, "_t", "doc_id", k).localCheckpoint(
+        eager=True)
+    verified = (
+        jaccard_bottomk_verify(cand, bottomk_sketches(sets, k_sketch),
+                               k_sketch)
+        .filter(F.col("jaccard_est") >= threshold)
+        .localCheckpoint(eager=True)
+    )
     stats = verified.groupBy(F.col("doc_a").alias("doc_id")).agg(
         F.max((F.col("doc_b") % delta_mod != 0).cast("int"))
         .alias("has_base"),
