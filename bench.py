@@ -177,6 +177,13 @@ def main() -> None:
 
         _pairs_index(spark, sf_dir)
 
+    def build_copurchase_pairs() -> None:
+        from sql_data_warehouse_spark.analytics.advanced import (
+            _copurchase_pair_counts,
+        )
+
+        _copurchase_pair_counts(spark, sf_dir)
+
     # Durability gates whose wall-clock is subprocess JVM startup, not
     # engine work, are excluded from the throughput bench; they remain
     # in queries()/oracle_sql(), so the driver's CORRECTNESS gate still
@@ -228,6 +235,11 @@ def main() -> None:
               "dedup_pipeline_keep_best") for n in queries
     ):
         timed("_minhash_pairs_build", build_pairs_index)
+    if not only or any(
+        n in ("copurchase_pagerank_top20", "copurchase_triangle_counts")
+        for n in queries
+    ):
+        timed("_copurchase_pairs_build", build_copurchase_pairs)
 
     for name, q in queries.items():
         df_builder = q.builder

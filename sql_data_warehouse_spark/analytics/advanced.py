@@ -1000,6 +1000,37 @@ def part_type_price_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------- graph
 
 
+def _copurchase_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-direction co-purchase pair counts (src, dst, n), built
+    ONCE per (session, sf_dir) and eagerly checkpointed — the shared
+    graph artifact: the support-1 projection is exactly the DISTINCT
+    edge set PageRank wants (the grouped count's keys), and the
+    support-2 filter is the triangle-mining graph. One lineitem
+    self-join per corpus snapshot, not one per graph query — the
+    same amortization as ``llmops._sig_index``."""
+    cache = getattr(spark, "_wh_copurchase_pairs", None)
+    if cache is None:
+        cache = {}
+        spark._wh_copurchase_pairs = cache
+    if sf_dir not in cache:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        a, b = li.alias("a"), li.alias("b")
+        cache[sf_dir] = (
+            a.join(
+                b,
+                (F.col("a.ok") == F.col("b.ok"))
+                & (F.col("a.pk") < F.col("b.pk")),
+            )
+            .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+    return cache[sf_dir]
+
+
 @query(
     "copurchase_pagerank_top20",
     survey="ext-graph A2 A7 O2",
@@ -1019,7 +1050,8 @@ def copurchase_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sum per destination) over a localCheckpoint-ed edge relation —
     the canonical distributed PageRank step, linear in |edges|.
     Top-20 compiles to TakeOrderedAndProject (no global sort)."""
-    edges = _graph.copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    edges = _graph.edges_from_pair_counts(
+        _copurchase_pair_counts(spark, sf_dir))
     ranks = _graph.pagerank_scaled(edges, n_iter=3)
     return (
         ranks.orderBy(F.col("rank_scaled").desc(), F.col("node"))

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import TOKENS_SQL, tokens
+from ..operators import graph as _graph
 from ..operators.skyline import pareto_frontier_2d, pareto_frontier_sql
 from ..sources import load_table
 from .registry import query
@@ -219,3 +220,37 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_size").cast("long").alias("size_b"),
     )
     return pareto_frontier_2d(p, "price_cents", "size_b")
+
+
+# ------------------------------------------------------------ triangles
+
+
+@query(
+    "copurchase_triangle_counts",
+    survey="ext-graph J-self A2",
+    tags=("graph", "mining"),
+    oracle=_graph.copurchase_triangles_sql(),
+)
+def copurchase_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts in the SUPPORTED co-purchase graph
+    (pairs co-bought in ≥2 orders) — the local clustering signal
+    ("parts whose co-purchase neighborhoods are cliques") behind
+    bundle detection, next to the global-importance PageRank
+    (``copurchase_pagerank_top20``).
+
+    The support cut is the scale decision, not a shortcut: one-off
+    co-occurrences are ~uniform noise growing ∝ facts (1.196M pairs →
+    3.9k at support 2, sf0.1), and triangle mining on the unsupported
+    graph spends its wedges on noise (measured 19–31 s vs ~3 s here
+    at sf0.1, same counts semantics on the graph that matters).
+    Spark side is DEGREE-ORIENTED wedge counting
+    (:func:`..operators.graph.triangle_counts`: orientation bounds
+    wedge fan-out by O(sqrt(m)) out-degree — the celebrity-node
+    defense); the oracle is the definitional a<b<c triple join, so
+    the gate checks the oriented rewrite against an independent
+    derivation."""
+    from .advanced import _copurchase_pair_counts
+
+    return _graph.triangle_counts(
+        _graph.edges_from_pair_counts(
+            _copurchase_pair_counts(spark, sf_dir), min_support=2))

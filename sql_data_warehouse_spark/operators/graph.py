@@ -40,30 +40,45 @@ from pyspark.sql import functions as F
 RANK_SCALE = 1_000_000_000_000  # 1.0 in scaled-integer rank units
 
 
-def copurchase_edges(lineitem: DataFrame) -> DataFrame:
+def copurchase_edges(lineitem: DataFrame,
+                     min_support: int = 1) -> DataFrame:
     """Undirected co-purchase edges (both directions materialized):
-    two parts are connected when any order contains both. One shuffle
-    keyed by order; per-order fan-out is C(items, 2)."""
+    two parts are connected when ≥ ``min_support`` orders contain
+    both. One shuffle keyed by order; per-order fan-out is
+    C(items, 2).
+
+    ``min_support`` is the market-basket SUPPORT cut: at 1 the graph
+    is every co-occurrence (what global importance — PageRank —
+    wants); at 2+ it keeps only REPEATED co-purchases, which is both
+    the semantically meaningful recommendation graph and the scale
+    lever — one-off co-occurrence pairs are ~uniform noise that grows
+    ∝ facts (measured 1.196M pairs → 3.9k at support 2, sf0.1), and
+    local-structure mining (triangles) belongs on the supported
+    graph."""
     li = lineitem.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     )
     a, b = li.alias("a"), li.alias("b")
-    und = (
-        a.join(
-            b,
-            (F.col("a.ok") == F.col("b.ok"))
-            & (F.col("a.pk") < F.col("b.pk")),
+    pairs = a.join(
+        b,
+        (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")),
+    ).select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+    if min_support > 1:
+        und = (
+            pairs.groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= min_support)
+            .select("src", "dst")
         )
-        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
-        .distinct()
-        # Materialize the one-direction edge list ONCE (checkpoint,
-        # not cache — the caller owns the returned lineage, so there
-        # is no release point for a persist): the union below
-        # references it twice, the degree aggregation a third time
-        # and the degree join a fourth — without it the orderkey
-        # self-join would replay for each reference.
-        .localCheckpoint()
-    )
+    else:
+        und = pairs.distinct()
+    # Materialize the one-direction edge list ONCE (checkpoint, not
+    # cache — the caller owns the returned lineage, so there is no
+    # release point for a persist): the union below references it
+    # twice, the degree aggregation a third time and the degree join
+    # a fourth — without it the orderkey self-join would replay for
+    # each reference.
+    und = und.localCheckpoint()
     return und.union(
         und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -176,3 +191,106 @@ def copurchase_pagerank_sql(n_iter: int = 3, damping_pct: int = 85,
         ORDER BY r DESC, node
         LIMIT {top_n}
     """
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts → (node, n_triangles),
+    nodes in ≥1 triangle. ``edges`` must contain BOTH directions of
+    every undirected edge (as :func:`copurchase_edges` emits).
+
+    The scalable formulation is DEGREE ORIENTATION (the standard
+    distributed triangle algorithm): direct every undirected edge
+    from its lower-(degree, id) endpoint to the higher one, build
+    wedges only from ORIENTED out-edges, and close each wedge with a
+    semi-check against the oriented edge set. Every triangle is then
+    enumerated exactly once (at its lowest-order apex), and the wedge
+    count is Σ out-deg² where orientation bounds out-degree by
+    O(√m) — versus Σ deg² unoriented, which a single celebrity node
+    makes quadratic. All joins are keyed (apex, then (v, w)); no
+    stage is ever all-pairs.
+
+    Exact integer counts ⇒ hash-gates against the definitional
+    a<b<c triple-join oracle."""
+    und = edges.filter(F.col("src") < F.col("dst"))
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("deg"))
+    d = und.join(deg.withColumnRenamed("src", "dst")
+                 .withColumnRenamed("deg", "deg_dst")
+                 .hint("merge"), "dst") \
+           .join(deg.hint("merge"), "src")
+    lower_first = (F.col("deg") < F.col("deg_dst")) | (
+        (F.col("deg") == F.col("deg_dst")) & (F.col("src") < F.col("dst"))
+    )
+    oriented = d.select(
+        F.when(lower_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(lower_first, F.col("dst")).otherwise(F.col("src")).alias("v"),
+    ).localCheckpoint()  # three consumers: two wedge sides + closer
+    a = oriented.alias("a")
+    b = oriented.alias("b")
+    wedges = a.join(
+        b,
+        (F.col("a.u") == F.col("b.u")) & (F.col("a.v") < F.col("b.v")),
+    ).select(
+        F.col("a.u").alias("apex"),
+        F.col("a.v").alias("x"),
+        F.col("b.v").alias("y"),
+    )
+    closer = oriented.select(
+        F.col("u").alias("x"), F.col("v").alias("y")
+    ).union(
+        oriented.select(F.col("v").alias("x"), F.col("u").alias("y"))
+    )
+    tri = wedges.join(closer, ["x", "y"], "left_semi")
+    members = (
+        tri.select(F.col("apex").alias("node"))
+        .union(tri.select(F.col("x").alias("node")))
+        .union(tri.select(F.col("y").alias("node")))
+    )
+    return members.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+def copurchase_triangles_sql(min_support: int = 2) -> str:
+    """DuckDB twin: the DEFINITION — a<b<c triple self-join over the
+    one-direction supported edge set, then per-node membership
+    counts. An independent derivation of the same counts (no
+    orientation)."""
+    return f"""
+        WITH und AS MATERIALIZED (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a
+          JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY src, dst HAVING COUNT(*) >= {min_support}
+        ),
+        tri AS MATERIALIZED (
+          SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+          FROM und e1
+          JOIN und e2 ON e2.src = e1.dst
+          JOIN und e3 ON e3.src = e1.src AND e3.dst = e2.dst
+        ),
+        members AS (
+          SELECT a AS node FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri
+        )
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM members GROUP BY node
+    """
+
+
+def edges_from_pair_counts(pair_counts: DataFrame,
+                           min_support: int = 1) -> DataFrame:
+    """Both-direction edge relation from a materialized one-direction
+    (src, dst, n) pair-count table — the shared co-purchase artifact
+    (one lineitem self-join per corpus snapshot serves PageRank at
+    support 1 AND triangle mining at support 2+; the grouped count's
+    keys make the support-1 projection exactly the DISTINCT edge
+    set)."""
+    und = pair_counts
+    if min_support > 1:
+        und = und.filter(F.col("n") >= min_support)
+    und = und.select("src", "dst")
+    return und.union(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )

@@ -367,3 +367,38 @@ def test_pareto_frontier_bucketed_equals_definition(spark, rows,
         )
     )
     assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=0, max_size=40,
+    ),
+)
+@_SETTLE
+def test_triangle_counts_oriented_equals_definition(spark, edges):
+    """triangle_counts (degree-oriented wedge counting) must equal
+    brute-force per-node triangle membership for ANY graph — heavy
+    degree ties, isolated nodes, multi-edges (deduped on input)."""
+    from itertools import combinations
+
+    from sql_data_warehouse_spark.operators.graph import triangle_counts
+
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not und:
+        return
+    both = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    df = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in both], "src long, dst long"
+    ).repartition(3)
+    got = {
+        (r.node, r.n_triangles)
+        for r in triangle_counts(df).collect()
+    }
+    nodes = {n for e in und for n in e}
+    want = {}
+    for a, b, c in combinations(sorted(nodes), 3):
+        if ({(a, b), (a, c), (b, c)} <= und):
+            for n in (a, b, c):
+                want[n] = want.get(n, 0) + 1
+    assert got == set(want.items())

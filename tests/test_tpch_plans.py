@@ -367,3 +367,17 @@ def test_pareto_frontier_windows_are_bucket_partitioned(spark):
     ), plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_triangle_counts_keyed_joins_only(spark):
+    """copurchase_triangle_counts: every stage is a keyed join (apex
+    wedge join, (x, y) semi-close) — no nested-loop, no cartesian;
+    the wedge closer is a LeftSemi."""
+    from sql_data_warehouse_spark.analytics import all_queries
+
+    df = all_queries()["copurchase_triangle_counts"].builder(
+        spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
