@@ -220,6 +220,7 @@ def main() -> None:
     if not only or any(
         n in ("minhash_bands", "minhash_candidate_pairs",
               "minhash_estimate_error", "dedup_pipeline_keep_best",
+              "dedup_keep_best_chain",
               "incremental_dedup_delta", "incremental_dedup_delta_sketch",
               "stream_ingest_near_dup_bands",
               "stream_ingest_near_dup_maintained") for n in queries

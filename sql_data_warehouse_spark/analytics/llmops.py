@@ -327,7 +327,9 @@ def dedup_keep_best_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     (100 copies/doc) killed the exact form on local disk and runs
     this one in minutes (BASELINE.md round 3). Deterministic
     end-to-end, so the DuckDB twin hash-gates the estimator too."""
-    return dedup.dedup_keep_best_chain(load_table(spark, sf_dir, "documents"))
+    return dedup.dedup_keep_best_chain(
+        load_table(spark, sf_dir, "documents"),
+        sigs=_sig_index(spark, sf_dir))
 
 
 @query(

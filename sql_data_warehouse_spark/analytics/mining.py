@@ -1,5 +1,6 @@
 """Pattern-mining analytics: event-sequence transition matrices,
-vocabulary collocations (lift / pre-log PMI), and the 2-D skyline.
+vocabulary collocations (lift / pre-log PMI), the 2-D skyline, and
+triangle counting over the supported co-purchase graph.
 
 These extend the reference's change-over-time and ranking families
 (`/root/reference/scripts/analysis/07_change_over_time_analysis.sql`,

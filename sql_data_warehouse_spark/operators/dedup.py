@@ -1206,7 +1206,14 @@ def chain_candidate_pairs_from_sets(sets: DataFrame) -> DataFrame:
     """Chain candidates: (doc_a, doc_b) consecutive by doc_id within
     each (band_idx, band_hash) LSH bucket. Output is ≤ |bands| rows —
     linear in corpus size by construction."""
-    bands = _band_hashes(minhash_signatures_from_sets(sets))
+    return chain_candidate_pairs_from_bands(
+        _band_hashes(minhash_signatures_from_sets(sets)))
+
+
+def chain_candidate_pairs_from_bands(bands: DataFrame) -> DataFrame:
+    """:func:`chain_candidate_pairs_from_sets` over a precomputed
+    band relation (e.g. the banding projection of a maintained
+    signature index)."""
     w = Window.partitionBy("band_idx", "band_hash").orderBy("doc_id")
     return (
         bands.withColumn("doc_b", F.lead("doc_id").over(w))
@@ -1236,37 +1243,52 @@ def jaccard_bottomk_verify(pairs: DataFrame, sketches: DataFrame,
 
 
 def dedup_keep_best_chain(docs: DataFrame, min_jaccard: float = 0.35,
-                          k_sketch: int = BOTTOM_K) -> DataFrame:
+                          k_sketch: int = BOTTOM_K,
+                          sigs: DataFrame | None = None) -> DataFrame:
     """Linear-volume keep-best dedup (see the section note above):
     fingerprint collapse → OPH/LSH chain candidates over
     representatives → bottom-k sketch verify → connected components →
     keep the longest doc per cluster (doc_id tiebreak). Same output
     shape as ``dedup_pipeline_keep_best``; every stage's cost is
-    ∝ corpus size regardless of duplication density."""
-    spark = docs.sparkSession
-    n_part = spark.sparkContext.defaultParallelism
+    ∝ corpus size regardless of duplication density.
+
+    Pass ``sigs`` (a maintained per-doc signature index) and the
+    banding stage becomes an id-filtered projection of it; sketches
+    are then built ONLY for docs that survive into a chain candidate
+    — the probe-don't-rebuild shape shared with
+    ``incremental_dedup_delta``. The sketch scan stays worst-case ∝
+    reps (chain candidates cover every bucketed doc at extreme
+    duplication density), which is exactly this form's contract."""
     fp = docs.select(
         "doc_id", "n_chars",
         F.md5(normalize_text(F.col("text"))).alias("fp"),
     )
     reps = fp.groupBy("fp").agg(F.min("doc_id").alias("rep_id"))
-    rep_docs = docs.join(
-        reps.select(F.col("rep_id").alias("doc_id")).hint("merge"), "doc_id"
-    ).select("doc_id", "text")
-    sets = shingle_sets(rep_docs.repartition(n_part)).persist()
-    try:
-        cands = chain_candidate_pairs_from_sets(sets)
-        sk = bottomk_sketches(sets, k_sketch)
-        verified = (
-            jaccard_bottomk_verify(cands, sk, k_sketch)
-            .filter(F.col("jaccard_est") >= min_jaccard)
-            .select("doc_a", "doc_b")
-        )
-        # Eagerly materialized inside connected_components, so the
-        # shingle cache has served every consumer when this returns.
-        cc = connected_components(verified, src="doc_a", dst="doc_b")
-    finally:
-        sets.unpersist()
+    rep_ids = reps.select(F.col("rep_id").alias("doc_id"))
+    if sigs is None:
+        rep_docs = docs.join(rep_ids.hint("merge"), "doc_id").select(
+            "doc_id", "text")
+        rep_sigs = minhash_signatures(rep_docs).localCheckpoint()
+    else:
+        rep_sigs = sigs.join(rep_ids.hint("merge"), "doc_id", "left_semi")
+    cands = chain_candidate_pairs_from_bands(
+        _band_hashes(rep_sigs)
+    ).localCheckpoint()  # candidate-sized; feeds ids + verify
+    ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    cand_docs = docs.select("doc_id", "text").join(ids, "doc_id",
+                                                   "left_semi")
+    sets = shingle_sets(cand_docs).localCheckpoint(eager=True)
+    verified = (
+        jaccard_bottomk_verify(cands, bottomk_sketches(sets, k_sketch),
+                               k_sketch)
+        .filter(F.col("jaccard_est") >= min_jaccard)
+        .select("doc_a", "doc_b")
+    )
+    cc = connected_components(verified, src="doc_a", dst="doc_b")
     rep_labels = reps.join(
         cc.select(F.col("id").alias("rep_id"),
                   F.col("label").alias("cluster_id")).hint("merge"),
