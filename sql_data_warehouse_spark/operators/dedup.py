@@ -419,9 +419,13 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text",
     # winnowing pitfall — measured ~10 s for a 200-doc slice);
     # shingle_sets stages the normalized text as a multi-referenced
     # column CollapseProject won't re-inline.
+    # Eager checkpoint at the branch point: the exploded index feeds
+    # the size aggregate AND both self-join sides — unmaterialized,
+    # the normalize+shingle scan re-runs once per consumer (the
+    # branch-point rule, verify SKILL.md).
     sh = shingle_sets(df, text_col, id_col, k).select(
         "doc_id", F.explode("sh").alias("shingle")
-    )
+    ).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
