@@ -172,6 +172,7 @@ _SPOTLIGHT = frozenset({
     "pmi_collocations_topk",             # NEW: lift collocations (pre-log PMI)
     "pareto_frontier_parts",             # NEW: bucketed 2-D skyline
     "copurchase_triangle_counts",        # NEW: degree-oriented triangles
+    "stream_ingest_embedding_cells",     # NEW: maintained IVF cell index
     "gold_dim_products_scalable_sk",     # NEW: composite-key scalable SK
     "wh_q06_top5_products_dense_rank",   # NEW: closes VERDICT r6 missing #4
     "bucketed_colocated_join",           # NEW: exchange-free bucketed layout

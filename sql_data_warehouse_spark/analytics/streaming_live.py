@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import NORMALIZE_SQL as _RAW_NORM_SQL
 from ..functions.text import normalize_text as _norm_text
-from ..operators import dedup
+from ..operators import dedup, kmeans
 from ..sources import load_table
 from ..streaming import jobs
 from .registry import query
@@ -735,6 +735,137 @@ def maintained_near_dup_ingest(spark: SparkSession, src: str,
             coll = spark.read.parquet(coll_dir).distinct()
         else:  # no collisions in any batch: empty, schema-stable
             coll = spark.createDataFrame([], "doc_id long, band_idx int")
+        out = spark.createDataFrame(coll.collect(), coll.schema)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(idx_root, ignore_errors=True)
+        shutil.rmtree(coll_dir, ignore_errors=True)
+    return out
+
+
+# ------------------------------------------ maintained IVF cell index
+
+
+def _delta_emb_zone(spark: SparkSession, sf_dir: str) -> str:
+    """Multi-file landing zone for the 'new embeddings batch' stream
+    (vec_id % 5 == 0 — the embedding twin of ``_delta_docs_zone``).
+    Cached per (session, sf_dir)."""
+    cache = getattr(spark, "_wh_emb_delta_zones", None)
+    if cache is None:
+        cache = {}
+        spark._wh_emb_delta_zones = cache
+    if sf_dir not in cache:
+        path = scratch_dir("emb_delta_src_")
+        (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") % 5 == 0)
+            .repartition(_N_SOURCE_FILES)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        cache[sf_dir] = path
+    return cache[sf_dir]
+
+
+@query(
+    "stream_ingest_embedding_cells",
+    survey="ext-stream ext-sim ext-incremental A2 J2",
+    tags=("streaming", "live"),
+    oracle=kmeans.maintained_cell_ingest_sql(delta_mod=5, n_clusters=8,
+                                             n_iter=2),
+)
+def stream_ingest_embedding_cells(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """STREAMING maintained-IVF ingest — the EMBEDDING twin of
+    ``stream_ingest_near_dup_maintained``: the coarse quantizer is
+    learned ONCE on the base corpus (deterministic 2-iteration Lloyd,
+    ``operators/kmeans.kmeans_fit``), the (vec_id, cell) assignment
+    table is a maintained TxnTable bootstrapped with the base
+    vectors, and each micro-batch of newly-arrived embeddings is
+    cell-assigned (Arrow argmin — structurally constant plan per
+    batch), reported with its cell's BASE population (the probe-cost
+    signal an ANN ingest routes on), and APPENDED to the index.
+
+    Deterministic under any micro-batch arrival order: assignment
+    depends only on the vector and the frozen centroids, and the
+    reported population counts base rows only — so the DuckDB twin
+    (unrolled-Lloyd fit on the base split + base/delta assignment)
+    replays the stream bit-for-bit.
+
+    Scale shape: per-batch work is one Arrow projection over the
+    batch plus one keyed join against the ≤k-row cell-size aggregate;
+    the index table grows by exactly the batch; the one corpus-wide
+    cost (the Lloyd fit + base assignment) is the index BOOTSTRAP,
+    paid once per table lifetime — in production the centroids and
+    the assignment table are stored artifacts, like the PQ codebook
+    and LSH band index."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    cents = kmeans.kmeans_fit(base, k=8, n_iter=2)
+    base_cells = kmeans.kmeans_assign_arrow(base, cents).select(
+        "vec_id", F.col("cluster_id").cast("long").alias("cell"))
+    src = _delta_emb_zone(spark, sf_dir)
+    return maintained_cell_ingest(spark, src, base_cells, cents)
+
+
+def maintained_cell_ingest(spark: SparkSession, src: str,
+                           base_cells: DataFrame,
+                           centroids: list[list[float]],
+                           max_files_per_trigger: int = 2) -> DataFrame:
+    """Core of ``stream_ingest_embedding_cells``, split out so tests
+    can drive it with a controlled landing zone / batch size.
+    ``base_cells`` is the base corpus's (vec_id, cell) relation;
+    ``centroids`` the frozen coarse quantizer."""
+    import glob as _glob
+
+    from ..sources.txn import TxnTable
+
+    idx_root = scratch_dir("wh_cell_index_")
+    coll_dir = scratch_dir("wh_cell_out_")
+    ckpt = scratch_dir("stream_cell_ckpt_")
+    tbl = TxnTable(idx_root)
+    tbl.overwrite(base_cells.withColumn("is_base", F.lit(True)))
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        cells = (
+            kmeans.kmeans_assign_arrow(batch_df, centroids)
+            .select("vec_id", F.col("cluster_id").cast("long").alias("cell"))
+            # consumed twice (report join + index append): materialize
+            # so the Arrow assignment runs once per batch
+            .localCheckpoint(eager=True)
+        )
+        idx = tbl.read(spark)
+        szs = (
+            idx.filter(F.col("is_base"))
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n_cell_base"))
+        )
+        out = cells.join(szs, "cell", "left").select(
+            "vec_id", "cell",
+            F.coalesce("n_cell_base", F.lit(0)).cast("long")
+            .alias("n_cell_base"),
+        )
+        out.write.mode("append").parquet(coll_dir)
+        tbl.append(cells.withColumn("is_base", F.lit(False)))
+
+    try:
+        q = (
+            spark.readStream.schema(
+                "vec_id long, embedding array<float>, label int"
+            )
+            .option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .parquet(src)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if _glob.glob(f"{coll_dir}/*.parquet"):
+            coll = spark.read.parquet(coll_dir).distinct()
+        else:  # empty delta zone: schema-stable empty result
+            coll = spark.createDataFrame(
+                [], "vec_id long, cell long, n_cell_base long")
         out = spark.createDataFrame(coll.collect(), coll.schema)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)

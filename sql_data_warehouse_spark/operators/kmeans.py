@@ -312,7 +312,8 @@ def _kmeans_dist_sql(v: str, c: str) -> str:
     return f"({dot_sql(c, c)} - 2.0 * {dot_sql(v, c)})"
 
 
-def _lloyd_chain_ctes(k_sql: str, n_iter: int) -> list[str]:
+def _lloyd_chain_ctes(k_sql: str, n_iter: int,
+                      vec_filter: str = "TRUE") -> list[str]:
     """The shared unrolled-Lloyd CTE chain: emb / dims / c0 (the
     md5-ordered seed draw) and ``n_iter`` (a{j} assignment,
     c{j+1} scaled-int64 mean) stage pairs — exactly ``kmeans_fit``'s
@@ -320,9 +321,12 @@ def _lloyd_chain_ctes(k_sql: str, n_iter: int) -> list[str]:
     fixed-k IVF oracle, or a scalar subquery (k = ceil(n/target) —
     the SemDeDup density-adaptive rule) for data-sized cells; the
     chain itself never needs k as a Python constant because every
-    stage joins the WHOLE c{j} relation."""
+    stage joins the WHOLE c{j} relation. ``vec_filter`` restricts
+    the fit corpus (e.g. the base split of a maintained-index
+    ingest)."""
     parts = [f"""
-        emb AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+        emb AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
+                             WHERE {vec_filter}),
         dims AS MATERIALIZED (
           SELECT vec_id, unnest(embedding) AS x,
                  unnest(range(1, len(embedding) + 1)) AS pos
@@ -494,4 +498,56 @@ def semantic_dedup_kmeans_sql(threshold: float = 0.35,
         SELECT id AS vec_id, MIN(lab) AS cluster_id,
                (id = MIN(lab)) AS is_kept
         FROM reach GROUP BY id
+    """
+
+
+def maintained_cell_ingest_sql(delta_mod: int = 5, n_clusters: int = 8,
+                               n_iter: int = 2) -> str:
+    """DuckDB twin of the streaming maintained-IVF ingest
+    (``analytics.streaming_live.stream_ingest_embedding_cells``):
+    fit the coarse quantizer on the BASE split only (unrolled Lloyd,
+    same chain as :func:`ivf_kmeans_topk_sql`), assign base vectors
+    to cells, then assign each DELTA vector and report its cell plus
+    the BASE population of that cell — the probe-cost signal the
+    ingest routes on. Base-only counts keep the result independent
+    of micro-batch arrival order, so the stream replays bit-for-bit.
+    Assignment-margin argument: same as ``ivf_kmeans_topk_sql``."""
+    dist = _kmeans_dist_sql
+    parts = _lloyd_chain_ctes(
+        str(n_clusters), n_iter,
+        vec_filter=f"vec_id % {delta_mod} != 0")
+    cn = f"c{n_iter}"
+    parts.append(f"""
+        base_cells AS MATERIALIZED (
+          SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY {dist("e.embedding", "c.c")} ASC,
+                              c.cid ASC) AS rn
+            FROM emb e CROSS JOIN {cn} c
+          ) WHERE rn = 1
+        ),
+        cellsz AS (
+          SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_cell_base
+          FROM base_cells GROUP BY cid
+        ),
+        delta AS (
+          SELECT vec_id, embedding FROM embeddings
+          WHERE vec_id % {delta_mod} = 0
+        ),
+        delta_cells AS (
+          SELECT vec_id, cid FROM (
+            SELECT d.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                     ORDER BY {dist("d.embedding", "c.c")} ASC,
+                              c.cid ASC) AS rn
+            FROM delta d CROSS JOIN {cn} c
+          ) WHERE rn = 1
+        )""")
+    ctes = ",".join(parts)
+    return f"""
+        WITH {ctes}
+        SELECT dc.vec_id, CAST(dc.cid AS BIGINT) AS cell,
+               CAST(COALESCE(s.n_cell_base, 0) AS BIGINT) AS n_cell_base
+        FROM delta_cells dc LEFT JOIN cellsz s ON s.cid = dc.cid
     """

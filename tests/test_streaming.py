@@ -298,3 +298,30 @@ def test_maintained_index_catches_cross_batch_near_dup(
     # attribution is canonical: the LARGER delta id carries the pair
     assert {d for d, _ in got} == {20}
     assert len(got) == 4
+
+
+def test_maintained_cell_ingest_batchsize_independent(spark):
+    """stream_ingest_embedding_cells' determinism contract: the
+    drained result is identical for ANY micro-batch partitioning of
+    the same delta zone (1 file/trigger vs all-at-once), because
+    assignment depends only on the frozen centroids and the reported
+    population counts base rows only."""
+    from sql_data_warehouse_spark.analytics.streaming_live import (
+        _delta_emb_zone, maintained_cell_ingest,
+    )
+    from sql_data_warehouse_spark.operators import kmeans
+    from sql_data_warehouse_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    cents = kmeans.kmeans_fit(base, k=4, n_iter=1)
+    base_cells = kmeans.kmeans_assign_arrow(base, cents).select(
+        "vec_id", F.col("cluster_id").cast("long").alias("cell"))
+    src = _delta_emb_zone(spark, SF_SMOKE)
+    runs = [
+        sorted(map(tuple, maintained_cell_ingest(
+            spark, src, base_cells, cents, max_files_per_trigger=m,
+        ).collect()))
+        for m in (1, 64)
+    ]
+    assert runs[0] == runs[1] and len(runs[0]) > 0
