@@ -222,6 +222,8 @@ def main() -> None:
               "minhash_estimate_error", "dedup_pipeline_keep_best",
               "dedup_keep_best_chain",
               "incremental_dedup_delta", "incremental_dedup_delta_sketch",
+              "split_leakage_pairs", "split_leakage_repair",
+              "split_leakage_repair_chain",
               "stream_ingest_near_dup_bands",
               "stream_ingest_near_dup_maintained") for n in queries
     ):

@@ -1158,8 +1158,8 @@ def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
     )
     labeled = docs.select("doc_id", split.alias("split"))
-    bands = dedup.minhash_band_hashes(docs).join(labeled.hint("merge"),
-                                                 "doc_id")
+    bands = dedup._band_hashes(_sig_index(spark, sf_dir)).join(
+        labeled.hint("merge"), "doc_id")
     a = bands.filter(F.col("split") == "train").alias("a")
     b = bands.filter(F.col("split") == "test").hint("merge").alias("b")
     cand = (
@@ -1173,10 +1173,20 @@ def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
         )
         .distinct()
+        .localCheckpoint()  # candidate-sized; feeds ids + verify
     )
-    verified = dedup.jaccard_verify(cand, docs).filter(
-        F.col("jaccard") >= _LEAK_MIN_JACCARD
+    # Shingle ONLY candidate docs — the probe-don't-rebuild shape
+    # shared with minhash_estimate_error.
+    ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
     )
+    cand_docs = docs.select("doc_id", "text").join(ids, "doc_id",
+                                                   "left_semi")
+    verified = dedup.jaccard_verify_sets(
+        cand, dedup.shingle_sets(cand_docs).localCheckpoint(eager=True)
+    ).filter(F.col("jaccard") >= _LEAK_MIN_JACCARD)
     return verified.select(
         F.col("doc_a").alias("train_doc"),
         F.col("doc_b").alias("test_doc"),
@@ -1450,7 +1460,9 @@ def split_leakage_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         reps.filter((F.col("has_train") == 1) & (F.col("has_eval") == 1))
         .select("fp")
     )
-    bands = dedup.minhash_band_hashes(reps).join(
+    rep_sigs = _sig_index(spark, sf_dir).join(
+        reps.select("doc_id").hint("merge"), "doc_id", "left_semi")
+    bands = dedup._band_hashes(rep_sigs).join(
         reps.select("doc_id", "fp", "has_train", "has_eval").hint("merge"),
         "doc_id")
     a = bands.filter(F.col("has_train") == 1).alias("a")
@@ -1467,9 +1479,20 @@ def split_leakage_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
         )
         .distinct()
+        .localCheckpoint()  # candidate-sized; feeds ids + verify
     )
+    ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    cand_reps = reps.select("doc_id", "text").join(ids, "doc_id",
+                                                   "left_semi")
     cross_leaked = (
-        dedup.jaccard_verify(cand, reps)
+        dedup.jaccard_verify_sets(
+            cand,
+            dedup.shingle_sets(cand_reps).localCheckpoint(eager=True),
+        )
         .filter(F.col("jaccard") >= _LEAK_MIN_JACCARD)
         .join(reps.select(F.col("doc_id").alias("doc_a"), "fp"), "doc_a")
         .select("fp")
@@ -1538,7 +1561,8 @@ def split_leakage_repair_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the chain pipeline and the recursive-CTE closure."""
     docs = load_table(spark, sf_dir, "documents")
     clusters = dedup.dedup_keep_best_chain(
-        docs, min_jaccard=_LEAK_MIN_JACCARD
+        docs, min_jaccard=_LEAK_MIN_JACCARD,
+        sigs=_sig_index(spark, sf_dir),
     ).select("doc_id", "cluster_id")
     prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     split = (
