@@ -255,3 +255,102 @@ def copurchase_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _graph.triangle_counts(
         _graph.edges_from_pair_counts(
             _copurchase_pair_counts(spark, sf_dir), min_support=2))
+
+
+# ------------------------------------------------- count-min sketch
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 64
+
+
+def _cms_bucket_sql(i: int, key_sql: str) -> str:
+    return (f"(('0x' || substr(md5(CAST({i} AS VARCHAR) || '|' "
+            f"|| {key_sql}), 1, 8))::BIGINT) % {_CMS_WIDTH}")
+
+
+@query(
+    "cms_event_type_estimates",
+    survey="ext-sketch A1 A2",
+    tags=("events", "mining", "sketch"),
+    oracle=f"""
+        WITH ev AS MATERIALIZED (SELECT event_type FROM events),
+        rows_ AS MATERIALIZED (
+          SELECT event_type, g.i,
+                 {_cms_bucket_sql("g.i", "event_type")} AS bk
+          FROM ev, (SELECT unnest(generate_series(0, {_CMS_DEPTH - 1}))
+                    AS i) g
+        ),
+        sketch AS MATERIALIZED (
+          SELECT i, bk, CAST(COUNT(*) AS BIGINT) AS c
+          FROM rows_ GROUP BY i, bk
+        ),
+        keys AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact
+          FROM ev GROUP BY event_type
+        ),
+        probes AS (
+          SELECT k.event_type, k.n_exact, g.i,
+                 {_cms_bucket_sql("g.i", "k.event_type")} AS bk
+          FROM keys k, (SELECT unnest(generate_series(0, {_CMS_DEPTH - 1}))
+                        AS i) g
+        )
+        SELECT p.event_type, p.n_exact,
+               CAST(MIN(s.c) AS BIGINT) AS n_est,
+               CAST(MIN(s.c) - p.n_exact AS BIGINT) AS overestimate
+        FROM probes p
+        JOIN sketch s ON s.i = p.i AND s.bk = p.bk
+        GROUP BY p.event_type, p.n_exact
+    """,
+)
+def cms_event_type_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch accuracy audit over event types: build a
+    depth×width (4×64) CMS (md5 row hashes — deterministic, no RNG
+    state), then for every key report exact count, CMS estimate (min
+    over rows), and the overestimate — the collision-error
+    measurement that sizes (depth, width) for a production sketch,
+    the same measure-don't-guess role as ``minhash_estimate_error``.
+
+    Why a sketch at all at 100 TB: the CMS is FIXED-SIZE (d·w
+    counters) and MERGEABLE — per-partition partial sketches sum,
+    which is exactly what the map-side-combined groupBy((i, bk))
+    computes here, so per-day/per-shard sketches OR across time
+    ranges without touching raw events. The corpus pass is one
+    d-way projection; everything downstream is sketch-sized
+    (d·w rows) or key-sized. CMS guarantees est ≥ exact; the
+    overestimate column is the audited slack."""
+    d, w = _CMS_DEPTH, _CMS_WIDTH
+    ev = load_table(spark, sf_dir, "events").select("event_type")
+
+    def bk(i):
+        return F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}|"), F.col("event_type"))),
+                    1, 8),
+                16, 10,
+            ).cast("long"),
+            F.lit(w),
+        )
+
+    hashes = F.array(*[
+        F.struct(F.lit(i).alias("i"), bk(i).alias("bk")) for i in range(d)
+    ])
+    rows = ev.select("event_type", F.explode(hashes).alias("p")).select(
+        "event_type", F.col("p.i").alias("i"), F.col("p.bk").alias("bk"))
+    sketch = rows.groupBy("i", "bk").agg(
+        F.count(F.lit(1)).cast("long").alias("c"))
+    keys = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"))
+    probes = keys.select("event_type", "n_exact",
+                         F.explode(hashes).alias("p")).select(
+        "event_type", "n_exact",
+        F.col("p.i").alias("i"), F.col("p.bk").alias("bk"))
+    return (
+        probes.join(F.broadcast(sketch), ["i", "bk"])
+        .groupBy("event_type", "n_exact")
+        .agg(F.min("c").alias("n_est"))
+        .select(
+            "event_type", "n_exact", "n_est",
+            (F.col("n_est") - F.col("n_exact")).alias("overestimate"),
+        )
+    )
