@@ -177,6 +177,11 @@ def main() -> None:
 
         _pairs_index(spark, sf_dir)
 
+    def build_simhash_index() -> None:
+        from sql_data_warehouse_spark.analytics.llmops import _simhash_index
+
+        _simhash_index(spark, sf_dir)
+
     def build_copurchase_pairs() -> None:
         from sql_data_warehouse_spark.analytics.advanced import (
             _copurchase_pair_counts,
@@ -238,6 +243,11 @@ def main() -> None:
               "dedup_pipeline_keep_best") for n in queries
     ):
         timed("_minhash_pairs_build", build_pairs_index)
+    if not only or any(
+        n in ("simhash_signatures", "simhash_near_dup_pairs",
+              "simhash_near_dup_clusters") for n in queries
+    ):
+        timed("_simhash_index_build", build_simhash_index)
     if not only or any(
         n in ("copurchase_pagerank_top20", "copurchase_triangle_counts")
         for n in queries

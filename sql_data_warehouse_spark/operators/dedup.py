@@ -635,10 +635,13 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id",
                            n_bits: int = SIMHASH_BITS,
                            band_bits: int = SIMHASH_BAND_BITS,
-                           max_hamming: int = 3) -> DataFrame:
+                           max_hamming: int = 3,
+                           sigs: DataFrame | None = None) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance, found via a
     banded self-join (the hamming analogue of MinHash-LSH banding,
-    per Manku/Jain/Sarma's simhash web-dedup design).
+    per Manku/Jain/Sarma's simhash web-dedup design). Pass ``sigs``
+    (a maintained (doc_id, simhash) index, pre-restricted to the
+    audited docs) to skip the signature pass entirely.
 
     The signature splits into ``n_bits/band_bits`` bands; by
     pigeonhole, any pair within hamming distance ``n_bands - 1`` must
@@ -653,7 +656,8 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
     n_bands = n_bits // band_bits
     assert max_hamming <= n_bands - 1, "banding loses recall past n_bands-1"
     mask = (1 << band_bits) - 1
-    sigs = simhash_signatures(df, text_col, id_col, n_bits)
+    if sigs is None:
+        sigs = simhash_signatures(df, text_col, id_col, n_bits)
     bands = sigs.select(
         "doc_id",
         "simhash",
@@ -718,7 +722,8 @@ def simhash_near_dup_clusters(df: DataFrame, text_col: str = "text",
                               id_col: str = "doc_id",
                               n_bits: int = SIMHASH_BITS,
                               band_bits: int = SIMHASH_BAND_BITS,
-                              max_hamming: int = 3) -> DataFrame:
+                              max_hamming: int = 3,
+                              sigs: DataFrame | None = None) -> DataFrame:
     """SimHash near-dup CLUSTER labels — the scale-safe registered
     form of :func:`simhash_near_dup_pairs`. Production dedup never
     materializes the pair list (Σ cluster² rows: 43 M pairs at sf1,
@@ -745,12 +750,15 @@ def simhash_near_dup_clusters(df: DataFrame, text_col: str = "text",
     n_bands = n_bits // band_bits
     assert max_hamming <= n_bands - 1, "banding loses recall past n_bands-1"
     mask = (1 << band_bits) - 1
-    sigs = simhash_signatures(df, text_col, id_col, n_bits)
-    # One signature pass feeds the rep collapse, the CC edge build,
-    # AND the final label fan-out (which is evaluated after this
-    # function returns — so eager localCheckpoint, not persist+
-    # unpersist: blocks outlive the call and are freed on GC).
-    sigs = sigs.localCheckpoint(eager=True)
+    if sigs is None:
+        # One signature pass feeds the rep collapse, the CC edge
+        # build, AND the final label fan-out (which is evaluated
+        # after this function returns — so eager localCheckpoint, not
+        # persist+unpersist: blocks outlive the call and are freed on
+        # GC). A caller-provided maintained index arrives already
+        # materialized.
+        sigs = simhash_signatures(df, text_col, id_col, n_bits)
+        sigs = sigs.localCheckpoint(eager=True)
     return _simhash_clusters_from_sigs(
         sigs, n_bands, band_bits, mask, max_hamming
     )
