@@ -354,3 +354,96 @@ def cms_event_type_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_est") - F.col("n_exact")).alias("overestimate"),
         )
     )
+
+
+# --------------------------------------------------- group-wise OLS
+
+
+@query(
+    "nation_revenue_trend_ols",
+    survey="ext-regression A3 A8",
+    tags=("tpch", "mining"),
+    oracle="""
+        WITH monthly AS MATERIALIZED (
+          SELECT n.n_name,
+                 CAST(year(o.o_orderdate) * 12
+                      + month(o.o_orderdate) AS BIGINT) AS m,
+                 CAST(SUM(CAST(floor(o.o_totalprice * 100.0 + 0.5)
+                               AS BIGINT)) AS BIGINT) AS y
+          FROM orders o
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n ON n.n_nationkey = c.c_nationkey
+          GROUP BY n.n_name, m
+        ),
+        x0 AS (SELECT MIN(m) AS m0 FROM monthly),
+        pts AS (
+          SELECT n_name, m - (SELECT m0 FROM x0) AS x, y FROM monthly
+        ),
+        sums AS (
+          SELECT n_name,
+                 CAST(COUNT(*) AS BIGINT) AS n_months,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx
+          FROM pts GROUP BY n_name
+        )
+        SELECT n_name, n_months,
+               (CAST(n_months AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n_months AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 AS slope_cents_per_month
+        FROM sums
+    """,
+)
+def nation_revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue trend as a closed-form OLS slope over the
+    monthly series (cents per month) — the change-over-time family
+    (reference `07_change_over_time_analysis.sql`) upgraded from
+    eyeballing a trend to estimating it: slope = (nΣxy − ΣxΣy) /
+    (nΣx² − (Σx)²) with x = months since the corpus's first month.
+
+    Determinism without transcendentals: every Σ is an exact BIGINT
+    over integer cents and small month indices (map-side combined,
+    order-independent); the slope is ONE fixed-order double
+    expression over those exact sums, so both engines round
+    identically. Relation sizes: the corpus collapses to a
+    (nation × month) grid in one grouped pass; everything after is
+    grid-sized, and the global month origin is a 1-row aggregate
+    broadcast. Overflow headroom: x < 10³, y-cents < 2⁴⁰ at sf10 ⇒
+    Σxy < 2⁶⁰; re-center x per epoch if a series ever spans 10³
+    months."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name")
+    m = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long")
+    monthly = (
+        o.select("o_custkey", m.alias("m"),
+                 F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+                 .cast("long").alias("cents"))
+        .join(F.broadcast(c), "o_custkey")
+        .join(F.broadcast(n), "c_nationkey")
+        .groupBy("n_name", "m")
+        .agg(F.sum("cents").alias("y"))
+    )
+    m0 = monthly.agg(F.min("m").alias("m0"))
+    pts = monthly.crossJoin(F.broadcast(m0)).select(
+        "n_name", (F.col("m") - F.col("m0")).alias("x"), "y")
+    sums = pts.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_months"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (
+        (F.col("n_months").cast("double") * F.col("sxy").cast("double")
+         - F.col("sx").cast("double") * F.col("sy").cast("double"))
+        / (F.col("n_months").cast("double") * F.col("sxx").cast("double")
+           - F.col("sx").cast("double") * F.col("sx").cast("double"))
+    )
+    return sums.select("n_name", "n_months",
+                       slope.alias("slope_cents_per_month"))
