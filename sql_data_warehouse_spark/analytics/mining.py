@@ -428,6 +428,10 @@ def nation_revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), "c_nationkey")
         .groupBy("n_name", "m")
         .agg(F.sum("cents").alias("y"))
+        # grid-sized branch point: feeds the month-origin aggregate
+        # AND the points projection — unmaterialized, the orders scan
+        # runs once per consumer
+        .localCheckpoint(eager=True)
     )
     m0 = monthly.agg(F.min("m").alias("m0"))
     pts = monthly.crossJoin(F.broadcast(m0)).select(

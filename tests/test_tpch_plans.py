@@ -381,3 +381,30 @@ def test_triangle_counts_keyed_joins_only(spark):
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cms_sketch_broadcasts_no_nested_loop(spark):
+    """cms_event_type_estimates: the sketch-sized relation joins the
+    key probes by broadcast; no nested-loop or cartesian stage."""
+    from sql_data_warehouse_spark.analytics import all_queries
+
+    df = all_queries()["cms_event_type_estimates"].builder(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ols_trend_downstream_is_grid_sized(spark):
+    """nation_revenue_trend_ols: the nation×month grid is
+    materialized once (the orders scan + broadcast dim joins live in
+    the checkpoint build), so the returned plan reads the grid
+    relation only — no parquet re-scan, no shuffle join; the month
+    origin arrives as a 1-row broadcast cross."""
+    from sql_data_warehouse_spark.analytics import all_queries
+
+    df = all_queries()["nation_revenue_trend_ols"].builder(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("orders.parquet") == 0, plan
+    assert "Scan ExistingRDD" in plan
+    assert "SortMergeJoin" not in plan
