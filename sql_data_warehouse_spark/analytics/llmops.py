@@ -1611,3 +1611,30 @@ def split_leakage_repair_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_after"),
         )
     )
+
+
+@query(
+    "multiprobe_lsh_ann_topk",
+    survey="ext-sim J-broadcast W3",
+    tags=("llmops",),
+    # hash-gated like lsh_ann_topk: seqfold buckets + XOR probe set +
+    # seqfold cosine are bit-identical cross-engine; each (query,
+    # corpus) pair collides in at most one probe, so the twin needs
+    # no DISTINCT at all.
+    oracle=similarity.multiprobe_lsh_topk_sql(k=10,
+                                              query_filter="vec_id < 5"),
+)
+def multiprobe_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN — ONE hash table probed at hamming
+    distance ≤ 1 (operators/similarity.multiprobe_lsh_topk, the Lv
+    et al. VLDB'07 trade): the stored index is a single
+    (bucket → vectors) clustering at 1/n_bands the footprint of the
+    multi-table form, and recall is bought with band_bits+1 probes
+    per query instead of extra tables. Complements `lsh_ann_topk`
+    (multi-table OR-amplification) and the IVF/PQ families as the
+    memory-constrained point on the ANN design surface."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.multiprobe_lsh_topk(emb, queries, k=10)

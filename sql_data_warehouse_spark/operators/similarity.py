@@ -1461,3 +1461,132 @@ def embedding_drift_sql(delta_pred_sql: str) -> str:
         FULL JOIN (SELECT * FROM cent_arr WHERE part = 'delta') d
             USING (label)
     """
+
+
+# ------------------------------------------------ multi-probe LSH ANN
+
+MULTIPROBE_BITS = 6
+
+
+def _multiprobe_flips(band_bits: int) -> list[int]:
+    """The hamming-≤2 probe masks: the query's own bucket, every
+    1-bit flip, every 2-bit flip — 1 + B + C(B,2) probes (22 at the
+    default B=6; recall 0.46 vs the exact top-10 at the gate corpus).
+    Hamming-1 alone measured recall 0.16 there (neighbors at moderate
+    cosine disagree with each hyperplane ~35-40 % of the time — the
+    recorded weak-threshold subdivision lesson); the ≤2 ring recovers
+    the OR-amplification a multi-table index buys while reading
+    (probes/2^B) of the corpus. At scale B grows with the corpus
+    (constant bucket size, like ``adaptive_band_bits``) and the probe
+    fraction SHRINKS — (1+B+C(B,2))/2^B is 34 % at B=6 but 0.6 % at
+    B=14 — with the probe-sequence length (hamming budget) as the
+    recall lever, the standard multi-probe trade."""
+    flips = [0] + [1 << j for j in range(band_bits)]
+    flips += [
+        (1 << i) | (1 << j)
+        for i in range(band_bits) for j in range(i + 1, band_bits)
+    ]
+    return flips
+
+
+def multiprobe_lsh_topk(embeddings: DataFrame, queries: DataFrame,
+                        k: int = 10, band_bits: int = MULTIPROBE_BITS,
+                        dim: int = SIM_DIM, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        query_id_col: str = "query_id") -> DataFrame:
+    """Multi-probe LSH ANN (the Lv et al., VLDB'07 memory/recall
+    trade): ONE ``band_bits``-bit hyperplane table instead of
+    ``n_bands`` tables — each query probes its own bucket plus the
+    ``band_bits`` buckets at hamming distance 1, recovering the
+    recall that extra tables would buy while the stored index is a
+    single (bucket → vectors) clustering. Candidates are scored with
+    the exact sequential-fold cosine.
+
+    Scale shape: the corpus carries exactly ONE (bucket) key — at
+    write time this IS the layout clustering, so a probe reads
+    (band_bits+1)/2^band_bits of the corpus; the probe relation is
+    |queries|·(band_bits+1) rows and broadcasts. Each (query, corpus)
+    pair can collide in at most one probe (a vector has one bucket;
+    probe buckets are distinct), so no dedup stage exists at all —
+    cheaper than the multi-table first-collision rule. Deterministic
+    end-to-end (sequential sign-bit folds, XOR probes, seqfold
+    cosine), hence hash-gated."""
+    spark = embeddings.sparkSession
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        norm_fixed(vec_col, dim).alias("vnorm"),
+        _bucket_array_seqfold(vec_col, 1, band_bits, dim)[0]
+        .alias("bucket"),
+    ).repartition(
+        spark.sparkContext.defaultParallelism * 2, "bucket"
+    )
+    qb = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_fixed(vec_col, dim).alias("q_norm"),
+        _bucket_array_seqfold(vec_col, 1, band_bits, dim)[0].alias("qb"),
+    )
+    flips = _multiprobe_flips(band_bits)
+    probe_set = F.array(
+        *[F.col("qb").bitwiseXOR(F.lit(f)) for f in flips]
+    )
+    probes = qb.select(
+        "query_id", "q_vec", "q_norm",
+        F.explode(probe_set).alias("bucket"),
+    )
+    scored = (
+        e.join(F.broadcast(probes), "bucket")
+        .select(
+            "query_id",
+            "vec_id",
+            _cosine_seqfold("q_vec", "vec", "q_norm", "vnorm", dim)
+            .alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def multiprobe_lsh_topk_sql(k: int = 10, query_filter: str = "vec_id < 5",
+                            band_bits: int = MULTIPROBE_BITS,
+                            dim: int = SIM_DIM) -> str:
+    """DuckDB twin of :func:`multiprobe_lsh_topk`: the same
+    sequential sign-bit bucket (band 0, base-1 subscripts), the
+    hamming-≤2 XOR probe set, the same sequential cosine and (desc
+    sim, asc id) ranking."""
+    flips = ", ".join(str(f) for f in _multiprobe_flips(band_bits))
+    return f"""
+        WITH e AS MATERIALIZED (
+          SELECT vec_id, embedding,
+                 {_bucket_col_sql('embedding', 0, band_bits, dim, base=1)}
+                   AS bucket
+          FROM embeddings
+        ),
+        probes AS (
+          SELECT q.vec_id AS query_id, q.embedding AS q_vec,
+                 xor(q.bucket, f.f) AS bucket
+          FROM e q, (SELECT unnest([{flips}]) AS f) f
+          WHERE q.{query_filter}
+        ),
+        scored AS (
+          SELECT p.query_id, e.vec_id,
+                 {cosine_sql("p.q_vec", "e.embedding")} AS cosine_sim
+          FROM probes p JOIN e USING (bucket)
+        ),
+        ranked AS (
+          SELECT query_id, vec_id, cosine_sim,
+                 CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine_sim DESC, vec_id
+                 ) AS INT) AS rank
+          FROM scored
+        )
+        SELECT query_id, vec_id, cosine_sim, rank
+        FROM ranked WHERE rank <= {k}
+    """
