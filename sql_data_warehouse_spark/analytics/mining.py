@@ -451,3 +451,95 @@ def nation_revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sums.select("n_name", "n_months",
                        slope.alias("slope_cents_per_month"))
+
+
+@query(
+    "nation_revenue_seasonality",
+    survey="ext-regression A3 A8 W9",
+    tags=("tpch", "mining"),
+    oracle="""
+        WITH monthly AS MATERIALIZED (
+          SELECT n.n_name,
+                 CAST(month(o.o_orderdate) AS BIGINT) AS cal_month,
+                 CAST(year(o.o_orderdate) * 12
+                      + month(o.o_orderdate) AS BIGINT) AS m,
+                 CAST(SUM(CAST(floor(o.o_totalprice * 100.0 + 0.5)
+                               AS BIGINT)) AS BIGINT) AS y
+          FROM orders o
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n ON n.n_nationkey = c.c_nationkey
+          GROUP BY n.n_name, cal_month, m
+        ),
+        per_cal AS (
+          SELECT n_name, cal_month,
+                 CAST(COUNT(*) AS BIGINT) AS n_months,
+                 CAST(SUM(y) AS BIGINT) AS sum_cents
+          FROM monthly GROUP BY n_name, cal_month
+        ),
+        overall AS (
+          SELECT n_name,
+                 CAST(COUNT(*) AS BIGINT) AS n_all,
+                 CAST(SUM(y) AS BIGINT) AS sum_all
+          FROM monthly GROUP BY n_name
+        )
+        SELECT p.n_name, p.cal_month, p.n_months,
+               (CAST(p.sum_cents AS DOUBLE) * CAST(o.n_all AS DOUBLE))
+               / (CAST(p.n_months AS DOUBLE) * CAST(o.sum_all AS DOUBLE))
+                 AS seasonal_index
+        FROM per_cal p JOIN overall o ON o.n_name = p.n_name
+    """,
+)
+def nation_revenue_seasonality(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Per-nation seasonal index by calendar month: the mean revenue
+    of each calendar month divided by the nation's all-months mean —
+    index > 1 marks the nation's high season. The multiplicative
+    decomposition companion to ``nation_revenue_trend_ols`` (trend
+    there, seasonality here), and the reference's change-over-time
+    family upgraded from a monthly listing to the seasonal profile.
+
+    Determinism: all four inputs to the index are exact BIGINTs
+    (map-side-combined cent sums and month counts); the index is one
+    fixed-order double expression — a ratio of two means written as
+    cross-multiplied exact products, so one multiplication and one
+    division per side, identical rounding on both engines. The
+    corpus collapses to the (nation × year-month) grid in one
+    grouped pass; the calendar profile and the normalizer are both
+    grid-sized aggregates, joined on the 25-row nation key."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name")
+    monthly = (
+        o.select(
+            "o_custkey",
+            F.month("o_orderdate").cast("long").alias("cal_month"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("long").alias("m"),
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("long").alias("cents"),
+        )
+        .join(F.broadcast(c), "o_custkey")
+        .join(F.broadcast(n), "c_nationkey")
+        .groupBy("n_name", "cal_month", "m")
+        .agg(F.sum("cents").alias("y"))
+        # grid-sized branch point: feeds the calendar profile AND the
+        # per-nation normalizer
+        .localCheckpoint(eager=True)
+    )
+    per_cal = monthly.groupBy("n_name", "cal_month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_months"),
+        F.sum("y").alias("sum_cents"),
+    )
+    overall = monthly.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum("y").alias("sum_all"),
+    )
+    idx = (
+        (F.col("sum_cents").cast("double") * F.col("n_all").cast("double"))
+        / (F.col("n_months").cast("double")
+           * F.col("sum_all").cast("double"))
+    )
+    return per_cal.join(overall, "n_name").select(
+        "n_name", "cal_month", "n_months", idx.alias("seasonal_index"))
