@@ -210,6 +210,29 @@ deterministic md5 sample of LSH candidate pairs — the measurement
 that picks the pipeline's verify threshold), vocabulary mining
 (`ngram_doc_freq_topk`: per-language trigram document frequency with
 the salted two-stage top-k, no single-partition language window),
+distributional statistics (`analytics/stats.py`: market-basket
+association rules `basket_association_rules` — distinct-basket
+support/confidence/lift, support-cut before enrichment; a
+broadcast-Bloom semi-join FPR audit `bloom_semi_join_audit` — md5
+bit positions, exact anti-join truth, the third classic sketch
+measured next to CMS and MinHash; revenue-concentration measures
+`nation_revenue_gini` (closed-form rank formula over the customer
+aggregate) and `nation_brand_revenue_hhi` (rational HHI, no
+entropy log); the Benford first-digit audit
+`benford_first_digit_audit` with shared text-literal expectations;
+per-brand Pearson correlation `brand_qty_price_correlation`
+(closed form over exact sums, sqrt-only); integer CUSUM
+change-point detection `nation_revenue_changepoint`; 2-hop graph
+reach `copurchase_2hop_reach`; Gopher-style per-language length
+calibration `lang_calibrated_length_filter` — grid windows, never
+a per-language doc window; and the deterministic PPS sampler
+`nation_weighted_systematic_sample` whose two-level bucketed
+cumsum is gated against the definitional single-window oracle),
+retrieval (`analytics/search.py`: positional PHRASE search
+`phrase_search_positions` — adjacency self-join over an on-the-fly
+positional posting list — and reciprocal-rank-fusion hybrid
+retrieval `rrf_hybrid_search` fusing BM25 with embedding-cosine
+ranks, the calibration-free RAG merge),
 physical layout (`sources/layout.py`, plan-asserted in
 `tests/test_layout.py`), and dataset curation for training runs
 (deterministic splits, stratified sampling, shard + sequence-packing

@@ -129,8 +129,14 @@ def coverfill(checked: frozenset[str]) -> frozenset[str]:
     coverer of an id has been driver-checked, fall back to a
     proven-green coverer (the "promotion" the r5 ADVICE asked for —
     the cover never lapses, the slot just stops being fresh). Within
-    a tier: most uncovered ids, then name, so the pick order is
-    deterministic for a given history."""
+    a tier: prefer a coverer that is already a SPOTLIGHT member — it
+    holds a guaranteed window slot anyway, so covering through it
+    costs ZERO extra slots (without this, any fresh registration
+    whose name happens to sort before a spotlight coverer of the
+    same id steals the pick and oversubscribes the 50-slot window,
+    cutting a fill name — the round-7 basket_association_rules
+    regression); then most uncovered ids, then name, so the pick
+    order is deterministic for a given history."""
     need = set(core_ids())
     for n in _PINNED:
         need -= set(_REGISTRY[n].survey.split())
@@ -146,6 +152,7 @@ def coverfill(checked: frozenset[str]) -> frozenset[str]:
         name, q = min(
             cands,
             key=lambda it: (it[0] in checked,
+                            it[0] not in _SPOTLIGHT,
                             -len(need & set(it[1].survey.split())),
                             it[0]),
         )
@@ -278,16 +285,21 @@ def _run_priority_key(names_checked: frozenset[str], rnd: int,
         if name in _PINNED:
             return (0, 0, name)
         if name in fill:
-            return (1, 0, name)  # guaranteed slot even when not fresh
+            # guaranteed slot even when not fresh — and STRICTLY ahead
+            # of spotlight: if the tier ever oversubscribes the window
+            # (a frozen spotlight plus an all-fresh fill in a later
+            # round), the cut must land on a debut, never on the
+            # 70-id cover
+            return (1, 0, name)
         if name in _SPOTLIGHT:
-            fresh = 0  # debuts & regated gates: guaranteed slot
+            fresh = 1  # debuts & regated gates: next after the cover
         elif name not in names_checked:
             if q.oracle is not None:
-                fresh = 1  # fresh, hash-gateable
+                fresh = 2  # fresh, hash-gateable
             else:
-                fresh = 2  # fresh, rows-only: last among fresh
+                fresh = 3  # fresh, rows-only: last among fresh
         else:
-            fresh = 3
+            fresh = 4
         h = hashlib.md5(f"{name}|r{rnd}".encode()).hexdigest()
         return (1, fresh, h)
 
@@ -295,7 +307,7 @@ def _run_priority_key(names_checked: frozenset[str], rnd: int,
 
 
 def _import_query_modules() -> None:
-    from . import advanced, core, curation, extended, incremental, llmops, mining, reports, star, streaming_live, tpch, txn_queries  # noqa: F401  (side-effect: registration)
+    from . import advanced, core, curation, extended, incremental, llmops, mining, reports, search, star, stats, streaming_live, tpch, txn_queries  # noqa: F401  (side-effect: registration)
     from ..medallion import analysis as _medallion_analysis  # noqa: F401
     from ..medallion import quality as _medallion_quality  # noqa: F401
     from ..medallion import queries as _medallion  # noqa: F401

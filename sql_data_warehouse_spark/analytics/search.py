@@ -1,0 +1,168 @@
+"""Retrieval upgrades over the documents corpus: positional PHRASE
+search (adjacency over an inverted index with positions) and
+reciprocal-rank-fusion (RRF) hybrid retrieval combining the lexical
+BM25 ranker with the embedding cosine ranker — the two halves of a
+production RAG retrieval stack, each expressed as one declarative
+plan and gated by an independently-derived DuckDB oracle.
+
+Determinism: phrase hits are pure integer set semantics; RRF is the
+fixed two-term sum 1/(K+r_lex) + 1/(K+r_sem) of single divisions of
+exact integer ranks (addition of two defined doubles is IEEE-exact —
+no arbitrary-order float fold anywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import TOKENS_SQL, tokens
+from ..operators import similarity, text_analysis
+from ..sources import load_table
+from .registry import query
+
+# ------------------------------------------------- phrase search
+
+_PHRASE = ("stream", "join")
+_DOC_TOKENS_SQL = TOKENS_SQL.format(col="text")
+
+
+@query(
+    "phrase_search_positions",
+    survey="ext-search ext-text A2 J-self",
+    tags=("llmops", "search"),
+    oracle=f"""
+        WITH pos AS MATERIALIZED (
+          SELECT doc_id, g.i AS pos, toks[g.i] AS tok
+          FROM (SELECT doc_id, {_DOC_TOKENS_SQL} AS toks FROM documents),
+               UNNEST(generate_series(1, len(toks))) AS g(i)
+          WHERE toks[g.i] IN ('{_PHRASE[0]}', '{_PHRASE[1]}')
+        )
+        SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM pos a
+        JOIN pos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        WHERE a.tok = '{_PHRASE[0]}' AND b.tok = '{_PHRASE[1]}'
+        GROUP BY a.doc_id
+    """,
+)
+def phrase_search_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PHRASE search ("{p0} {p1}" as ADJACENT tokens, not mere
+    co-occurrence) via a positional inverted index: posting rows keep
+    (doc, position), and a phrase hit is a self-join on
+    consecutive positions — the upgrade from ``keyword_search_and``
+    (AND-of-terms) to real phrase semantics, with per-doc occurrence
+    counts for ranking.
+
+    Scale shape: the position explode keeps ONLY the phrase's terms
+    (the IN filter sits inside the projection, so the full positional
+    posting list never materializes — <= per-doc term frequency rows
+    survive), and the adjacency self-join is keyed on (doc_id, pos),
+    both sides already tiny. At 100 TB the same plan runs against a
+    pre-built positional posting table partitioned by token bucket;
+    this relation IS that table built on the fly. Determinism: pure
+    integer positions and counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    pos = (
+        docs.select(
+            "doc_id",
+            F.posexplode(tokens(F.col("text"))).alias("pos0", "tok"),
+        )
+        .filter(F.col("tok").isin(*_PHRASE))
+        # oracle positions are 1-based (DuckDB lists); match them so
+        # the intermediate relation is directly comparable
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    )
+    a = pos.filter(F.col("tok") == _PHRASE[0]).select("doc_id", "pos")
+    b = pos.filter(F.col("tok") == _PHRASE[1]).select(
+        "doc_id", (F.col("pos") - 1).alias("pos"))
+    return (
+        a.join(b, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+
+
+# ------------------------------------------- reciprocal rank fusion
+
+_RRF_K = 60
+_RRF_DEPTH = 20
+_RRF_KEYWORDS = ["stream", "join"]
+_RRF_QUERY_VEC = 0  # embedding of document 0 as the semantic query
+
+
+@query(
+    "rrf_hybrid_search",
+    survey="ext-search ext-sim A8 O2 W3",
+    tags=("llmops", "search"),
+    oracle=f"""
+        WITH lex AS MATERIALIZED (
+          SELECT doc_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                      AS BIGINT) AS lex_rank
+          FROM ({text_analysis.bm25_rank_sql(_RRF_KEYWORDS,
+                                             k=_RRF_DEPTH)})
+        ),
+        sem AS MATERIALIZED (
+          SELECT vec_id AS doc_id, CAST(rank AS BIGINT) AS sem_rank
+          FROM ({similarity.cosine_topk_sql(
+                    query_filter=f"vec_id = {_RRF_QUERY_VEC}",
+                    k=_RRF_DEPTH)})
+        )
+        SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+               lex.lex_rank, sem.sem_rank,
+               COALESCE(1.0 / ({_RRF_K} + CAST(lex.lex_rank AS DOUBLE)),
+                        0.0)
+               + COALESCE(1.0 / ({_RRF_K} + CAST(sem.sem_rank AS DOUBLE)),
+                          0.0) AS rrf_score
+        FROM lex FULL OUTER JOIN sem ON sem.doc_id = lex.doc_id
+        ORDER BY rrf_score DESC, doc_id
+        LIMIT {_RRF_DEPTH}
+    """,
+)
+def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal rank fusion: the lexical BM25
+    top-{d} for ('{kw}') and the embedding-cosine top-{d} for a query
+    vector fuse as RRF(d) = 1/(K + r_lex) + 1/(K + r_sem) (K = 60,
+    the Cormack et al. constant) — the standard way a RAG stack
+    merges keyword and semantic retrieval without score calibration,
+    since RRF consumes only RANKS.
+
+    Scale shape: both rankers are already scale-shaped (BM25's
+    posting explode keeps only query terms; cosine broadcasts the
+    single query vector over the corpus — the brute-force ranker here
+    is swappable for any of the registered ANN paths since RRF only
+    needs ranks); the fusion itself is a full outer join of two
+    {d}-row relations. Determinism: ranks come from total orders
+    ((score, doc_id) / (cosine, vec_id)); the fused score is a fixed
+    two-term sum of single divisions — no float fold whose order an
+    engine could change."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bm25 = text_analysis.bm25_rank(docs, _RRF_KEYWORDS, k=_RRF_DEPTH)
+    lex = bm25.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .cast("long").alias("lex_rank"),
+    )
+    queries = emb.filter(F.col("vec_id") == _RRF_QUERY_VEC).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    sem = (
+        similarity.cosine_topk(emb, queries, k=_RRF_DEPTH)
+        .select(F.col("vec_id").alias("doc_id"),
+                F.col("rank").cast("long").alias("sem_rank"))
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id", "lex_rank", "sem_rank",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(_RRF_K)
+                              + F.col("lex_rank").cast("double")),
+                F.lit(0.0))
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(_RRF_K)
+                              + F.col("sem_rank").cast("double")),
+                F.lit(0.0))
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(_RRF_DEPTH)

@@ -1,0 +1,37 @@
+"""Property gates for the retrieval family (analytics/search.py):
+phrase semantics strictly tighten conjunctive search, and RRF fusion
+behaves like a rank combiner — correctness is oracle-gated via the
+registry (tests/test_correctness.py and the driver)."""
+
+from __future__ import annotations
+
+from sql_data_warehouse_spark.analytics import search
+from sql_data_warehouse_spark.operators import text_analysis
+from sql_data_warehouse_spark.sources import load_table
+
+from .conftest import SF_SMOKE
+
+
+def test_phrase_hits_are_subset_of_conjunctive_hits(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    phrase = {r.doc_id for r in
+              search.phrase_search_positions(spark, SF_SMOKE).collect()}
+    conj = {r.doc_id for r in text_analysis.keyword_search(
+        docs, list(search._PHRASE)).collect()}
+    assert phrase, "phrase should occur in the smoke corpus"
+    assert phrase <= conj
+
+
+def test_rrf_scores_are_bounded_and_sorted(spark):
+    rows = search.rrf_hybrid_search(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= search._RRF_DEPTH
+    hi = 1.0 / (search._RRF_K + 1) * 2
+    scores = [r.rrf_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert 0.0 < r.rrf_score <= hi
+        assert r.lex_rank is not None or r.sem_rank is not None
+        # a doc ranked by BOTH lists beats the best possible
+        # single-list doc at the same ranks
+        if r.lex_rank is not None and r.sem_rank is not None:
+            assert r.rrf_score > 1.0 / (search._RRF_K + r.lex_rank)
