@@ -230,9 +230,18 @@ a per-language doc window; and the deterministic PPS sampler
 cumsum is gated against the definitional single-window oracle),
 retrieval (`analytics/search.py`: positional PHRASE search
 `phrase_search_positions` — adjacency self-join over an on-the-fly
-positional posting list — and reciprocal-rank-fusion hybrid
-retrieval `rrf_hybrid_search` fusing BM25 with embedding-cosine
-ranks, the calibration-free RAG merge),
+positional posting list; reciprocal-rank-fusion hybrid retrieval
+`rrf_hybrid_search` fusing BM25 with embedding-cosine ranks, the
+calibration-free RAG merge; and per-document TF-IDF keyword
+extraction `doc_tfidf_top_terms` — rational-idf, rank window
+bounded by per-doc vocabulary),
+streaming maintained-Bloom ingest (`stream_ingest_bloom_dedup`:
+the approximate-membership member of the maintained-index trio —
+base fingerprints summarized as an m=8n+1-bit set-bit TxnTable,
+per-batch Bloom verdict emitted NEXT TO the exact-membership truth
+so the filter's FPR stays continuously measured, batch bits
+appended atomically; index-write path gated by
+tests/test_streaming.py),
 physical layout (`sources/layout.py`, plan-asserted in
 `tests/test_layout.py`), and dataset curation for training runs
 (deterministic splits, stratified sampling, shard + sequence-packing

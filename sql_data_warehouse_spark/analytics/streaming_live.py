@@ -872,3 +872,195 @@ def maintained_cell_ingest(spark: SparkSession, src: str,
         shutil.rmtree(idx_root, ignore_errors=True)
         shutil.rmtree(coll_dir, ignore_errors=True)
     return out
+
+
+# ------------------------------------------ maintained Bloom index
+
+_BLOOM_STREAM_HASHES = 3
+
+
+def _bloom_bit_sql(i_sql: str, key_sql: str, m_sql: str) -> str:
+    return (f"(('0x' || substr(md5(CAST({i_sql} AS VARCHAR) || '|' || "
+            f"{key_sql}), 1, 8))::BIGINT % ({m_sql}))")
+
+
+@query(
+    "stream_ingest_bloom_dedup",
+    survey="ext-stream ext-dedup ext-sketch ext-incremental A1 J6",
+    tags=("streaming", "live", "sketch", "txn"),
+    oracle=f"""
+        WITH base AS MATERIALIZED (
+          SELECT DISTINCT md5({_NORM_TEXT_SQL}) AS fp
+          FROM documents WHERE doc_id % 5 != 0
+        ),
+        mm AS (SELECT CAST(8 * COUNT(*) + 1 AS BIGINT) AS m_bits
+               FROM base),
+        bits AS MATERIALIZED (
+          SELECT DISTINCT {_bloom_bit_sql("g.i", "fp",
+                                          "SELECT m_bits FROM mm")} AS bk
+          FROM base,
+               (SELECT unnest(generate_series(0,
+                  {_BLOOM_STREAM_HASHES - 1})) AS i) g
+        ),
+        delta AS MATERIALIZED (
+          SELECT doc_id, md5({_NORM_TEXT_SQL}) AS fp
+          FROM documents WHERE doc_id % 5 = 0
+        ),
+        ph AS (
+          SELECT d.doc_id, d.fp, g.i,
+                 {_bloom_bit_sql("g.i", "d.fp",
+                                 "SELECT m_bits FROM mm")} AS bk
+          FROM delta d,
+               (SELECT unnest(generate_series(0,
+                  {_BLOOM_STREAM_HASHES - 1})) AS i) g
+        ),
+        hits AS (
+          SELECT ph.doc_id, ph.fp, CAST(COUNT(b.bk) AS BIGINT) AS n_hit
+          FROM ph LEFT JOIN bits b ON b.bk = ph.bk
+          GROUP BY ph.doc_id, ph.fp
+        )
+        SELECT h.doc_id,
+               CAST(CASE WHEN h.n_hit = {_BLOOM_STREAM_HASHES}
+                         THEN 1 ELSE 0 END AS INTEGER) AS maybe_base_dup,
+               CAST(CASE WHEN bs.fp IS NULL THEN 0 ELSE 1 END AS INTEGER)
+                 AS exact_base_dup
+        FROM hits h LEFT JOIN base bs ON bs.fp = h.fp
+    """,
+)
+def stream_ingest_bloom_dedup(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """STREAMING ingest dedup through a MAINTAINED BLOOM index — the
+    approximate-membership member of the maintained-index trio (LSH
+    band index for near-dups, IVF cell index for embeddings, Bloom
+    bit set for exact fingerprints): the base corpus's fingerprint
+    set is summarized as an m = 8·|keys|+1 bit, k = 3 Bloom filter
+    stored as a transactional set-bit table; every micro-batch of
+    newly-crawled documents probes it row-wise and emits, per doc,
+    the Bloom verdict NEXT TO the exact-membership truth (the
+    streaming continuation of ``bloom_semi_join_audit`` — the filter
+    is only trusted because its false-positive rate is continuously
+    measured), then APPENDS its own bits in an atomic commit so the
+    artifact stays current for the next ingest epoch.
+
+    Determinism under ANY micro-batch assignment: the EMITTED verdict
+    probes the BASE snapshot only (a Bloom probe against
+    concurrently-growing bits would depend on arrival order — the
+    definitely-new-within-stream role belongs to the exact
+    fingerprint index, ``stream_ingest_new_fingerprints``), the bit
+    positions are md5-derived, and m is a pure function of the base
+    key count — so the DuckDB twin replays every row bit-for-bit.
+    The index-update write path is gated separately:
+    tests/test_streaming.py asserts the drained table holds exactly
+    base-bits ∪ delta-bits for controlled batches.
+
+    Scale shape: the filter is FIXED-SIZE (≤m set-bit rows, ~1 byte/
+    key amortized vs ~32 bytes/key for the exact fingerprint set) and
+    MERGEABLE (bit union — per-shard filters OR together without
+    touching rows), so it broadcasts where the exact set must
+    shuffle; per-batch work is a k-way projection + a broadcast join
+    + one O(batch) append; the one corpus-wide cost (hashing the base
+    keys) is the index bootstrap, paid once per table lifetime."""
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 != 0)
+        .select(F.md5(_norm_text(F.col("text"))).alias("fp"))
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds the count AND the bits
+    )
+    m_bits = 8 * base.count() + 1
+    src = _delta_docs_zone(spark, sf_dir)
+    return maintained_bloom_ingest(spark, src, base, m_bits)
+
+
+def maintained_bloom_ingest(spark: SparkSession, src: str,
+                            base_fps: DataFrame, m_bits: int,
+                            max_files_per_trigger: int = 2,
+                            index_out: list | None = None) -> DataFrame:
+    """Core of ``stream_ingest_bloom_dedup``, split out so tests can
+    drive it with a controlled landing zone and inspect the final
+    index (pass ``index_out=[]`` — the drained TxnTable's set-bit
+    rows are appended to it before cleanup). ``base_fps`` is the
+    base corpus's DISTINCT fingerprint relation."""
+    import glob as _glob
+
+    from ..sources.txn import TxnTable
+
+    k = _BLOOM_STREAM_HASHES
+    idx_root = scratch_dir("wh_bloom_index_")
+    out_dir = scratch_dir("wh_bloom_out_")
+    ckpt = scratch_dir("stream_bloom_ckpt_")
+
+    def bit(i, key):
+        return F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}|"), key)), 1, 8),
+                16, 10,
+            ).cast("long"),
+            F.lit(m_bits),
+        )
+
+    def bits_of(fps: DataFrame) -> DataFrame:
+        hashes = F.array(*[bit(i, F.col("fp")) for i in range(k)])
+        return fps.select(F.explode(hashes).alias("bk")).distinct()
+
+    tbl = TxnTable(idx_root)
+    base_bits = bits_of(base_fps).localCheckpoint(eager=True)
+    tbl.overwrite(base_bits.withColumn("is_base", F.lit(True)))
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        fps = batch_df.select(
+            "doc_id", F.md5(_norm_text(F.col("text"))).alias("fp"))
+        hashes = F.array(*[bit(i, F.col("fp")) for i in range(k)])
+        ph = fps.select("doc_id", "fp", F.explode(hashes).alias("bk"))
+        hits = (
+            ph.join(F.broadcast(base_bits.withColumn("hit", F.lit(1))),
+                    "bk", "left")
+            .groupBy("doc_id", "fp")
+            .agg(F.count("hit").alias("n_hit"))
+        )
+        verdicts = hits.join(
+            F.broadcast(base_fps.withColumn("is_m", F.lit(1))),
+            "fp", "left"
+        ).select(
+            "doc_id",
+            F.when(F.col("n_hit") == k, 1).otherwise(0)
+            .cast("int").alias("maybe_base_dup"),
+            F.coalesce(F.col("is_m"), F.lit(0))
+            .cast("int").alias("exact_base_dup"),
+        )
+        verdicts.write.mode("append").parquet(out_dir)
+        # the index-update write path: this batch's bits join the
+        # artifact (union semantics — duplicates are harmless and
+        # collapsed at read by DISTINCT)
+        tbl.append(
+            fps.select(F.explode(hashes).alias("bk")).distinct()
+            .withColumn("is_base", F.lit(False)))
+
+    try:
+        q = (
+            spark.readStream.schema(
+                "doc_id long, text string, lang string, source string,"
+                " n_chars long"
+            )
+            .option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .parquet(src)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if index_out is not None:
+            index_out.extend(
+                tbl.read(spark).select("bk").distinct().collect())
+        if _glob.glob(f"{out_dir}/*.parquet"):
+            res = spark.read.parquet(out_dir)
+        else:
+            res = spark.createDataFrame(
+                [], "doc_id long, maybe_base_dup int, exact_base_dup int")
+        out = spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(idx_root, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return out

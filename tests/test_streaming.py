@@ -325,3 +325,57 @@ def test_maintained_cell_ingest_batchsize_independent(spark):
         for m in (1, 64)
     ]
     assert runs[0] == runs[1] and len(runs[0]) > 0
+
+
+def test_maintained_bloom_index_ends_as_base_union_delta(
+        spark, tmp_path_factory):
+    """stream_ingest_bloom_dedup's index-update write path: after the
+    drain, the transactional set-bit table must hold EXACTLY the base
+    bits union every ingested batch's bits (bit union is
+    order-independent — the reason the artifact is mergeable across
+    shards), and the emitted verdicts must obey Bloom soundness
+    (exact duplicate => bloom positive) for every batch split."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_spark.analytics.streaming_live import (
+        _norm_text, maintained_bloom_ingest,
+    )
+
+    src = str(tmp_path_factory.mktemp("bloom_src"))
+    base_text = "alpha bravo charlie delta echo foxtrot golf hotel"
+    texts = {10: base_text,              # exact dup of a base doc
+             20: "completely novel content about streaming sketches"}
+    for doc_id, text in texts.items():
+        papq.write_table(
+            pa.table({
+                "doc_id": pa.array([doc_id], pa.int64()),
+                "text": [text],
+                "lang": ["en"],
+                "source": ["t"],
+                "n_chars": pa.array([len(text)], pa.int64()),
+            }),
+            f"{src}/{doc_id}.parquet",
+        )
+    base_fps = spark.createDataFrame(
+        [(base_text,), ("another base doc entirely",)], "text string"
+    ).select(F.md5(_norm_text(F.col("text"))).alias("fp"))
+    m_bits = 8 * base_fps.count() + 1
+
+    for trigger in (1, 2):  # one doc per batch, then both in one
+        idx: list = []
+        got = {r.doc_id: r for r in maintained_bloom_ingest(
+            spark, src, base_fps, m_bits,
+            max_files_per_trigger=trigger, index_out=idx,
+        ).collect()}
+        assert got[10].exact_base_dup == 1
+        assert got[10].maybe_base_dup == 1  # soundness
+        assert got[20].exact_base_dup == 0
+        # final index = base bits UNION both batches' bits,
+        # regardless of the batch split
+        if trigger == 1:
+            bits_1 = {r.bk for r in idx}
+        else:
+            assert {r.bk for r in idx} == bits_1
