@@ -225,9 +225,17 @@ per-brand Pearson correlation `brand_qty_price_correlation`
 change-point detection `nation_revenue_changepoint`; 2-hop graph
 reach `copurchase_2hop_reach`; Gopher-style per-language length
 calibration `lang_calibrated_length_filter` — grid windows, never
-a per-language doc window; and the deterministic PPS sampler
+a per-language doc window; the deterministic PPS sampler
 `nation_weighted_systematic_sample` whose two-level bucketed
-cumsum is gated against the definitional single-window oracle),
+cumsum is gated against the definitional single-window oracle;
+per-user TIME-WEIGHTED average `user_value_twap` — TimescaleDB's
+time_weight with LOCF interpolation, exact microsecond x cent
+areas; hierarchical part-to-whole `region_nation_revenue_shares`
+(the W9 rewrite applied twice over the region x nation grid); and
+the KMV cardinality sketch audit `kmv_distinct_users_estimate` —
+the fourth classic sketch, whose estimate is a pure function of
+md5 values and therefore hash-gates cross-engine where HLL cannot,
+with the |keys| < K degenerate case encoded as exact),
 retrieval (`analytics/search.py`: positional PHRASE search
 `phrase_search_positions` — adjacency self-join over an on-the-fly
 positional posting list; reciprocal-rank-fusion hybrid retrieval

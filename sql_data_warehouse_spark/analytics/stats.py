@@ -956,3 +956,377 @@ def nation_revenue_changepoint(spark: SparkSession,
         (-F.col("b.neg_m")).alias("cp_month"),
         F.col("b.cusum_stat").alias("cusum_stat"),
     )
+
+
+# --------------------------------------- time-weighted average
+
+
+@query(
+    "user_value_twap",
+    survey="ext-timeseries ext-stats A2 W4 A8",
+    tags=("events", "stats", "timeseries"),
+    oracle="""
+        WITH pts AS MATERIALIZED (
+          SELECT user_id,
+                 epoch_us(ts) AS t,
+                 CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+                 LEAD(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS t_next
+          FROM events
+        ),
+        segs AS (
+          SELECT user_id, cents, t_next - t AS dur_us
+          FROM pts WHERE t_next IS NOT NULL
+        ),
+        sums AS (
+          SELECT user_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_segments,
+                 CAST(SUM(dur_us) AS BIGINT) AS span_us,
+                 SUM(CAST(cents AS HUGEINT) * dur_us) AS area
+          FROM segs GROUP BY user_id
+        )
+        SELECT user_id, n_segments, span_us,
+               CAST(area AS DOUBLE) / CAST(span_us AS DOUBLE)
+                 AS twap_cents
+        FROM sums WHERE span_us > 0
+    """,
+)
+def user_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TIME-WEIGHTED average event value (TimescaleDB's
+    ``time_weight`` with last-observation-carried-forward
+    interpolation): each observation holds until the user's next
+    event, so the mean weights every value by how long it was in
+    force — the correct average for irregularly-sampled series
+    (a plain AVG over-weights busy periods), and the hypertable-
+    rollup primitive the reference's change-over-time family grows
+    into.
+
+    Scale shape: one LEAD window PARTITIONed BY user_id (per-user
+    event counts — bounded, the same W4 shape as the silver
+    end-dating pipeline), then a map-side-combined grouped sum; no
+    corpus-sized window or join anywhere. Determinism: timestamps
+    enter as exact epoch-MICROSECOND integers (Spark unix_micros ==
+    DuckDB epoch_us — both truncate the parquet value identically),
+    values as exact cents; the value x duration areas sum exactly
+    (HUGEINT / decimal(38,0) — cents x a year of microseconds is
+    ~2^58 per segment, so 64-bit headroom runs out at ~32 segments);
+    twap is ONE division of two exact integers. Zero-span users
+    (single event or all-same-timestamp) are excluded rather than
+    divided by zero — both engines would disagree on inf/NULL."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.unix_micros(F.col("ts")).alias("t"),
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pts = e.select(
+        "user_id", "cents", "t",
+        F.lead("t").over(w).alias("t_next"),
+    )
+    segs = pts.filter(F.col("t_next").isNotNull()).select(
+        "user_id", "cents", (F.col("t_next") - F.col("t")).alias("dur_us"))
+    sums = segs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum("dur_us").alias("span_us"),
+        F.sum(F.col("cents").cast("decimal(19,0)")
+              * F.col("dur_us").cast("decimal(19,0)")).alias("area"),
+    )
+    return sums.filter(F.col("span_us") > 0).select(
+        "user_id", "n_segments", "span_us",
+        (F.col("area").cast("double") / F.col("span_us").cast("double"))
+        .alias("twap_cents"),
+    )
+
+
+# ----------------------------------- hierarchical part-to-whole
+
+
+@query(
+    "region_nation_revenue_shares",
+    survey="ext-stats A3 W9 J1",
+    tags=("tpch", "stats"),
+    oracle="""
+        WITH rev AS MATERIALIZED (
+          SELECT r.r_name, n.n_name,
+                 CAST(SUM(CAST(floor(o.o_totalprice * 100.0 + 0.5)
+                               AS BIGINT)) AS BIGINT) AS cents
+          FROM orders o
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n ON n.n_nationkey = c.c_nationkey
+          JOIN region r ON r.r_regionkey = n.n_regionkey
+          GROUP BY r.r_name, n.n_name
+        )
+        SELECT r_name, n_name, cents,
+               CAST(cents AS DOUBLE)
+                 / CAST(SUM(cents) OVER (PARTITION BY r_name) AS DOUBLE)
+                 AS share_in_region,
+               CAST(SUM(cents) OVER (PARTITION BY r_name) AS DOUBLE)
+                 / CAST(SUM(cents) OVER () AS DOUBLE)
+                 AS region_share_global
+        FROM rev
+    """,
+)
+def region_nation_revenue_shares(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Hierarchical part-to-whole: each nation's share of its REGION
+    next to the region's share of the WORLD — the two-level rollup
+    behind every drill-down revenue dashboard, extending the
+    reference's single-level part-to-whole
+    (`/root/reference/scripts/analysis/11_part_to_whole_analysis.sql`,
+    the Q11 family) to a hierarchy in one pass.
+
+    Scale shape: the fact collapses to the (region x nation) grid in
+    one grouped pass (dims broadcast); BOTH share windows — the
+    per-region subtotal and the grand total — run over that ~25-row
+    grid, the W9 rewrite applied twice. Determinism: each share is
+    one division of exact BIGINT cent sums."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name",
+        "n_regionkey")
+    r = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("n_regionkey"), "r_name")
+    rev = (
+        o.select("o_custkey",
+                 F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+                 .cast("long").alias("cents"))
+        .join(F.broadcast(c), "o_custkey")
+        .join(F.broadcast(n), "c_nationkey")
+        .join(F.broadcast(r), "n_regionkey")
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w_region = Window.partitionBy("r_name")
+    w_all = Window.partitionBy()
+    return rev.select(
+        "r_name", "n_name", "cents",
+        (F.col("cents").cast("double")
+         / F.sum("cents").over(w_region).cast("double"))
+        .alias("share_in_region"),
+        (F.sum("cents").over(w_region).cast("double")
+         / F.sum("cents").over(w_all).cast("double"))
+        .alias("region_share_global"),
+    )
+
+
+# --------------------------------------------- KMV distinct sketch
+
+_KMV_K = 64
+
+
+@query(
+    "kmv_distinct_users_estimate",
+    survey="ext-sketch A1 O2",
+    tags=("events", "stats", "sketch"),
+    oracle=f"""
+        WITH hashed AS MATERIALIZED (
+          SELECT DISTINCT
+                 ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                   ::BIGINT AS h
+          FROM events
+        ),
+        kth AS (
+          SELECT CAST(MAX(h) AS BIGINT) AS h_k,
+                 CAST(COUNT(*) AS BIGINT) AS kn
+          FROM (SELECT h FROM hashed ORDER BY h LIMIT {_KMV_K})
+        ),
+        exact AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM hashed
+        )
+        SELECT exact.n_exact, kth.h_k AS kth_min_hash,
+               CASE WHEN kth.kn < {_KMV_K} THEN CAST(kth.kn AS DOUBLE)
+                    ELSE CAST({_KMV_K - 1} AS DOUBLE)
+                         * (CAST(1152921504606846976 AS DOUBLE)
+                            / CAST(kth.h_k AS DOUBLE))
+               END AS n_est
+        FROM exact CROSS JOIN kth
+    """,
+)
+def kmv_distinct_users_estimate(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch, audited against the
+    exact count — the fourth classic sketch measured in this repo
+    (CMS for frequencies, MinHash for similarity, Bloom for
+    membership, KMV for cardinality): hash every user id into the
+    60-bit space [0, 2^60), keep the K = {k} smallest DISTINCT hash
+    values, and estimate |users| = (K-1) / R where R = h_K / 2^60 is
+    the fraction of hash space the K minima span (Bar-Yossef et al.
+    2002). The sketch is K values — FIXED-SIZE and MERGEABLE (union
+    the minima, re-take the K smallest), which is why per-shard
+    cardinality sketches combine without a COUNT(DISTINCT) shuffle.
+
+    Why audit instead of approx_count_distinct: Spark's HLL++ and any
+    other engine's HLL disagree in implementation (the registered
+    ``approx_distinct_users`` is rows-only for exactly that reason) —
+    KMV's estimate is a PURE FUNCTION of md5 values, so this sketch
+    hash-gates bit-for-bit cross-engine, estimate included.
+
+    Scale shape: one distinct-projection of the key column, then the
+    K smallest via sort+limit (TakeOrderedAndProject — per-partition
+    top-K + driver merge of K·partitions values, never a global
+    sort); the estimate is arithmetic on a 1-row relation.
+    Determinism: h_K is an exact integer; the estimate is a
+    fixed-order double expression ((K-1) * (2^60 / h_K)) over exact
+    operands — 2^60 = 1152921504606846976 is exactly representable.
+    Degenerate case (|keys| < K, e.g. the sf0.001 smoke corpus's 15
+    users): the sketch holds EVERY value, so the estimate is the
+    exact count — the standard KMV convention, encoded identically
+    on both sides."""
+    k = _KMV_K
+    hashed = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+                16, 10,
+            ).cast("long").alias("h")
+        )
+        .distinct()
+        # branch point: feeds the exact count AND the k-th minimum
+        .localCheckpoint(eager=True)
+    )
+    kth = hashed.orderBy("h").limit(k).agg(
+        F.max("h").alias("kth_min_hash"),
+        F.count(F.lit(1)).cast("long").alias("kn"))
+    exact = hashed.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    est = F.when(
+        F.col("kn") < k, F.col("kn").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1))
+        * (F.lit(1152921504606846976.0)
+           / F.col("kth_min_hash").cast("double"))
+    )
+    return exact.crossJoin(F.broadcast(kth)).select(
+        "n_exact", "kth_min_hash", est.alias("n_est"))
+
+
+# --------------------------------------- linear-interpolation gapfill
+
+
+@query(
+    "events_hourly_interpolate",
+    survey="ext-timeseries A4 W-none",
+    tags=("events", "stats", "timeseries"),
+    oracle="""
+        WITH bounds AS (
+          SELECT date_trunc('hour', MIN(ts)) AS t0,
+                 date_trunc('hour', MAX(ts)) AS t1
+          FROM events
+        ),
+        grid AS (
+          SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR))
+                   AS hour_start
+          FROM bounds
+        ),
+        agg AS (
+          SELECT date_trunc('hour', ts) AS hour_start,
+                 CAST(SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+                      AS BIGINT) AS v_micros
+          FROM events
+          WHERE event_type = 'purchase' AND value > 18.0
+          GROUP BY 1
+        ),
+        spine AS (
+          SELECT g.hour_start,
+                 epoch_us(g.hour_start) // 3600000000 AS h,
+                 a.v_micros
+          FROM grid g LEFT JOIN agg a USING (hour_start)
+        ),
+        ctx AS (
+          SELECT hour_start, h, v_micros,
+                 last_value(v_micros IGNORE NULLS) OVER past AS prev_v,
+                 last_value(CASE WHEN v_micros IS NOT NULL THEN h END
+                            IGNORE NULLS) OVER past AS prev_h,
+                 first_value(v_micros IGNORE NULLS) OVER fut AS next_v,
+                 first_value(CASE WHEN v_micros IS NOT NULL THEN h END
+                             IGNORE NULLS) OVER fut AS next_h
+          FROM spine
+          WINDOW past AS (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW),
+                 fut AS (ORDER BY h ROWS BETWEEN CURRENT ROW
+                         AND UNBOUNDED FOLLOWING)
+        )
+        SELECT hour_start,
+               v_micros IS NULL AS was_gap,
+               CASE
+                 WHEN prev_h IS NULL OR next_h IS NULL THEN NULL
+                 WHEN next_h = prev_h
+                   THEN CAST(prev_v AS DOUBLE) / 1000000.0
+                 ELSE (CAST(prev_v * (next_h - h)
+                            + next_v * (h - prev_h) AS DOUBLE)
+                       / CAST(next_h - prev_h AS DOUBLE)) / 1000000.0
+               END AS interp_value
+        FROM ctx
+    """,
+)
+def events_hourly_interpolate(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Gap-fill by LINEAR INTERPOLATION — the TimescaleDB
+    ``interpolate()`` companion to ``events_hourly_locf`` (same dense
+    hourly grid, same sparse series — step-hold there, straight line
+    between the surrounding observations here; leading/trailing gaps
+    stay NULL rather than extrapolate). The right fill for
+    rate-like series where a gap means "not measured", not "still
+    the old value".
+
+    Scale shape: identical to the LOCF twin — the four context
+    windows (previous/next observed hour and value) run over the
+    GRID (span hours, aggregate-sized), never over raw events; the
+    same month-partition + boundary-row carry applies if the span
+    ever outgrows a partition. Determinism: hours enter as exact
+    epoch-hour integers, values as exact micro-units; the
+    interpolation is one fixed-order rational expression
+    (v0*(h1-h) + v1*(h-h0)) / (h1-h0) over exact BIGINTs (micros
+    ~2^40 x span-hours < 2^17 stays far under 2^63), divided once."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR")))
+        .alias("hour_start")
+    )
+    agg = (
+        e.filter((F.col("event_type") == "purchase")
+                 & (F.col("value") > 18.0))
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_start"))
+        .agg(F.sum(F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5))
+                   .cast("long")).alias("v_micros"))
+    )
+    spine = grid.join(agg, "hour_start", "left").select(
+        "hour_start",
+        F.expr("unix_micros(hour_start) div 3600000000").alias("h"),
+        "v_micros",
+    )
+    past = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    fut = Window.orderBy("h").rowsBetween(0, Window.unboundedFollowing)
+    obs_h = F.when(F.col("v_micros").isNotNull(), F.col("h"))
+    ctx = spine.select(
+        "hour_start", "h", "v_micros",
+        F.last("v_micros", ignorenulls=True).over(past).alias("prev_v"),
+        F.last(obs_h, ignorenulls=True).over(past).alias("prev_h"),
+        F.first("v_micros", ignorenulls=True).over(fut).alias("next_v"),
+        F.first(obs_h, ignorenulls=True).over(fut).alias("next_h"),
+    )
+    interp = (
+        F.when(F.col("prev_h").isNull() | F.col("next_h").isNull(),
+               F.lit(None).cast("double"))
+        .when(F.col("next_h") == F.col("prev_h"),
+              F.col("prev_v").cast("double") / F.lit(1000000.0))
+        .otherwise(
+            ((F.col("prev_v") * (F.col("next_h") - F.col("h"))
+              + F.col("next_v") * (F.col("h") - F.col("prev_h")))
+             .cast("double")
+             / (F.col("next_h") - F.col("prev_h")).cast("double"))
+            / F.lit(1000000.0))
+    )
+    return ctx.select(
+        "hour_start",
+        F.col("v_micros").isNull().alias("was_gap"),
+        interp.alias("interp_value"),
+    )

@@ -217,3 +217,73 @@ def test_changepoint_month_is_inside_series(spark):
     for r in got.values():
         assert lo <= r.cp_month <= hi
         assert r.cusum_stat >= 0
+
+
+# ---------------------------------------------- TWAP / shares / KMV
+
+
+def test_twap_lies_within_value_range(spark):
+    from sql_data_warehouse_spark.sources import load_table
+
+    lo, hi = (load_table(spark, SF_SMOKE, "events")
+              .agg(F.min("value"), F.max("value")).collect()[0])
+    for r in stats.user_value_twap(spark, SF_SMOKE).collect():
+        assert lo * 100 - 1 <= r.twap_cents <= hi * 100 + 1
+        assert r.span_us > 0
+
+
+def test_hierarchical_shares_sum_to_one(spark):
+    rows = stats.region_nation_revenue_shares(spark, SF_SMOKE).collect()
+    by_region: dict = {}
+    region_share: dict = {}
+    for r in rows:
+        by_region.setdefault(r.r_name, 0.0)
+        by_region[r.r_name] += r.share_in_region
+        region_share[r.r_name] = r.region_share_global
+    for v in by_region.values():
+        assert abs(v - 1.0) < 1e-9  # nations partition their region
+    assert abs(sum(region_share.values()) - 1.0) < 1e-9
+
+
+def test_kmv_degenerate_small_corpus_is_exact(spark):
+    """sf0.001 has 15 distinct users < K=64: the sketch holds every
+    value, the estimate must equal the exact count, and the oracle
+    must agree at this scale too (the gate only runs sf0.01)."""
+    from tests.oracle_harness import compare, run_oracle
+
+    q = stats.kmv_distinct_users_estimate
+    df = q(spark, SF_SMOKE)
+    row = df.collect()[0]
+    assert row.n_exact < stats._KMV_K
+    assert row.n_est == float(row.n_exact)
+    from sql_data_warehouse_spark.analytics import all_queries
+
+    compare(df, run_oracle(
+        all_queries()["kmv_distinct_users_estimate"].oracle, SF_SMOKE),
+        "kmv@sf0.001")
+
+
+def test_interpolate_matches_observed_and_nulls_edges(spark):
+    rows = sorted(
+        stats.events_hourly_interpolate(spark, SF_SMOKE).collect(),
+        key=lambda r: r.hour_start)
+    observed = [r for r in rows if not r.was_gap]
+    assert observed
+    # an observed hour interpolates to exactly itself
+    for r in observed:
+        assert r.interp_value is not None
+    # gaps before the first / after the last observation stay NULL
+    first_obs = rows.index(observed[0])
+    last_obs = rows.index(observed[-1])
+    for r in rows[:first_obs]:
+        assert r.interp_value is None
+    for r in rows[last_obs + 1:]:
+        assert r.interp_value is None
+    # interior gap values lie within the surrounding observations
+    for i, r in enumerate(rows):
+        if r.was_gap and r.interp_value is not None:
+            prev = next(x for x in reversed(rows[:i]) if not x.was_gap)
+            nxt = next(x for x in rows[i + 1:] if not x.was_gap)
+            lo = min(prev.interp_value, nxt.interp_value)
+            hi = max(prev.interp_value, nxt.interp_value)
+            assert lo - 1e-9 <= r.interp_value <= hi + 1e-9
