@@ -235,7 +235,14 @@ areas; hierarchical part-to-whole `region_nation_revenue_shares`
 the KMV cardinality sketch audit `kmv_distinct_users_estimate` —
 the fourth classic sketch, whose estimate is a pure function of
 md5 values and therefore hash-gates cross-engine where HLL cannot,
-with the |keys| < K degenerate case encoded as exact),
+with the |keys| < K degenerate case encoded as exact;
+and linear-interpolation gapfill `events_hourly_interpolate` —
+the TimescaleDB interpolate() companion to the LOCF twin),
+training-data retrieval applications (`hard_negative_mining` —
+top-k most-similar DIFFERENT-label vectors per query, the
+contrastive-training negative sampler — and `knn_label_classify`,
+majority-vote k-NN classification of the held-out split against
+ground truth, the post-re-embed eval),
 retrieval (`analytics/search.py`: positional PHRASE search
 `phrase_search_positions` — adjacency self-join over an on-the-fly
 positional posting list; reciprocal-rank-fusion hybrid retrieval

@@ -258,3 +258,190 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TFIDF_TOPK)
         .select("doc_id", "tok", "tf", "tfidf", "rank")
     )
+
+
+# ------------------------------------------- hard-negative mining
+
+_HN_TOPK = 10
+
+
+@query(
+    "hard_negative_mining",
+    survey="ext-sim ext-training W3 J-broadcast P8",
+    tags=("llmops", "search"),
+    oracle=f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding AS q_vec,
+                 label AS q_label
+          FROM embeddings WHERE vec_id < 5
+        ),
+        scored AS (
+          SELECT q.query_id, q.q_label, e.vec_id, e.label AS neg_label,
+                 {similarity.cosine_sql("q.q_vec", "e.embedding")}
+                   AS cosine_sim
+          FROM embeddings e CROSS JOIN q
+          WHERE e.label <> q.q_label
+        ),
+        ranked AS (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cosine_sim DESC, vec_id ASC)
+                    AS INTEGER) AS rank
+          FROM scored
+        )
+        SELECT query_id, q_label, vec_id, neg_label, cosine_sim, rank
+        FROM ranked WHERE rank <= {_HN_TOPK}
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE mining for contrastive training: for each query
+    vector, the top-{k} most-similar corpus vectors whose LABEL
+    DIFFERS — the highest-value negatives for an embedding/retrieval
+    training run (random negatives are trivially separable; the ones
+    that look like positives carry the gradient). The training-data-
+    pipeline application of the ANN family: same scoring plan as
+    ``ann_cosine_topk`` plus the label-mismatch predicate BEFORE
+    ranking, so the rank is over negatives only.
+
+    Scale shape: the bounded query set broadcasts over the corpus
+    (one pass, pre-normed unrolled dot per pair — at production scale
+    the brute-force scorer swaps for any registered ANN path with the
+    same predicate applied to its shortlist); the rank window
+    partitions by query. Determinism: cosine is the sequential-fold
+    expression proven bit-identical cross-engine; (cosine, vec_id)
+    totally orders each partition."""
+    from ..functions.vectors import norm_fixed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("q_label"),
+        norm_fixed("embedding", similarity.SIM_DIM).alias("q_norm"),
+    )
+    e = emb.select(
+        "vec_id", F.col("label").alias("neg_label"),
+        F.col("embedding").alias("e_vec"),
+        norm_fixed("embedding", similarity.SIM_DIM).alias("e_norm"),
+    )
+    from ..functions.vectors import cosine_prenormed
+
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("neg_label") != F.col("q_label"))
+        .select(
+            "query_id", "q_label", "vec_id", "neg_label",
+            cosine_prenormed("q_vec", "e_vec", "q_norm", "e_norm",
+                             similarity.SIM_DIM).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _HN_TOPK)
+    )
+
+
+# ------------------------------------------- kNN label classification
+
+_KNN_K = 5
+
+
+@query(
+    "knn_label_classify",
+    survey="ext-sim ext-training A2 W3 A5",
+    tags=("llmops", "search"),
+    oracle=f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding AS q_vec,
+                 label AS true_label
+          FROM embeddings WHERE vec_id % 5 = 0 AND vec_id < 100
+        ),
+        base AS MATERIALIZED (
+          SELECT vec_id, embedding, label FROM embeddings
+          WHERE vec_id % 5 != 0
+        ),
+        scored AS (
+          SELECT q.query_id, q.true_label, b.vec_id, b.label,
+                 {similarity.cosine_sql("q.q_vec", "b.embedding")}
+                   AS cosine_sim
+          FROM base b CROSS JOIN q
+        ),
+        topk AS (
+          SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine_sim DESC, vec_id ASC) AS rn
+            FROM scored
+          ) WHERE rn <= {_KNN_K}
+        ),
+        votes AS (
+          SELECT query_id, true_label, label,
+                 CAST(COUNT(*) AS BIGINT) AS n_votes
+          FROM topk GROUP BY query_id, true_label, label
+        ),
+        best AS (
+          SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY n_votes DESC, label ASC) AS rn
+            FROM votes
+          ) WHERE rn = 1
+        )
+        SELECT query_id, CAST(true_label AS BIGINT) AS true_label,
+               CAST(label AS BIGINT) AS predicted_label, n_votes,
+               CAST(CASE WHEN label = true_label THEN 1 ELSE 0 END
+                    AS INTEGER) AS correct
+        FROM best
+    """,
+)
+def knn_label_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label classification with majority vote, audited against
+    ground truth: each held-out query vector (the delta split,
+    bounded to 20 queries) is classified by the majority label of its
+    {k} nearest BASE vectors by cosine — the standard embedding-
+    quality eval (and weak-labeling primitive) a training pipeline
+    runs after every re-embed, reported per query with the true
+    label so accuracy is an aggregation away.
+
+    Scale shape: base×query scoring broadcasts the bounded query set
+    (swap in a registered ANN path for unbounded query sets); votes
+    and the argmax run on k·|queries| rows. Determinism: top-k by
+    (cosine, vec_id) total order, majority by (votes DESC, label ASC)
+    — integer counts, no float margin decides anything beyond the
+    proven-deterministic cosine ranking."""
+    from ..functions.vectors import cosine_prenormed, norm_fixed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") < 100)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("true_label"),
+        norm_fixed("embedding", similarity.SIM_DIM).alias("q_norm"),
+    )
+    base = emb.filter(F.col("vec_id") % 5 != 0).select(
+        "vec_id", "label",
+        F.col("embedding").alias("e_vec"),
+        norm_fixed("embedding", similarity.SIM_DIM).alias("e_norm"),
+    )
+    scored = base.crossJoin(F.broadcast(q)).select(
+        "query_id", "true_label", "vec_id", "label",
+        cosine_prenormed("q_vec", "e_vec", "q_norm", "e_norm",
+                         similarity.SIM_DIM).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("vec_id"))
+    topk = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _KNN_K)
+    votes = topk.groupBy("query_id", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("n_votes"))
+    wv = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("label"))
+    best = votes.withColumn("rn", F.row_number().over(wv)).filter(
+        F.col("rn") == 1)
+    return best.select(
+        "query_id",
+        F.col("true_label").cast("long").alias("true_label"),
+        F.col("label").cast("long").alias("predicted_label"),
+        "n_votes",
+        F.when(F.col("label") == F.col("true_label"), 1).otherwise(0)
+        .cast("int").alias("correct"),
+    )

@@ -35,3 +35,26 @@ def test_rrf_scores_are_bounded_and_sorted(spark):
         # single-list doc at the same ranks
         if r.lex_rank is not None and r.sem_rank is not None:
             assert r.rrf_score > 1.0 / (search._RRF_K + r.lex_rank)
+
+
+def test_hard_negatives_never_share_the_query_label(spark):
+    rows = search.hard_negative_mining(spark, SF_SMOKE).collect()
+    assert rows
+    by_q: dict = {}
+    for r in rows:
+        assert r.neg_label != r.q_label
+        by_q.setdefault(r.query_id, []).append(r)
+    for sims in by_q.values():
+        ordered = sorted(sims, key=lambda r: r.rank)
+        vals = [r.cosine_sim for r in ordered]
+        assert vals == sorted(vals, reverse=True)
+        assert len(sims) <= search._HN_TOPK
+
+
+def test_knn_classify_emits_one_verdict_per_query(spark):
+    rows = search.knn_label_classify(spark, SF_SMOKE).collect()
+    assert rows
+    assert len({r.query_id for r in rows}) == len(rows)
+    for r in rows:
+        assert 1 <= r.n_votes <= search._KNN_K
+        assert r.correct == int(r.predicted_label == r.true_label)
