@@ -242,7 +242,10 @@ training-data retrieval applications (`hard_negative_mining` —
 top-k most-similar DIFFERENT-label vectors per query, the
 contrastive-training negative sampler — and `knn_label_classify`,
 majority-vote k-NN classification of the held-out split against
-ground truth, the post-re-embed eval),
+ground truth, the post-re-embed eval; plus `copurchase_communities`
+— connected components over the supported co-purchase graph via the
+dedup pipeline's O(log diameter) label-propagation loop, gated by
+the definitional recursive-CTE transitive closure),
 retrieval (`analytics/search.py`: positional PHRASE search
 `phrase_search_positions` — adjacency self-join over an on-the-fly
 positional posting list; reciprocal-rank-fusion hybrid retrieval

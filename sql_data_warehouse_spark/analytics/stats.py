@@ -1330,3 +1330,76 @@ def events_hourly_interpolate(spark: SparkSession,
         F.col("v_micros").isNull().alias("was_gap"),
         interp.alias("interp_value"),
     )
+
+
+# --------------------------------------------- co-purchase communities
+
+
+@query(
+    "copurchase_communities",
+    survey="ext-graph A2 J-self W9",
+    tags=("graph", "mining"),
+    oracle="""
+        WITH RECURSIVE und AS (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a
+          JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY src, dst HAVING COUNT(*) >= 2
+        ),
+        edges AS (
+          SELECT src, dst FROM und
+          UNION ALL SELECT dst, src FROM und
+        ),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        reach(id, label) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+        ),
+        lab AS (
+          SELECT id, CAST(MIN(label) AS BIGINT) AS community_id
+          FROM reach GROUP BY id
+        )
+        SELECT id AS part_id, community_id,
+               CAST(COUNT(*) OVER (PARTITION BY community_id) AS BIGINT)
+                 AS community_size
+        FROM lab
+    """,
+)
+def copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community assignment over the SUPPORTED co-purchase graph:
+    connected components by min-label propagation (community_id =
+    smallest member part id) with each community's size — the
+    market-structure view that completes the graph family
+    (importance = PageRank, local density = triangles, propagation =
+    2-hop reach, PARTITION STRUCTURE = this). Reuses the session
+    pair-count artifact and the O(log diameter) label-propagation
+    loop proven in the dedup pipeline
+    (``operators/dedup.connected_components``: neighbor-min hop +
+    pointer-jumping shortcut, monotone label-sum convergence test).
+
+    Scale shape: the supported graph orders smaller than the fact
+    table (one-off co-occurrences are cut exactly as in the triangle
+    miner); each propagation round is two keyed joins + a
+    min-aggregate on that graph; the size window runs over the
+    node-sized label relation. The oracle is the definitional
+    recursive-CTE transitive closure, so the iterative loop is gated
+    against an independent derivation — the dedup_clusters gate
+    pattern on a different edge set."""
+    from ..operators import dedup as _dedup
+    from .advanced import _copurchase_pair_counts
+
+    # ONE-direction supported edges: connected_components symmetrizes
+    # internally, so pre-symmetrizing would double every edge
+    und = (_copurchase_pair_counts(spark, sf_dir)
+           .filter(F.col("n") >= 2).select("src", "dst"))
+    cc = _dedup.connected_components(und, src="src", dst="dst")
+    sizes = cc.groupBy("label").agg(
+        F.count(F.lit(1)).alias("community_size"))
+    return (
+        cc.join(F.broadcast(sizes), "label")
+        .select(F.col("id").alias("part_id"),
+                F.col("label").alias("community_id"),
+                "community_size")
+    )

@@ -287,3 +287,25 @@ def test_interpolate_matches_observed_and_nulls_edges(spark):
             lo = min(prev.interp_value, nxt.interp_value)
             hi = max(prev.interp_value, nxt.interp_value)
             assert lo - 1e-9 <= r.interp_value <= hi + 1e-9
+
+
+def test_copurchase_communities_are_closed_under_edges(spark):
+    from sql_data_warehouse_spark.analytics.advanced import (
+        _copurchase_pair_counts,
+    )
+
+    comm = {r.part_id: r.community_id for r in
+            stats.copurchase_communities(spark, SF_SMOKE).collect()}
+    sizes: dict = {}
+    for cid in comm.values():
+        sizes[cid] = sizes.get(cid, 0) + 1
+    got_sizes = {r.part_id: r.community_size for r in
+                 stats.copurchase_communities(spark, SF_SMOKE).collect()}
+    edges = (_copurchase_pair_counts(spark, SF_SMOKE)
+             .filter("n >= 2").collect())
+    for e in edges:
+        # both endpoints of every supported edge share a community
+        assert comm[e.src] == comm[e.dst]
+    for pid, cid in comm.items():
+        assert cid <= pid  # label = min member id
+        assert got_sizes[pid] == sizes[cid]
