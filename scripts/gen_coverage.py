@@ -245,7 +245,12 @@ majority-vote k-NN classification of the held-out split against
 ground truth, the post-re-embed eval; plus `copurchase_communities`
 — connected components over the supported co-purchase graph via the
 dedup pipeline's O(log diameter) label-propagation loop, gated by
-the definitional recursive-CTE transitive closure),
+the definitional recursive-CTE transitive closure; and the SCD2
+POINT-IN-TIME join `scd2_point_in_time_join` — the feature-store
+leakage-free fact-to-version join, written as the as-of
+union-window rewrite (one user-keyed shuffle, never an interval
+nested-loop) and gated by the definitional correlated top-1
+oracle),
 retrieval (`analytics/search.py`: positional PHRASE search
 `phrase_search_positions` — adjacency self-join over an on-the-fly
 positional posting list; reciprocal-rank-fusion hybrid retrieval

@@ -764,3 +764,88 @@ def domain_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("delta_docs"),
         )
     )
+
+
+@query(
+    "scd2_point_in_time_join",
+    survey="ext-scd2 ext-asof W1 W4 A3",
+    tags=("events", "scd2", "timeseries"),
+    oracle="""
+        WITH hist AS MATERIALIZED (
+          SELECT user_id, ts, event_id,
+                 CAST(json_extract(props, '$.k') AS BIGINT) AS k
+          FROM events WHERE event_type != 'purchase'
+        ),
+        versions AS MATERIALIZED (
+          SELECT user_id, ts, event_id, k FROM (
+            SELECT *, lag(k) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                      ) AS prev_k
+            FROM hist
+          ) WHERE prev_k IS DISTINCT FROM k
+        ),
+        probes AS (
+          SELECT user_id, ts, event_id
+          FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.event_id, p.user_id,
+               CAST(p.ts AS TIMESTAMP) AS ts,
+               (SELECT v.k FROM versions v
+                WHERE v.user_id = p.user_id
+                  AND (v.ts < p.ts
+                       OR (v.ts = p.ts AND v.event_id < p.event_id))
+                ORDER BY v.ts DESC, v.event_id DESC LIMIT 1)
+                 AS k_at_purchase
+        FROM probes p
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME join against the SCD2 history — the query every
+    Type-2 dimension exists to answer ("which version was in force
+    when the fact happened"), and the feature-store primitive behind
+    leakage-free training joins (a feature valid AFTER the label
+    event must never attach to it): each purchase picks the user's
+    attribute version (the ``k`` property, historized from the
+    user's NON-purchase events) effective at the purchase timestamp;
+    purchases before any version get NULL, never a future value.
+
+    Scale shape — deliberately NOT an interval inequality join (that
+    plans as a nested-loop at any scale): version starts and probes
+    UNION into one relation keyed on user, and ONE window per user
+    ordered by (ts, event_id, probes-after-versions) carries the
+    last version forward onto each probe — the as-of rewrite, one
+    hash shuffle of the union, per-user partitions bounded by event
+    counts. The oracle is the DEFINITIONAL correlated top-1 lookup,
+    so the gate checks the rewrite against an independent
+    derivation. Determinism: (ts, event_id) is a total order; at an
+    exact tie the version with the smaller event_id is already in
+    force (strictly-before semantics on the lexicographic pair) on
+    both sides."""
+    e = load_table(spark, sf_dir, "events")
+    hist = e.filter(F.col("event_type") != "purchase").select(
+        "user_id", "ts", "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    versions = (
+        hist.withColumn("prev_k", F.lag("k").over(w))
+        .filter(~F.col("prev_k").eqNullSafe(F.col("k")))
+        .select("user_id", "ts", "event_id", "k",
+                F.lit(0).alias("is_probe"))
+    )
+    probes = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id",
+        F.lit(None).cast("long").alias("k"),
+        F.lit(1).alias("is_probe"),
+    )
+    # at an exact (ts, event_id) tie a version sorts BEFORE a probe —
+    # impossible for real event ids but it pins the semantics
+    wu = Window.partitionBy("user_id").orderBy(
+        "ts", "event_id", "is_probe"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    carried = versions.unionByName(probes).select(
+        "user_id", "ts", "event_id", "is_probe",
+        F.last("k", ignorenulls=True).over(wu).alias("k_at_purchase"),
+    )
+    return carried.filter(F.col("is_probe") == 1).select(
+        "event_id", "user_id", "ts", "k_at_purchase")

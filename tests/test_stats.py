@@ -309,3 +309,40 @@ def test_copurchase_communities_are_closed_under_edges(spark):
     for pid, cid in comm.items():
         assert cid <= pid  # label = min member id
         assert got_sizes[pid] == sizes[cid]
+
+
+def test_scd2_pit_join_matches_python_rederivation(spark):
+    """Leakage-free PIT semantics, re-derived row-by-row in Python
+    over the whole smoke corpus: every purchase gets the k of the
+    latest STRICTLY-PRIOR non-purchase k-change, never a future one."""
+    import json as _json
+
+    from sql_data_warehouse_spark.analytics.incremental import (
+        scd2_point_in_time_join,
+    )
+    from sql_data_warehouse_spark.sources import load_table
+
+    rows = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_id", "event_type", "props").collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    expected = {}
+    for uid, evs in by_user.items():
+        evs.sort(key=lambda r: (r.ts, r.event_id))
+        cur_k, prev_k, started = None, object(), False
+        versions = []
+        for r in evs:
+            if r.event_type != "purchase":
+                k = _json.loads(r.props)["k"]
+                if not started or k != cur_k:
+                    cur_k, started = k, True
+                versions.append((r.ts, r.event_id, cur_k))
+        for r in evs:
+            if r.event_type == "purchase":
+                prior = [v for v in versions
+                         if (v[0], v[1]) < (r.ts, r.event_id)]
+                expected[r.event_id] = prior[-1][2] if prior else None
+    got = {r.event_id: r.k_at_purchase for r in
+           scd2_point_in_time_join(spark, SF_SMOKE).collect()}
+    assert got == expected
