@@ -1,0 +1,372 @@
+"""Distribution-shape analytics: exact distributed quantiles, robust
+(winsorized) means, sliding-window distinct counts, and per-dimension
+embedding outlier detection.
+
+These extend the reference's measures/magnitude families
+(`/root/reference/scripts/analysis/04_measures_exploration.sql`,
+`05_magnitude_analysis.sql` — scalar AVG/SUM framing) with the
+distribution questions those averages hide: where the quartiles sit
+(exact, not approx), what the mean is once tails are clamped
+(robust statistics), how many distinct actors a trailing window saw
+(engagement), and which embedding vectors are dimension-level
+anomalies (feature-quality audit for the training-data pipeline).
+
+Scale notes per operator live on the queries; the shared machinery is
+:mod:`..operators.quantiles` (two-level histogram rank-select — exact
+quantiles with no global sort).
+
+Cross-engine determinism (registry rules): quantiles, counts and
+clamps are exact integers end-to-end; each reported ratio is ONE
+fixed-order double division of two exact integers; embedding floats
+are quantized ``floor(x·1024)`` (×2¹⁰ is exact in binary floating
+point, so the quantization is bit-deterministic) before any
+cross-row aggregation; dates canonicalize to ISO strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.quantiles import grouped_exact_quantiles, type1_quantile_sql
+from ..sources import load_table
+from .registry import query
+
+# ------------------------------------------ exact grouped quantiles
+
+# o_totalprice cents span ~[9e4, 6e7] (TPC-H price model, SF-invariant
+# domain): 2^20-cent (~$10.5k) bins give ~57 histogram buckets per
+# group and bound every rank-select sort to one bin's occupancy.
+_CENTS_BUCKET = 1 << 20
+
+_PRIORITY_CENTS_REL = (
+    "(SELECT o_orderpriority AS priority, "
+    "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents "
+    "FROM orders)"
+)
+
+
+@query(
+    "exact_priority_quantiles",
+    survey="ext-quantile A2 A4 W6",
+    tags=("tpch", "distribution"),
+    oracle=f"""
+        WITH q AS (
+{type1_quantile_sql(_PRIORITY_CENTS_REL, "priority", "cents", [25, 50, 75])}
+        )
+        SELECT priority,
+               CAST(MAX(n) AS BIGINT) AS n_orders,
+               CAST(MIN(CASE WHEN q_pct = 25 THEN q_val END) AS BIGINT)
+                 AS p25_cents,
+               CAST(MIN(CASE WHEN q_pct = 50 THEN q_val END) AS BIGINT)
+                 AS p50_cents,
+               CAST(MIN(CASE WHEN q_pct = 75 THEN q_val END) AS BIGINT)
+                 AS p75_cents
+        FROM q GROUP BY priority ORDER BY priority
+    """,
+)
+def exact_priority_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT order-value quartiles per order priority — the
+    distribution companion to the scalar AVG in the reference's
+    measures exploration (`04_measures_exploration.sql`), kept exact
+    where ``approx_order_value_percentiles`` (the sketch twin)
+    accepts error for one pass.
+
+    Scale shape: :func:`..operators.quantiles.grouped_exact_quantiles`
+    — per-(priority, 2²⁰-cent-bin) histogram (ONE corpus shuffle,
+    output ≈ 5 × 57 rows regardless of fact count), rank location on
+    that grid, then a broadcast of the 15-row selector back onto the
+    facts so the only sort is the ≤1-bin candidate set per (group,
+    percentile). NO per-group full sort anywhere — the definitional
+    ROW_NUMBER form the DuckDB oracle runs is exactly the plan this
+    rewrite exists to avoid, which makes it the right independent
+    twin. Type-1 semantics: value at rank ceil(p·n/100), lower median
+    for even n; all ranks in exact BIGINT arithmetic."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long").alias("cents"),
+    )
+    q = grouped_exact_quantiles(
+        o, "priority", "cents", [25, 50, 75], _CENTS_BUCKET)
+    pick = [
+        F.min(F.when(F.col("q_pct") == p, F.col("q_val")))
+        .alias(f"p{p}_cents")
+        for p in (25, 50, 75)
+    ]
+    return (
+        q.groupBy("priority")
+        .agg(F.max("n").alias("n_orders"), *pick)
+        .orderBy("priority")
+    )
+
+
+# --------------------------------------------- winsorized robust mean
+
+_NATION_CENTS_REL = (
+    "(SELECT n.n_name AS nation, "
+    "CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents "
+    "FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey "
+    "JOIN nation n ON n.n_nationkey = c.c_nationkey)"
+)
+
+
+@query(
+    "winsorized_nation_order_value",
+    survey="ext-robust A2 A8 J4",
+    tags=("tpch", "distribution"),
+    oracle=f"""
+        WITH base AS MATERIALIZED (
+          SELECT * FROM {_NATION_CENTS_REL} t
+        ),
+        q AS (
+{type1_quantile_sql("base", "nation", "cents", [5, 95])}
+        ),
+        lims AS (
+          SELECT nation,
+                 MIN(CASE WHEN q_pct = 5 THEN q_val END) AS p05_cents,
+                 MIN(CASE WHEN q_pct = 95 THEN q_val END) AS p95_cents,
+                 MAX(n) AS n_orders
+          FROM q GROUP BY nation
+        )
+        SELECT b.nation,
+               CAST(MAX(l.n_orders) AS BIGINT) AS n_orders,
+               CAST(MAX(l.p05_cents) AS BIGINT) AS p05_cents,
+               CAST(MAX(l.p95_cents) AS BIGINT) AS p95_cents,
+               CAST(CAST(SUM(b.cents) AS HUGEINT) AS DOUBLE)
+                 / CAST(MAX(l.n_orders) AS DOUBLE) AS mean_cents,
+               CAST(CAST(SUM(GREATEST(l.p05_cents,
+                                      LEAST(l.p95_cents, b.cents)))
+                         AS HUGEINT) AS DOUBLE)
+                 / CAST(MAX(l.n_orders) AS DOUBLE) AS win_mean_cents
+        FROM base b JOIN lims l ON l.nation = b.nation
+        GROUP BY b.nation ORDER BY b.nation
+    """,
+)
+def winsorized_nation_order_value(
+    spark: SparkSession, sf_dir: str,
+) -> DataFrame:
+    """Winsorized (p05/p95-clamped) mean order value per customer
+    nation, next to the raw mean — the robust-statistics read of the
+    reference's magnitude-by-country family
+    (`05_magnitude_analysis.sql`): one whale order can move a raw
+    nation mean double digits; the winsorized mean is the signal.
+
+    Scale shape: the exact p05/p95 limits come from the same
+    two-level histogram rank-select as ``exact_priority_quantiles``
+    (no per-nation sort), and the 25-row limit relation BROADCASTS
+    back onto the fact scan for the clamp — so the whole query is
+    the orders→customer equi-join plus two corpus-sized aggregations.
+    Determinism: clamps compare exact BIGINT cents; both means are
+    one double division of exact decimal(38,0)-summed cents by the
+    exact count (Spark's partial-agg order can't perturb a decimal
+    sum); nation enrich broadcasts the 25-row dim."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name").alias("nation"),
+    )
+    base = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), "c_nationkey")
+        .select("nation", "cents")
+    )
+    lims = (
+        grouped_exact_quantiles(base, "nation", "cents", [5, 95],
+                                _CENTS_BUCKET)
+        .groupBy("nation")
+        .agg(
+            F.min(F.when(F.col("q_pct") == 5, F.col("q_val")))
+            .alias("p05_cents"),
+            F.min(F.when(F.col("q_pct") == 95, F.col("q_val")))
+            .alias("p95_cents"),
+            F.max("n").alias("n_orders"),
+        )
+    )
+    clamped = base.join(F.broadcast(lims), "nation").select(
+        "nation", "cents", "p05_cents", "p95_cents", "n_orders",
+        F.greatest("p05_cents", F.least("p95_cents", F.col("cents")))
+        .alias("wc"),
+    )
+    dec = "decimal(38,0)"
+    return (
+        clamped.groupBy("nation")
+        .agg(
+            F.max("n_orders").alias("n_orders"),
+            F.max("p05_cents").alias("p05_cents"),
+            F.max("p95_cents").alias("p95_cents"),
+            (F.sum(F.col("cents").cast(dec)).cast("double")
+             / F.max("n_orders").cast("double")).alias("mean_cents"),
+            (F.sum(F.col("wc").cast(dec)).cast("double")
+             / F.max("n_orders").cast("double")).alias("win_mean_cents"),
+        )
+        .orderBy("nation")
+    )
+
+
+# --------------------------------------- trailing-7-day distinct users
+
+
+@query(
+    "rolling_7day_distinct_users",
+    survey="ext-window A5 W6 P6",
+    tags=("events", "distribution"),
+    oracle="""
+        WITH ed AS MATERIALIZED (
+          SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+        ),
+        days AS (SELECT DISTINCT d FROM ed)
+        SELECT strftime(days.d, '%Y-%m-%d') AS day,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT)
+                 AS active_users_7d
+        FROM days JOIN ed e
+          ON e.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+        GROUP BY days.d ORDER BY days.d
+    """,
+)
+def rolling_7day_distinct_users(
+    spark: SparkSession, sf_dir: str,
+) -> DataFrame:
+    """Trailing-7-day distinct active users per observed event day —
+    the sliding-window engagement metric (WAU daily). DISTINCT over a
+    sliding window has no window-function form (COUNT(DISTINCT) OVER
+    RANGE is unsupported in both engines — and in T-SQL, which is why
+    the reference never attempts it); the textbook distributed
+    rewrite is CONTRIBUTION EXPLODE: each distinct (user, day) pair
+    contributes to the ≤7 window-end days it is visible from, then
+    one grouped COUNT(DISTINCT) per target day.
+
+    Scale shape: dedup to (user, day) pairs first (one shuffle,
+    output ≤ users×days), explode ×7 (narrow, no shuffle), semi-join
+    to the observed-day domain (broadcast — days are bounded by the
+    calendar), then Spark's two-phase distinct aggregation. Shuffle
+    volume is 7×|pairs|, NEVER 7 self-joins of the fact table — the
+    oracle runs the definitional range join instead, an independent
+    derivation. Domain choice: days WITH events (a trailing window
+    ending on a dead day is reportable as 0 only if a calendar grid
+    is prescribed — that variant is ``events_hourly_gapfill``'s
+    territory). Day canonicalizes to an ISO string on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.to_date("ts").alias("d"), "user_id").distinct()
+    days = pairs.select("d").distinct().select(F.col("d").alias("day_d"))
+    contrib = pairs.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("day_d"),
+    )
+    return (
+        contrib.join(F.broadcast(days), "day_d", "left_semi")
+        .groupBy("day_d")
+        .agg(F.count_distinct("user_id").alias("active_users_7d"))
+        .select(
+            F.date_format("day_d", "yyyy-MM-dd").alias("day"),
+            "active_users_7d",
+        )
+        .orderBy("day")
+    )
+
+
+# ------------------------------------- embedding dimension outliers
+
+# floor(x · 2^10): exact in IEEE doubles (scaling by a power of two
+# only shifts the exponent), so the quantization — and everything
+# downstream, all integer — is bit-identical across engines.
+_Q_SCALE = 1024
+_OUTLIER_Z = 3  # flag |z| > 3, compared as dev² > 9·var_num — exact
+_OUTLIER_TOPK = 50
+
+
+@query(
+    "embedding_dim_outliers",
+    survey="ext-mlqa A2 A8 O3",
+    tags=("embeddings", "distribution"),
+    oracle=f"""
+        WITH q AS MATERIALIZED (
+          SELECT vec_id, label, i.i AS dim,
+                 CAST(floor(CAST(embedding[i.i] AS DOUBLE) * {_Q_SCALE})
+                      AS BIGINT) AS q
+          FROM embeddings,
+               (SELECT unnest(generate_series(1, 64)) AS i) i
+        ),
+        st AS (
+          SELECT dim,
+                 CAST(COUNT(*) AS HUGEINT) AS n,
+                 CAST(SUM(q) AS HUGEINT) AS s,
+                 CAST(SUM(CAST(q AS HUGEINT) * q) AS HUGEINT) AS ss
+          FROM q GROUP BY dim
+        )
+        SELECT vec_id, label,
+               CAST(SUM(CASE WHEN
+                 (st.n * q.q - st.s) * (st.n * q.q - st.s)
+                   > {_OUTLIER_Z * _OUTLIER_Z} * (st.n * st.ss - st.s * st.s)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outlier_dims
+        FROM q JOIN st USING (dim)
+        GROUP BY vec_id, label
+        HAVING n_outlier_dims >= 1
+        ORDER BY n_outlier_dims DESC, vec_id
+        LIMIT {_OUTLIER_TOPK}
+    """,
+)
+def embedding_dim_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding vectors that are PER-DIMENSION anomalies: for each of
+    the 64 dimensions, corpus mean/variance; a (vector, dim) cell is
+    an outlier when |z| > {z}; report the top-{k} vectors by outlier-
+    dim count. The feature-quality audit a training pipeline runs
+    before trusting an embedding column for semantic dedup or ANN —
+    the per-dim twin of the whole-vector ``embedding_drift_by_label``.
+
+    Exactness at scale: z-scores over floats would need a cross-row
+    float sum (order-dependent). Instead every value quantizes to
+    ``floor(x·2¹⁰)`` (exact — power-of-two scale), and the z test
+    algebraically clears denominators: |q − s/n| > z·sqrt((ss −
+    s²/n)/n)  ⟺  (n·q − s)² > z²·(n·ss − s²) — ALL integer, no
+    division, no sqrt, so partial-agg order is immaterial and the
+    DuckDB twin matches bit-for-bit (HUGEINT there, decimal(38,0)
+    here; products reach ~10²¹ at 100 TB corpus sizes, past BIGINT).
+
+    Plan shape: posexplode → one 64-row groupBy(dim) stats pass →
+    the 64-row stats relation BROADCASTS back onto the exploded scan
+    → grouped flag-count per vector → sort+limit top-{k}
+    (TakeOrderedAndProject). Two corpus-sized passes, both narrow."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dec = "decimal(38,0)"
+    q = e.select(
+        "vec_id", "label",
+        F.posexplode("embedding").alias("dim0", "x"),
+    ).select(
+        "vec_id", "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("x").cast("double") * _Q_SCALE)
+        .cast("long").alias("q"),
+    )
+    st = q.groupBy("dim").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("q").cast(dec).alias("s"),
+        F.sum(F.col("q").cast(dec) * F.col("q")).cast(dec).alias("ss"),
+    )
+    dev = F.col("n") * F.col("q") - F.col("s")
+    var_num = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    flagged = q.join(F.broadcast(st), "dim").select(
+        "vec_id", "label",
+        F.when(dev * dev > F.lit(_OUTLIER_Z * _OUTLIER_Z) * var_num, 1)
+        .otherwise(0).alias("is_out"),
+    )
+    return (
+        flagged.groupBy("vec_id", "label")
+        .agg(F.sum("is_out").cast("long").alias("n_outlier_dims"))
+        .filter(F.col("n_outlier_dims") >= 1)
+        .orderBy(F.col("n_outlier_dims").desc(), "vec_id")
+        .limit(_OUTLIER_TOPK)
+    )
+
+
+embedding_dim_outliers.__doc__ = embedding_dim_outliers.__doc__.format(
+    z=_OUTLIER_Z, k=_OUTLIER_TOPK)

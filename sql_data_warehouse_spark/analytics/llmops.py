@@ -1638,3 +1638,178 @@ def multiprobe_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.multiprobe_lsh_topk(emb, queries, k=10)
+
+
+
+
+# ------------------------------------------- perceptual-hash near-dup
+
+# dHash (difference/gradient hash): 64 luminance samples per image,
+# bit i = sample i brighter than sample i+1 (wrapping) — the classic
+# integer-exact perceptual signature family (pHash's DCT needs cos(),
+# which is not cross-engine stable; aHash's global-mean threshold
+# couples every bit to every pixel, so one local edit can flip
+# distant borderline bits — measured hamming 11 vs 0 here for a
+# suffix-edited pair). Samples come from the deterministic fake
+# decode convention (operators/multimodal.attach_fake_media: the
+# container ships no image codecs, media derives from text bytes):
+# sample i = word-shape stat (7·len + 13·first char + 31·last char,
+# mod 256) of token 1 + (i mod n_tokens) — an absolute-position
+# "thumbnail strip" of the content, so local content edits perturb
+# only local samples, the invariance real dHash has to local pixel
+# noise. Swapping in a Pillow thumbnail changes ONE projection.
+#
+# 8 bands of 8 bits: two signatures within hamming ≤ 7 agree on ≥ 1
+# whole byte (pigeonhole), so the band join is LOSSLESS for the
+# threshold — the definitional all-pairs oracle is an equivalence
+# check, not an approximation bound.
+_DHASH_HAM_MAX = 7
+
+# (7·len + 13·ascii(first) + 31·ascii(last)) % 256 of token t — the
+# shared Spark/DuckDB word-shape "luminance"; greatest(len,1) keeps
+# the empty-token substr start at 1 (start-0 semantics differ).
+_DHASH_PIX = (
+    "(7 * {ln}(t) + 13 * ascii(substr(t, 1, 1))"
+    " + 31 * ascii(substr(t, CAST(greatest({ln}(t), 1) AS INTEGER), 1)))"
+    " % 256"
+)
+
+
+def _dhash_pairs_sql() -> str:
+    from ..functions.text import NORMALIZE_SQL
+
+    ham = " + ".join(
+        f"bit_count(xor(a.b{k}, b.b{k}))" for k in range(8))
+    byte_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN i // 8 = {k} THEN bit * (1 << (i % 8)) "
+        f"ELSE 0 END) AS BIGINT) AS b{k}"
+        for k in range(8)
+    )
+    pix = _DHASH_PIX.format(ln="len")
+    norm = NORMALIZE_SQL.format(col="text")
+    return f"""
+        WITH img AS MATERIALIZED (
+          SELECT doc_id, string_split({norm}, ' ') AS toks
+          FROM documents WHERE doc_id % 3 = 0
+        ),
+        px AS MATERIALIZED (
+          SELECT doc_id, g.i AS i, {pix} AS p
+          FROM (SELECT doc_id, toks, len(toks) AS n FROM img),
+               UNNEST(generate_series(0, 63)) AS g(i),
+               LATERAL (SELECT toks[CAST(1 + (g.i % n) AS INT)] AS t) lt
+        ),
+        bits AS (
+          SELECT a.doc_id, a.i,
+                 CASE WHEN a.p > b.p THEN 1 ELSE 0 END AS bit
+          FROM px a JOIN px b
+            ON b.doc_id = a.doc_id AND b.i = (a.i + 1) % 64
+        ),
+        sig AS MATERIALIZED (
+          SELECT doc_id, {byte_cols} FROM bits GROUP BY doc_id
+        )
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+               CAST({ham} AS BIGINT) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE {ham} <= {_DHASH_HAM_MAX}
+        ORDER BY doc1, doc2
+    """
+
+
+@query(
+    "media_dhash_near_dup",
+    survey="ext-media ext-dedup J-self W9",
+    tags=("llmops", "multimodal"),
+    oracle=_dhash_pairs_sql(),
+)
+def media_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs by DIFFERENCE-HASH (dHash)
+    perceptual signature: 64 deterministic luminance samples per
+    image document, bit i = sample brighter than its neighbor
+    (wrapping), pairs within hamming ≤ {h} — the multimodal twin of
+    ``simhash_near_dup_pairs`` (text bits from token votes there,
+    image bits from thumbnail gradients here). Sample provenance and
+    the dHash-vs-aHash/pHash trade-off are documented on the module
+    block above :func:`_dhash_pairs_sql`.
+
+    Scale shape: signature build is one narrow pass (explode ×64, a
+    64-row-per-doc lead window for the gradient, one grouped
+    byte-pack — all JVM integer expressions); pair generation is the
+    8-band LSH join (band value = signature byte), bounded by
+    Σ bucket² like every banded family here, and LOSSLESS at
+    threshold {h} by pigeonhole over 8 bands — which is exactly what
+    lets the definitional all-pairs oracle gate it as an equivalence,
+    same discipline as ``pareto_frontier_parts``. Hamming verify
+    reads the two 8-byte signatures only (bit_count of xor) — no
+    sample data crosses the pair join."""
+    from ..functions.text import tokens
+
+    img = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
+        .withColumn("n", F.size("toks"))
+    )
+    px = img.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("i"),
+        F.expr("element_at(toks, CAST(1 + (i % n) AS INT))").alias("t"),
+    ).select(
+        "doc_id", "i",
+        F.expr(_DHASH_PIX.format(ln="length")).alias("p"),
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("i")
+    wall = wdoc.rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing)
+    bits = px.select(
+        "doc_id", "i",
+        F.when(
+            F.col("p")
+            > F.coalesce(F.lead("p").over(wdoc),
+                         F.first("p").over(wall)),
+            1,
+        ).otherwise(0).alias("bit"),
+    )
+    weight = ("CASE i % 8 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 "
+              "WHEN 3 THEN 8 WHEN 4 THEN 16 WHEN 5 THEN 32 "
+              "WHEN 6 THEN 64 ELSE 128 END")
+    sig = bits.groupBy("doc_id").agg(
+        *[
+            F.sum(F.expr(f"CASE WHEN i div 8 = {k} THEN bit * {weight} "
+                         f"ELSE 0 END")).cast("long").alias(f"b{k}")
+            for k in range(8)
+        ]
+    ).localCheckpoint(eager=True)  # branch point: bands + both verify sides
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"b{k}") for k in range(8)]))
+        .alias("band", "v"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"),
+              [F.col("a.band") == F.col("b.band"),
+               F.col("a.v") == F.col("b.v"),
+               F.col("a.doc_id") < F.col("b.doc_id")])
+        .select(F.col("a.doc_id").alias("doc1"),
+                F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+    s1 = sig.select(F.col("doc_id").alias("doc1"),
+                    *[F.col(f"b{k}").alias(f"x{k}") for k in range(8)])
+    s2 = sig.select(F.col("doc_id").alias("doc2"),
+                    *[F.col(f"b{k}").alias(f"y{k}") for k in range(8)])
+    ham = sum(
+        (F.bit_count(F.expr(f"x{k} ^ y{k}")) for k in range(8)),
+        F.lit(0),
+    )
+    return (
+        cand.join(s1, "doc1").join(s2, "doc2")
+        .withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= _DHASH_HAM_MAX)
+        .select("doc1", "doc2", "hamming")
+        .orderBy("doc1", "doc2")
+    )
+
+
+media_dhash_near_dup.__doc__ = media_dhash_near_dup.__doc__.format(
+    h=_DHASH_HAM_MAX)

@@ -307,7 +307,7 @@ def _run_priority_key(names_checked: frozenset[str], rnd: int,
 
 
 def _import_query_modules() -> None:
-    from . import advanced, core, curation, extended, incremental, llmops, mining, reports, search, star, stats, streaming_live, tpch, txn_queries  # noqa: F401  (side-effect: registration)
+    from . import advanced, core, curation, distribution, extended, incremental, llmops, mining, reports, search, star, stats, streaming_live, tpch, txn_queries  # noqa: F401  (side-effect: registration)
     from ..medallion import analysis as _medallion_analysis  # noqa: F401
     from ..medallion import quality as _medallion_quality  # noqa: F401
     from ..medallion import queries as _medallion  # noqa: F401

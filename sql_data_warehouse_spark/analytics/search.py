@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import TOKENS_SQL, tokens
+from ..functions.text import NORMALIZE_SQL, TOKENS_SQL, tokens
 from ..operators import similarity, text_analysis
 from ..sources import load_table
 from .registry import query
@@ -445,3 +445,165 @@ def knn_label_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("label") == F.col("true_label"), 1).otherwise(0)
         .cast("int").alias("correct"),
     )
+
+
+# --------------------------------- shingle-TF sparse cosine pairs
+
+# Feature space: char-8 shingles of the normalized text — the same
+# unit the MinHash/Jaccard dedup family blocks on. NOT word unigrams:
+# the synthetic corpus draws from a ~31-word pool, so every word is a
+# stopword (df ≈ 0.8·N at every sf — measured; a word-level rare-term
+# block goes empty at sf0.1), while the shingle space stays sparse
+# (7.7k shingles with df ∈ [2, 32] at sf0.1). Real corpora keep both
+# spaces growing; the shingle choice also makes the score the
+# TF-WEIGHTED companion of ``jaccard_pairs_sample`` (set overlap
+# there, count-vector angle here).
+#
+# Blocking: a shingle joins pair generation only when its document
+# frequency sits in [2, 32] — df=1 can't form a pair, and the cap
+# bounds the posting self-join by Σ df² ≤ 32·Σ df, LINEAR in corpus
+# size (rare-feature blocking, the sparse-similarity analogue of the
+# LSH band bound).
+_SPARSE_DF_MIN = 2
+_SPARSE_DF_MAX = 32
+_SPARSE_TOPK = 50
+_DOC_NORM_SQL = NORMALIZE_SQL.format(col="text")
+_SHINGLE_TF_SQL = (
+    "list_transform(generate_series(1, greatest(length({nm}) - 7, 1)),"
+    " i -> substr({nm}, CAST(i AS INTEGER), 8))"
+)
+
+
+@query(
+    "tf_cosine_pairs_topk",
+    survey="ext-dedup ext-search A2 J-self O2",
+    tags=("llmops", "search"),
+    oracle=f"""
+        WITH sh AS MATERIALIZED (
+          SELECT doc_id, unnest({_SHINGLE_TF_SQL.format(nm="nm")}) AS s
+          FROM (SELECT doc_id,
+                       {_DOC_NORM_SQL} AS nm
+                FROM documents)
+        ),
+        tf AS MATERIALIZED (
+          SELECT doc_id, s, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM sh GROUP BY doc_id, s
+        ),
+        rare AS MATERIALIZED (
+          SELECT t.doc_id, t.s, t.tf
+          FROM tf t
+          JOIN (SELECT s, COUNT(*) AS df FROM tf GROUP BY s
+                HAVING COUNT(*) BETWEEN {_SPARSE_DF_MIN}
+                                    AND {_SPARSE_DF_MAX}) d
+            ON d.s = t.s
+        ),
+        norms AS MATERIALIZED (
+          SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS nrm
+          FROM rare GROUP BY doc_id
+        ),
+        dots AS (
+          SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+                 CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+          FROM rare a JOIN rare b
+            ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT d.doc1, d.doc2, d.dot,
+               n1.nrm AS norm1, n2.nrm AS norm2,
+               CAST(d.dot AS DOUBLE)
+                 / sqrt(CAST(n1.nrm AS DOUBLE) * CAST(n2.nrm AS DOUBLE))
+                 AS cosine_rare
+        FROM dots d
+        JOIN norms n1 ON n1.doc_id = d.doc1
+        JOIN norms n2 ON n2.doc_id = d.doc2
+        ORDER BY cosine_rare DESC, doc1, doc2
+        LIMIT {_SPARSE_TOPK}
+    """,
+)
+def tf_cosine_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} most-similar document pairs by SPARSE shingle-count
+    cosine over the rare-shingle subspace (df ∈ [{lo}, {hi}]) — the
+    inverted-index all-pairs similarity that complements the
+    signature families: MinHash answers "how much do the shingle SETS
+    overlap", this answers "how aligned are the shingle-COUNT
+    vectors" — the lexical twin of the embedding ``ann_cosine_topk``.
+    Feature-space and blocking rationale on the module block above.
+
+    Scale shape: pair generation is the posting-list self-join keyed
+    on the shingle — exactly the LSH-band join shape — and the df cap
+    bounds it by Σ df² ≤ {hi}·Σ df, linear in corpus size (dense
+    shingles are EXCLUDED by construction, so no stopword-like
+    feature produces a quadratic bucket). Norms aggregate per
+    document over the same pruned postings (cosine is DEFINED on the
+    rare-shingle subspace — stated, not hidden), the two norm
+    enrichment joins key on doc_id, and the final top-{k} is
+    sort+limit (TakeOrderedAndProject). Determinism: dot and norms
+    are exact BIGINTs; the score is one fixed-shape double expression
+    (÷, ×, sqrt are IEEE correctly-rounded — no float fold whose
+    order could drift); (cosine, doc1, doc2) is a total order."""
+    from ..functions.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    # explode shingle POSITIONS over a materialized norm column, not a
+    # shingle-string array: Generate evaluates its child once per
+    # document, so the regex normalization runs once per doc and the
+    # substring stays in whole-stage codegen (the array-HOF form lets
+    # Catalyst inline the normalize chain into every lambda element —
+    # measured 126 s → ~8 s at sf0.1, the dedup._minhash lesson)
+    n_part = spark.sparkContext.defaultParallelism
+    sh = (
+        docs.repartition(n_part)
+        .select("doc_id", normalize_text(F.col("text")).alias("nm"))
+        .select(
+            "doc_id", "nm",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length("nm") - 7, F.lit(1)),
+                )
+            ).alias("i"),
+        )
+        .select("doc_id", F.expr("substring(nm, i, 8)").alias("s"))
+    )
+    tf = sh.groupBy("doc_id", "s").agg(F.count(F.lit(1)).alias("tf"))
+    rare_feats = (
+        tf.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df").between(_SPARSE_DF_MIN, _SPARSE_DF_MAX))
+        .select("s")
+    )
+    # branch point: the pruned postings feed the norm aggregate AND
+    # both self-join sides — checkpoint so the shingle+prune runs once
+    rare = tf.join(rare_feats, "s").select(
+        "doc_id", "s", "tf").localCheckpoint(eager=True)
+    norms = rare.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("nrm"))
+    a = rare.select(F.col("doc_id").alias("doc1"), "s",
+                    F.col("tf").alias("tf1"))
+    b = rare.select(F.col("doc_id").alias("doc2"), "s",
+                    F.col("tf").alias("tf2"))
+    dots = (
+        a.join(b, "s")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.sum(F.col("tf1") * F.col("tf2")).cast("long").alias("dot"))
+    )
+    n1 = norms.select(F.col("doc_id").alias("doc1"),
+                      F.col("nrm").alias("norm1"))
+    n2 = norms.select(F.col("doc_id").alias("doc2"),
+                      F.col("nrm").alias("norm2"))
+    return (
+        dots.join(n1, "doc1").join(n2, "doc2")
+        .select(
+            "doc1", "doc2", "dot", "norm1", "norm2",
+            (F.col("dot").cast("double")
+             / F.sqrt(F.col("norm1").cast("double")
+                      * F.col("norm2").cast("double")))
+            .alias("cosine_rare"),
+        )
+        .orderBy(F.col("cosine_rare").desc(), "doc1", "doc2")
+        .limit(_SPARSE_TOPK)
+    )
+
+
+tf_cosine_pairs_topk.__doc__ = tf_cosine_pairs_topk.__doc__.format(
+    k=_SPARSE_TOPK, lo=_SPARSE_DF_MIN, hi=_SPARSE_DF_MAX)

@@ -1,0 +1,156 @@
+"""Plan-shape and property gates for the distribution family
+(analytics/distribution.py, operators/quantiles.py): the scale claims
+in the docstrings (no per-group full sort, broadcast selector/limits,
+contribution-explode instead of range self-join) asserted against
+executed plans, plus a definitional equivalence property for the
+two-level histogram rank-select — correctness itself is gated by the
+DuckDB oracles via tests/test_correctness.py and the driver."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from sql_data_warehouse_spark.analytics import distribution
+from sql_data_warehouse_spark.operators.quantiles import (
+    grouped_exact_quantiles,
+)
+
+from .conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _only_cross_of_one_row_aggregate(plan: str) -> bool:
+    return all(
+        ", Cross" in line
+        for line in plan.splitlines()
+        if "BroadcastNestedLoopJoin" in line
+    )
+
+
+# ---------------------------------------- rank-select vs definition
+
+
+def _definitional_type1(df, grp, val, percents):
+    """The textbook form the rewrite must equal: full per-group sort,
+    value at rank ceil(p·n/100)."""
+    w = Window.partitionBy(grp).orderBy(val)
+    r = df.select(
+        F.col(grp), F.col(val).alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(grp)).alias("n"),
+    )
+    out = []
+    for p in percents:
+        out.append(
+            r.filter(F.col("rn") == F.expr(f"({p} * n + 99) div 100"))
+            .select(grp, F.lit(p).alias("q_pct"),
+                    F.col("v").alias("q_val"), "n")
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionAll(o)
+    return res
+
+
+def test_rank_select_equals_definition_with_boundary_ties(spark):
+    """Adversarial fixture: duplicate values massed exactly at bucket
+    boundaries (v = k·width and k·width − 1), group sizes both even
+    and odd, and percentiles that land the target rank on the FIRST
+    and LAST row of a bucket — the straddle cases the selector's
+    (cum_before < target <= cum_thru) interval must get right."""
+    width = 4
+    rows = []
+    for g, vals in {
+        "a": [0, 3, 3, 4, 4, 4, 7, 8, 8, 12],        # even n, ties at 4=width
+        "b": [1, 2, 3, 4, 5, 6, 7],                  # odd n, uniform
+        "c": [4, 4, 4, 4, 4],                        # one value == boundary
+        "d": [0, 15],                                # n=2, extreme spread
+    }.items():
+        rows += [(g, v) for v in vals]
+    df = spark.createDataFrame(rows, "g string, v long")
+    ps = [1, 5, 25, 50, 75, 95, 100]
+    got = grouped_exact_quantiles(df, "g", "v", ps, width)
+    want = _definitional_type1(df, "g", "v", ps)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect()))
+
+
+def test_exact_quantiles_plan_broadcasts_selector(spark):
+    df = distribution.exact_priority_quantiles(spark, SF_SMOKE)
+    plan = _plan(df)
+    # the selector comes back onto the facts as a broadcast hash join
+    assert "BroadcastHashJoin" in plan
+    assert _only_cross_of_one_row_aggregate(plan)
+    # the only row_number window is the in-bucket residual pick —
+    # never a full per-group sort of the fact relation (the histogram
+    # cumsum is a SUM window over grid-sized partitions)
+    assert plan.count("row_number()") == 1
+
+
+def test_winsorized_means_sit_inside_clamp_range(spark):
+    rows = distribution.winsorized_nation_order_value(
+        spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.p05_cents <= r.p95_cents
+        assert r.p05_cents <= r.win_mean_cents <= r.p95_cents
+        # clamping can only pull the mean toward the center, never
+        # past the limits; the raw mean is unconstrained but finite
+        assert r.mean_cents > 0
+
+
+# ------------------------------------------- rolling distinct users
+
+
+def test_rolling_distinct_no_range_self_join(spark):
+    df = distribution.rolling_7day_distinct_users(spark, SF_SMOKE)
+    plan = _plan(df)
+    # contribution explode + broadcast day-domain semi-join: any
+    # nested-loop range join here would be the O(days × events) plan
+    # the rewrite exists to avoid
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan
+
+
+def test_rolling_distinct_is_trailing_window(spark):
+    ev = (
+        distribution.load_table(spark, SF_SMOKE, "events")
+        .select(F.to_date("ts").alias("d"), "user_id")
+        .distinct()
+        .collect()
+    )
+    by_day: dict = {}
+    for r in ev:
+        by_day.setdefault(r.d, set()).add(r.user_id)
+    got = {
+        r.day: r.active_users_7d
+        for r in distribution.rolling_7day_distinct_users(
+            spark, SF_SMOKE).collect()
+    }
+    import datetime as dt
+
+    for day in by_day:
+        users = set()
+        for back in range(7):
+            users |= by_day.get(day - dt.timedelta(days=back), set())
+        assert got[day.isoformat()] == len(users)
+    assert set(got) == {d.isoformat() for d in by_day}
+
+
+# ---------------------------------------- embedding dim outliers
+
+
+def test_dim_outliers_plan_and_bounds(spark):
+    df = distribution.embedding_dim_outliers(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan  # top-k, not global window
+    assert "BroadcastHashJoin" in plan      # 64-row stats broadcast
+    assert _only_cross_of_one_row_aggregate(plan)
+    rows = df.collect()
+    for r in rows:
+        assert 1 <= r.n_outlier_dims <= 64

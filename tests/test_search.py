@@ -58,3 +58,41 @@ def test_knn_classify_emits_one_verdict_per_query(spark):
     for r in rows:
         assert 1 <= r.n_votes <= search._KNN_K
         assert r.correct == int(r.predicted_label == r.true_label)
+
+
+def test_tf_cosine_pairs_bounded_and_rare_blocked(spark):
+    from sql_data_warehouse_spark.analytics.search import (
+        _SPARSE_TOPK, tf_cosine_pairs_topk,
+    )
+
+    df = tf_cosine_pairs_topk(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # top-k is sort+limit
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = df.collect()
+    assert 0 < len(rows) <= _SPARSE_TOPK
+    for r in rows:
+        assert r.doc1 < r.doc2
+        # Cauchy-Schwarz on exact integers; score is their ratio
+        assert r.dot * r.dot <= r.norm1 * r.norm2
+        assert 0.0 < r.cosine_rare <= 1.0
+
+
+def test_dhash_near_dup_pairs_found_and_symmetric_free(spark):
+    from sql_data_warehouse_spark.analytics.llmops import (
+        _DHASH_HAM_MAX, media_dhash_near_dup,
+    )
+
+    df = media_dhash_near_dup(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # banded pair generation + hash verify join — never all-pairs
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert rows, "sf0.001 corpus carries suffix-edited image near-dups"
+    seen = set()
+    for r in rows:
+        assert r.doc1 < r.doc2 and r.doc1 % 3 == 0 and r.doc2 % 3 == 0
+        assert 0 <= r.hamming <= _DHASH_HAM_MAX
+        assert (r.doc1, r.doc2) not in seen
+        seen.add((r.doc1, r.doc2))
