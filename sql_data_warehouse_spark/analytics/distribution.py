@@ -370,3 +370,82 @@ def embedding_dim_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 embedding_dim_outliers.__doc__ = embedding_dim_outliers.__doc__.format(
     z=_OUTLIER_Z, k=_OUTLIER_TOPK)
+
+
+# ------------------------------------------- scalable NTILE deciles
+
+# Lifetime totals span ~[0, 2.4e9] cents (TPC-H: per-customer order
+# count is SF-invariant): 2^24-cent (~$168k) bins keep the boundary
+# histogram ≈ 150 rows while bounding each in-bin residual sort.
+_LTV_BUCKET = 1 << 24
+
+
+@query(
+    "customer_value_deciles_scalable",
+    survey="ext-window W3 A2 O1",
+    tags=("tpch", "distribution"),
+    oracle="""
+        SELECT decile,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(CAST(floor(total_cents) AS BIGINT)) AS DOUBLE) / 100.0
+                   AS decile_revenue
+        FROM (
+          SELECT c.c_custkey,
+                 COALESCE(SUM(CAST(floor(o.o_totalprice * 100.0 + 0.5)
+                                   AS BIGINT)), 0) AS total_cents,
+                 ntile(10) OVER (
+                   ORDER BY COALESCE(SUM(CAST(floor(o.o_totalprice * 100.0
+                                                    + 0.5) AS BIGINT)), 0)
+                            DESC, c.c_custkey) AS decile
+          FROM customer c
+          LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+          GROUP BY c.c_custkey
+        )
+        GROUP BY decile
+        ORDER BY decile
+    """,
+)
+def customer_value_deciles_scalable(
+    spark: SparkSession, sf_dir: str,
+) -> DataFrame:
+    """``customer_value_deciles`` with the NTILE global sort REMOVED:
+    the scale-safe twin, gated against the SAME definitional
+    ntile-window oracle — the NTILE counterpart of the W2 pair
+    (``gold_dim_customers`` / ``gold_dim_customers_scalable_sk``).
+    The original documents its global window as "inherent to NTILE";
+    :func:`..operators.quantiles.scalable_ntile` shows it isn't: the
+    9 exact boundary PAIRS (total, custkey) at the ntile cut ranks —
+    remainder rule included — come from two-level histogram
+    rank-select, broadcast as one row, and every customer's decile is
+    9 pair comparisons. No stage sorts more than one 2²⁴-cent bin's
+    customers; boundary-pair correctness under ties is the property
+    test's job (equal totals straddling a cut rank must split by
+    custkey exactly as NTILE splits them)."""
+    from ..operators.quantiles import scalable_ntile
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.floor(F.col("o_totalprice") * F.lit(100.0)
+                            + F.lit(0.5)).cast("long")
+                ),
+                F.lit(0).cast("long"),
+            ).alias("total_cents")
+        )
+    )
+    tiled = scalable_ntile(
+        per_cust, "total_cents", "c_custkey", 10, _LTV_BUCKET)
+    return (
+        tiled.groupBy(F.col("tile").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum("total_cents").cast("double") / F.lit(100.0))
+            .alias("decile_revenue"),
+        )
+        .orderBy("decile")
+    )

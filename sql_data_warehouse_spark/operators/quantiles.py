@@ -134,3 +134,104 @@ def type1_quantile_sql(
         )
 {branches}
     """
+
+
+def scalable_ntile(
+    df: DataFrame,
+    val: str,
+    key: str,
+    n_tiles: int,
+    bucket_width: int,
+) -> DataFrame:
+    """NTILE(n) over ``ORDER BY val DESC, key ASC`` WITHOUT the global
+    sort — the decile/percentile-bucketing companion to
+    :func:`grouped_exact_quantiles` and the NTILE analogue of
+    ``operators/skew.scalable_row_number``.
+
+    NTILE is rank arithmetic, not value arithmetic: with n rows, the
+    first ``n mod t`` tiles hold ``n div t + 1`` rows, the rest
+    ``n div t`` — equal values SPLIT across tiles by the key
+    tiebreak, so value-only boundaries (a quantile bucketing) would
+    diverge whenever a tie straddles a tile edge. This computes the
+    t−1 exact BOUNDARY PAIRS (val, key) at the cumulative tile ranks
+    ``r_i = i·(n div t) + min(i, n mod t)`` by two-level histogram
+    rank-select (fixed-width value bins → locate the bin holding each
+    r_i on the bin histogram → in-bin row_number picks the residual
+    rank, tie-broken by the key), then broadcasts ONE row carrying
+    all boundary pairs and assigns each input row ``tile = 1 + #
+    boundaries strictly ahead of it`` in (val DESC, key ASC) order.
+
+    Requires n ≥ n_tiles rows and unique ``key`` (both hold for any
+    keyed relation worth bucketing). No stage sorts more than one
+    value-bin's rows; the only unpartitioned window runs on the BIN
+    HISTOGRAM (domain/width rows), and the assignment join is the
+    sanctioned broadcast-one-row-aggregate cross.
+
+    Returns the input rows with a ``tile`` column (int, 1-based).
+    """
+    b = df.select(
+        F.col(key).alias("k"), F.col(val).alias("v"),
+    ).withColumn("bkt", F.expr(f"v div {bucket_width}"))
+
+    hist = b.groupBy("bkt").agg(F.count(F.lit(1)).alias("cnt"))
+    # DESC value order ⇒ DESC bucket order; histogram-sized window
+    w = Window.orderBy(F.desc("bkt"))
+    cum = (
+        hist.withColumn("cum_thru", F.sum("cnt").over(w))
+        .withColumn("cum_before", F.col("cum_thru") - F.col("cnt"))
+    )
+    n = hist.agg(F.sum("cnt").alias("n"))
+    sel = (
+        cum.crossJoin(F.broadcast(n))
+        .withColumn(
+            "i", F.explode(F.array(*[F.lit(i) for i in
+                                     range(1, n_tiles)]))
+        )
+        .withColumn(
+            "target",
+            F.expr(f"i * (n div {n_tiles}) + least(i, n % {n_tiles})"),
+        )
+        .filter(
+            (F.col("cum_before") < F.col("target"))
+            & (F.col("target") <= F.col("cum_thru"))
+        )
+        .select("i", "bkt",
+                (F.col("target") - F.col("cum_before")).alias("rank_in"))
+    )
+
+    cand = b.join(F.broadcast(sel), "bkt")
+    w2 = Window.partitionBy("i").orderBy(F.desc("v"), F.asc("k"))
+    bounds = (
+        cand.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == F.col("rank_in"))
+        .groupBy()
+        .agg(*[
+            agg
+            for i in range(1, n_tiles)
+            for agg in (
+                F.min(F.when(F.col("i") == i, F.col("v")))
+                .alias(f"bv{i}"),
+                F.min(F.when(F.col("i") == i, F.col("k")))
+                .alias(f"bk{i}"),
+            )
+        ])
+    )
+    # row is AFTER boundary i (⇒ lives in a later tile) when it sorts
+    # strictly behind the boundary pair in (v DESC, k ASC) order
+    after = [
+        F.when(
+            (F.col("v") < F.col(f"bv{i}"))
+            | ((F.col("v") == F.col(f"bv{i}"))
+               & (F.col("k") > F.col(f"bk{i}"))),
+            1,
+        ).otherwise(0)
+        for i in range(1, n_tiles)
+    ]
+    tile = sum(after[1:], after[0]) + F.lit(1)
+    return (
+        b.crossJoin(F.broadcast(bounds))
+        .select(
+            F.col("k").alias(key), F.col("v").alias(val),
+            tile.cast("int").alias("tile"),
+        )
+    )

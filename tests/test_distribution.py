@@ -154,3 +154,53 @@ def test_dim_outliers_plan_and_bounds(spark):
     rows = df.collect()
     for r in rows:
         assert 1 <= r.n_outlier_dims <= 64
+
+
+# ------------------------------------------------ scalable NTILE
+
+
+def test_scalable_ntile_equals_window_ntile_under_ties(spark):
+    """Adversarial fixture for the boundary-PAIR claim: a run of
+    equal values long enough to straddle several tile cuts (NTILE
+    must split it by key), n chosen so the remainder rule kicks in
+    (n mod t != 0), and values massed at bin edges."""
+    from sql_data_warehouse_spark.operators.quantiles import (
+        scalable_ntile,
+    )
+
+    rows = (
+        [(k, 100) for k in range(1, 18)]       # 17-way tie across cuts
+        + [(k, 4 * (k % 5)) for k in range(18, 41)]  # bin-edge values
+        + [(41, 700), (42, 0), (43, 0)]        # extremes + tail tie
+    )
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        (r.k): r.tile
+        for r in scalable_ntile(df, "v", "k", 7, 4).collect()
+    }
+    w = Window.orderBy(F.desc("v"), F.asc("k"))
+    want = {
+        r.k: r.tile
+        for r in df.withColumn("tile", F.ntile(7).over(w)).collect()
+    }
+    assert got == want
+
+
+def test_scalable_deciles_plan_has_no_global_fact_sort(spark):
+    from sql_data_warehouse_spark.analytics.distribution import (
+        customer_value_deciles_scalable,
+    )
+
+    df = customer_value_deciles_scalable(spark, SF_SMOKE)
+    plan = _plan(df)
+    # the only row_number is the in-bin residual pick; ntile itself
+    # must be absent (that's the global-sort operator being replaced)
+    assert "ntile" not in plan
+    assert plan.count("row_number()") == 1
+    rows = df.collect()
+    assert [r.decile for r in rows] == list(range(1, 11))
+    # ntile remainder rule: bucket sizes differ by at most one and
+    # are non-increasing
+    sizes = [r.n_customers for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    assert sizes == sorted(sizes, reverse=True)
