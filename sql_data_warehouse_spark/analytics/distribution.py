@@ -449,3 +449,213 @@ def customer_value_deciles_scalable(
         )
         .orderBy("decile")
     )
+
+
+# --------------------------------------- EWMA with exact dyadic weights
+
+# α = 1/2 makes every EWMA weight a power of two, so the recursion
+# E_t = (E_{t-1} + v_t)/2 clears denominators EXACTLY:
+#   2^(T-1) · E_T = v_1 + Σ_{k=2..T} 2^(k-2) · v_k
+# — numerator and denominator are exact integers and the reported
+# EWMA is one double division. Weights reach 2^(T-2); with T ≤ ~120
+# months and month-revenue ≤ ~10¹¹ cents the numerator stays inside
+# decimal(38,0)/HUGEINT (~10³⁸) at any realistic corpus age — the
+# overflow bound is documented, not hoped. Each power of two is built
+# as a PRODUCT OF TWO LONG SHIFTS (each half-exponent ≤ 62), never a
+# float power() cast.
+# integer division MUST be div/// — engine "/" on ints is float
+# division and CAST of the .5 halves rounds in DuckDB but truncates
+# in Spark (measured divergence at t=5)
+_EWMA_W = ("CAST(shiftleft(CAST(1 AS BIGINT),"
+           " CAST(({t} - 2) div 2 AS INT)) AS DECIMAL(38,0))"
+           " * CAST(shiftleft(CAST(1 AS BIGINT),"
+           " CAST(({t} - 2) - ({t} - 2) div 2 AS INT)) AS DECIMAL(38,0))")
+_EWMA_W_SQL = ("(1::HUGEINT << CAST(({t} - 2) // 2 AS INT))"
+               " * (1::HUGEINT << CAST(({t} - 2) - ({t} - 2) // 2 AS INT))")
+
+
+@query(
+    "ewma_monthly_revenue",
+    survey="ext-timeseries A4 W6 W5",
+    tags=("tpch", "distribution", "timeseries"),
+    oracle=f"""
+        WITH m AS MATERIALIZED (
+          SELECT n.n_name AS nation, strftime(o.o_orderdate, '%Y-%m') AS ym,
+                 CAST(SUM(CAST(floor(o.o_totalprice * 100.0 + 0.5)
+                               AS BIGINT)) AS BIGINT) AS rev_cents
+          FROM orders o
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n ON n.n_nationkey = c.c_nationkey
+          GROUP BY nation, ym
+        ),
+        t AS (
+          SELECT nation, ym, rev_cents,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY nation ORDER BY ym)
+                      AS BIGINT) AS t
+          FROM m
+        ),
+        w AS (
+          SELECT nation, ym, rev_cents, t,
+                 CASE WHEN t = 1 THEN 1::HUGEINT
+                      ELSE {_EWMA_W_SQL.format(t="t")} END
+                   AS wt
+          FROM t
+        )
+        SELECT nation, ym, rev_cents,
+               CAST(SUM(wt * rev_cents) OVER (PARTITION BY nation
+                      ORDER BY ym ROWS UNBOUNDED PRECEDING)
+                    // CASE WHEN t = 1 THEN 1::HUGEINT
+                       ELSE {_EWMA_W_SQL.format(t="t + 1")} END
+                    AS BIGINT) AS ewma_cents
+        FROM w
+        ORDER BY nation, ym
+    """,
+)
+def ewma_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of monthly revenue per
+    nation (α = 1/2, E_1 = v_1) — the smoothing companion to the OLS
+    trend (``nation_revenue_trend_ols``) and the seasonal index
+    (``nation_revenue_seasonality``): trend fits the level, EWMA
+    tracks it with recency bias. α = 1/2 is the EXACTNESS choice:
+    every weight is a power of two, so the whole recursion is
+    integer arithmetic — reported floored to whole cents — and the
+    cross-engine gate is bit-for-bit (the
+    dyadic-denominator analogue of the pre-log PMI trick) — see the
+    module block above for the cleared-denominator identity and the
+    decimal(38,0) overflow bound.
+
+    Scale shape: one corpus-sized aggregation to (nation, month) —
+    everything after runs on the ≤ nations × months grid (the window
+    cumsum partitions are ~80 rows). Denominator 2^(T-1) arrives as
+    the same two-shift product as the weights, with the t+1 offset
+    (2^((t+1)-2) = 2^(t-1))."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name").alias("nation"),
+    )
+    m = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), "c_nationkey")
+        .groupBy(
+            "nation",
+            F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+                .cast("long")
+            ).cast("long").alias("rev_cents")
+        )
+    )
+    wn = Window.partitionBy("nation").orderBy("ym")
+    t = m.withColumn("t", F.row_number().over(wn).cast("long"))
+    wt = F.when(
+        F.col("t") == 1, F.lit(1).cast("decimal(38,0)")
+    ).otherwise(F.expr(_EWMA_W.format(t="t")))
+    den = F.when(
+        F.col("t") == 1, F.lit(1).cast("decimal(38,0)")
+    ).otherwise(F.expr(_EWMA_W.format(t="t + 1")))
+    cum = Window.partitionBy("nation").orderBy("ym").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return (
+        t.withColumn("num", F.sum(wt * F.col("rev_cents")).over(cum))
+        .withColumn("den", den)
+        .select(
+            "nation", "ym", "rev_cents",
+            # FLOOR division of exact integers (whole cents): the
+            # ~2^80-scale numerator does NOT round-trip through double
+            # identically in Spark decimal vs DuckDB HUGEINT (measured
+            # ulp drift) — integer division sidesteps the conversion
+            F.expr("CAST(num div den AS BIGINT)").alias("ewma_cents"),
+        )
+        .orderBy("nation", "ym")
+    )
+
+
+# ----------------------------------- funnel conversion-time quantiles
+
+_FUNNEL_SEC_BUCKET = 1 << 15  # ~9.1h bins over a ≤month span
+
+
+@query(
+    "funnel_conversion_time_quantiles",
+    survey="ext-funnel ext-quantile A1 W1",
+    tags=("events", "distribution"),
+    oracle=f"""
+        WITH conv AS MATERIALIZED (
+          SELECT v.user_id,
+                 CAST(date_diff('second', v.first_view, p.first_purchase)
+                      AS BIGINT) AS delta_sec
+          FROM (SELECT user_id, MIN(ts) AS first_view FROM events
+                WHERE event_type = 'view' GROUP BY user_id) v
+          JOIN (SELECT e.user_id, MIN(e.ts) AS first_purchase
+                FROM events e
+                JOIN (SELECT user_id, MIN(ts) AS first_view FROM events
+                      WHERE event_type = 'view' GROUP BY user_id) fv
+                  ON fv.user_id = e.user_id
+                WHERE e.event_type = 'purchase' AND e.ts >= fv.first_view
+                GROUP BY e.user_id) p
+            ON p.user_id = v.user_id
+        ),
+        q AS (
+{type1_quantile_sql("(SELECT CAST(1 AS INT) AS g, delta_sec FROM conv) c",
+                    "g", "delta_sec", [50, 90, 99])}
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+               CAST(MIN(CASE WHEN q_pct = 50 THEN q_val END) AS BIGINT)
+                 AS p50_sec,
+               CAST(MIN(CASE WHEN q_pct = 90 THEN q_val END) AS BIGINT)
+                 AS p90_sec,
+               CAST(MIN(CASE WHEN q_pct = 99 THEN q_val END) AS BIGINT)
+                 AS p99_sec
+        FROM q
+    """,
+)
+def funnel_conversion_time_quantiles(
+    spark: SparkSession, sf_dir: str,
+) -> DataFrame:
+    """EXACT p50/p90/p99 of view→purchase conversion time — the
+    latency-distribution companion to the count-based
+    ``funnel_view_click_purchase``: a conversion RATE hides whether
+    converts take minutes or weeks. Conversion = each user's first
+    purchase at-or-after their first view; deltas are exact integer
+    seconds.
+
+    Scale shape: two grouped MIN aggregations (shuffles key on
+    user_id), an equi-join, then
+    :func:`..operators.quantiles.grouped_exact_quantiles` over the
+    per-user deltas with a constant group — the single-group case is
+    exactly where a definitional ROW_NUMBER form degenerates to ONE
+    partition holding every user (the oracle runs precisely that, on
+    purpose), while the histogram rank-select sorts only the one
+    ~9-hour bin per percentile."""
+    ev = load_table(spark, sf_dir, "events")
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("first_view"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id").agg(F.min("ts").alias("first_purchase"))
+    )
+    conv = fv.join(fp, "user_id").select(
+        F.lit(1).alias("g"),
+        (F.unix_timestamp("first_purchase")
+         - F.unix_timestamp("first_view")).cast("long")
+        .alias("delta_sec"),
+    )
+    q = grouped_exact_quantiles(
+        conv, "g", "delta_sec", [50, 90, 99], _FUNNEL_SEC_BUCKET)
+    return q.groupBy().agg(
+        F.max("n").alias("n_converted"),
+        *[
+            F.min(F.when(F.col("q_pct") == p, F.col("q_val")))
+            .alias(f"p{p}_sec")
+            for p in (50, 90, 99)
+        ],
+    )

@@ -1659,11 +1659,16 @@ def multiprobe_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # only local samples, the invariance real dHash has to local pixel
 # noise. Swapping in a Pillow thumbnail changes ONE projection.
 #
-# 8 bands of 8 bits: two signatures within hamming ≤ 7 agree on ≥ 1
-# whole byte (pigeonhole), so the band join is LOSSLESS for the
-# threshold — the definitional all-pairs oracle is an equivalence
-# check, not an approximation bound.
-_DHASH_HAM_MAX = 7
+# 4 bands of 16 bits: two signatures within hamming ≤ 3 agree on ≥ 1
+# whole 16-bit band (pigeonhole), so the band join is LOSSLESS for
+# the threshold — the definitional all-pairs oracle is an equivalence
+# check, not an approximation bound. Band WIDTH is the scale decision
+# (the simhash 16→32-bit lesson, BASELINE.md): an 8-bit band has 256
+# buckets TOTAL, so bucket depth grows ∝ corpus and the 8-band join
+# degenerates to ~n²/256 at sf10 (~10⁸ pairs at 167k images); 16-bit
+# bands give 65,536 buckets per band and the measured corpus pairs
+# sit at hamming 0 anyway — threshold 3 trades no observed recall.
+_DHASH_HAM_MAX = 3
 
 # (7·len + 13·ascii(first) + 31·ascii(last)) % 256 of token t — the
 # shared Spark/DuckDB word-shape "luminance"; greatest(len,1) keeps
@@ -1734,9 +1739,10 @@ def media_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: signature build is one narrow pass (explode ×64, a
     64-row-per-doc lead window for the gradient, one grouped
     byte-pack — all JVM integer expressions); pair generation is the
-    8-band LSH join (band value = signature byte), bounded by
-    Σ bucket² like every banded family here, and LOSSLESS at
-    threshold {h} by pigeonhole over 8 bands — which is exactly what
+    4-band LSH join (band value = a 16-bit signature half-word —
+    width rationale on the module block), bounded by Σ bucket² like
+    every banded family here, and LOSSLESS at threshold {h} by
+    pigeonhole over 4 bands — which is exactly what
     lets the definitional all-pairs oracle gate it as an equivalence,
     same discipline as ``pareto_frontier_parts``. Hamming verify
     reads the two 8-byte signatures only (bit_count of xor) — no
@@ -1781,8 +1787,10 @@ def media_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)  # branch point: bands + both verify sides
     bands = sig.select(
         "doc_id",
-        F.posexplode(F.array(*[F.col(f"b{k}") for k in range(8)]))
-        .alias("band", "v"),
+        F.posexplode(F.array(*[
+            (F.col(f"b{2 * k}") + F.col(f"b{2 * k + 1}") * 256)
+            for k in range(4)
+        ])).alias("band", "v"),
     )
     cand = (
         bands.alias("a")

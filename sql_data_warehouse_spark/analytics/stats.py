@@ -1403,3 +1403,89 @@ def copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("label").alias("community_id"),
                 "community_size")
     )
+
+
+@query(
+    "kmv_daily_merge_estimate",
+    survey="ext-sketch A1 A5 O2",
+    tags=("events", "stats", "sketch"),
+    oracle=f"""
+        WITH hashed AS MATERIALIZED (
+          SELECT DISTINCT
+                 ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                   ::BIGINT AS h
+          FROM events
+        ),
+        kth AS (
+          SELECT CAST(MAX(h) AS BIGINT) AS h_k,
+                 CAST(COUNT(*) AS BIGINT) AS kn
+          FROM (SELECT h FROM hashed ORDER BY h LIMIT {_KMV_K})
+        ),
+        d AS (SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                AS n_days FROM events)
+        SELECT d.n_days, kth.h_k AS kth_min_hash,
+               CASE WHEN kth.kn < {_KMV_K} THEN CAST(kth.kn AS DOUBLE)
+                    ELSE CAST({_KMV_K - 1} AS DOUBLE)
+                         * (CAST(1152921504606846976 AS DOUBLE)
+                            / CAST(kth.h_k AS DOUBLE))
+               END AS n_est
+        FROM d CROSS JOIN kth
+    """,
+)
+def kmv_daily_merge_estimate(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """KMV cardinality via PER-DAY SKETCH MERGE: build an independent
+    K-minimum-values sketch for every event day (the per-shard /
+    per-partition form a 100 TB pipeline actually materializes — one
+    fixed-size sketch per ingest unit, combinable later without
+    re-reading the data), union the daily minima, re-take the K
+    smallest, estimate. The GATE is the mergeability theorem itself:
+    bottom-K of a union equals bottom-K of the per-part bottom-Ks, so
+    the DuckDB oracle computes the DIRECT single-pass sketch
+    (``kmv_distinct_users_estimate``'s path, no daily stage) — if the
+    merge lost or duplicated any minimum, the hash gate breaks. The
+    estimate formula, hash space, and degenerate-case convention are
+    documented on the sibling.
+
+    Scale shape: the daily stage is one distinct-projection of
+    (day, user-hash) plus a bottom-K rank window whose partitions are
+    per-day distinct users (the reduced relation, never raw events);
+    the merge input is ≤ K·days rows — driver-mergeable by
+    construction — and the final bottom-K is sort+limit over it.
+    At 1000 shards this is the plan that replaces a global
+    COUNT(DISTINCT) shuffle with K·shards integers."""
+    k = _KMV_K
+    day_hashed = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.to_date("ts").alias("d"),
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+                16, 10,
+            ).cast("long").alias("h"),
+        )
+        .distinct()
+        # branch point: feeds the day count AND the daily sketches
+        .localCheckpoint(eager=True)
+    )
+    n_days = day_hashed.select("d").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"))
+    wd = Window.partitionBy("d").orderBy("h")
+    daily_sketch = (
+        day_hashed.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") <= k)
+        .select("h")
+        .distinct()  # the union-of-sketches value set
+    )
+    kth = daily_sketch.orderBy("h").limit(k).agg(
+        F.max("h").alias("kth_min_hash"),
+        F.count(F.lit(1)).cast("long").alias("kn"))
+    est = F.when(
+        F.col("kn") < k, F.col("kn").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1))
+        * (F.lit(1152921504606846976.0)
+           / F.col("kth_min_hash").cast("double"))
+    )
+    return n_days.crossJoin(F.broadcast(kth)).select(
+        "n_days", "kth_min_hash", est.alias("n_est"))

@@ -204,3 +204,41 @@ def test_scalable_deciles_plan_has_no_global_fact_sort(spark):
     sizes = [r.n_customers for r in rows]
     assert max(sizes) - min(sizes) <= 1
     assert sizes == sorted(sizes, reverse=True)
+
+
+# ------------------------------------------------ EWMA / funnel
+
+
+def test_ewma_is_exact_dyadic_recursion(spark):
+    """EWMA output must equal the literal recursion E_t=(E_{t-1}+v)/2
+    floored to cents — driven per nation over the real smoke data."""
+    from sql_data_warehouse_spark.analytics.distribution import (
+        ewma_monthly_revenue,
+    )
+
+    rows = ewma_monthly_revenue(spark, SF_SMOKE).collect()
+    assert rows
+    from collections import defaultdict
+    from fractions import Fraction
+
+    series = defaultdict(list)
+    for r in rows:
+        series[r.nation].append(r)
+    for nation, rs in series.items():
+        rs.sort(key=lambda r: r.ym)
+        e = None
+        for r in rs:
+            v = Fraction(r.rev_cents)
+            e = v if e is None else (e + v) / 2
+            assert r.ewma_cents == e.numerator // e.denominator, (
+                nation, r.ym)
+
+
+def test_funnel_quantiles_ordered_and_positive(spark):
+    from sql_data_warehouse_spark.analytics.distribution import (
+        funnel_conversion_time_quantiles,
+    )
+
+    [r] = funnel_conversion_time_quantiles(spark, SF_SMOKE).collect()
+    assert r.n_converted > 0
+    assert 0 <= r.p50_sec <= r.p90_sec <= r.p99_sec

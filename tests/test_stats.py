@@ -346,3 +346,20 @@ def test_scd2_pit_join_matches_python_rederivation(spark):
     got = {r.event_id: r.k_at_purchase for r in
            scd2_point_in_time_join(spark, SF_SMOKE).collect()}
     assert got == expected
+
+
+# ------------------------------------------------ KMV daily merge
+
+
+def test_kmv_daily_merge_equals_direct_sketch(spark):
+    """The mergeability theorem, asserted against the direct sketch:
+    bottom-K of per-day bottom-Ks == global bottom-K."""
+    from sql_data_warehouse_spark.analytics.stats import (
+        kmv_daily_merge_estimate, kmv_distinct_users_estimate,
+    )
+
+    [m] = kmv_daily_merge_estimate(spark, SF_SMOKE).collect()
+    [d] = kmv_distinct_users_estimate(spark, SF_SMOKE).collect()
+    assert m.kth_min_hash == d.kth_min_hash
+    assert m.n_est == d.n_est
+    assert m.n_days > 0
