@@ -659,3 +659,138 @@ def funnel_conversion_time_quantiles(
             for p in (50, 90, 99)
         ],
     )
+
+
+# ------------------------------- Kolmogorov-Smirnov two-sample test
+
+_KS_SEG_A = "AUTOMOBILE"
+_KS_SEG_B = "BUILDING"
+
+
+@query(
+    "ks_test_order_value_segments",
+    survey="ext-stats A2 W6 P7",
+    tags=("tpch", "distribution", "stats"),
+    oracle=f"""
+        WITH v AS MATERIALIZED (
+          SELECT CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)
+                   AS cents,
+                 CAST(c.c_mktsegment = '{_KS_SEG_A}' AS INT) AS a,
+                 CAST(c.c_mktsegment = '{_KS_SEG_B}' AS INT) AS b
+          FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+          WHERE c.c_mktsegment IN ('{_KS_SEG_A}', '{_KS_SEG_B}')
+        ),
+        s AS (
+          SELECT cents, CAST(SUM(a) AS BIGINT) AS g1,
+                 CAST(SUM(b) AS BIGINT) AS g2
+          FROM v GROUP BY cents
+        ),
+        tot AS (SELECT CAST(SUM(g1) AS BIGINT) AS n1,
+                       CAST(SUM(g2) AS BIGINT) AS n2 FROM s),
+        w AS (
+          SELECT cents,
+                 abs(CAST(SUM(g1) OVER (ORDER BY cents) AS HUGEINT)
+                       * (SELECT n2 FROM tot)
+                     - CAST(SUM(g2) OVER (ORDER BY cents) AS HUGEINT)
+                       * (SELECT n1 FROM tot)) AS dev
+          FROM s
+        ),
+        m AS (SELECT MAX(dev) AS ks_num FROM w)
+        SELECT tot.n1, tot.n2,
+               CAST(m.ks_num AS BIGINT) AS ks_num,
+               CAST(m.ks_num AS DOUBLE)
+                 / (CAST(tot.n1 AS DOUBLE) * CAST(tot.n2 AS DOUBLE))
+                 AS ks_stat,
+               (SELECT CAST(MIN(cents) AS BIGINT) FROM w, m
+                WHERE w.dev = m.ks_num) AS argmax_cents
+        FROM tot CROSS JOIN m
+    """,
+)
+def ks_test_order_value_segments(
+    spark: SparkSession, sf_dir: str,
+) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov statistic between the
+    {a} and {b} market segments' order-value distributions — the
+    distribution-DRIFT test behind data-quality monitors and segment
+    A/B reads (``corpus_drift_stat`` is the embedding-space analogue;
+    this is the classic univariate form). D = max over observed
+    values of |F₁(v) − F₂(v)|, reported with the exact integer
+    numerator max|c₁(v)·n₂ − c₂(v)·n₁| (no float ECDFs — the division
+    happens ONCE on the final 1-row relation) plus the value where
+    the gap peaks (min such value — a total order).
+
+    Scale shape: the same two-level decomposition as the quantile
+    helper — per-(2²⁰-cent-bin, value) counts in one shuffle,
+    cross-bin cumulative offsets on the BIN grid (grid-sized window),
+    in-bin running sums over per-bin partitions bounded by bin
+    occupancy, then one max aggregation. The oracle runs the
+    definitional single global cumulative window instead — the plan
+    this rewrite avoids, hence an independent derivation. Overflow:
+    c·n products reach ~10¹⁸ at 100 TB — decimal(38,0)/HUGEINT on
+    both sides."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    v = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .filter(F.col("c_mktsegment").isin(_KS_SEG_A, _KS_SEG_B))
+        .select(
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("long").alias("cents"),
+            (F.col("c_mktsegment") == _KS_SEG_A).cast("int").alias("a"),
+            (F.col("c_mktsegment") == _KS_SEG_B).cast("int").alias("b"),
+        )
+    )
+    s = (
+        v.withColumn("bin", F.expr(f"cents div {_CENTS_BUCKET}"))
+        .groupBy("bin", "cents")
+        .agg(F.sum("a").alias("g1"), F.sum("b").alias("g2"))
+    )
+    # cross-bin offsets on the bin grid (grid-sized window)
+    bins = s.groupBy("bin").agg(
+        F.sum("g1").alias("t1"), F.sum("g2").alias("t2"))
+    wb = Window.orderBy("bin")
+    offs = bins.select(
+        "bin",
+        (F.sum("t1").over(wb) - F.col("t1")).alias("off1"),
+        (F.sum("t2").over(wb) - F.col("t2")).alias("off2"),
+    )
+    tot = bins.agg(
+        F.sum("t1").cast("long").alias("n1"),
+        F.sum("t2").cast("long").alias("n2"))
+    wi = Window.partitionBy("bin").orderBy("cents")
+    dec = "decimal(38,0)"
+    dev_rel = (
+        s.join(F.broadcast(offs), "bin")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cents",
+            F.abs(
+                (F.col("off1") + F.sum("g1").over(wi)).cast(dec)
+                * F.col("n2")
+                - (F.col("off2") + F.sum("g2").over(wi)).cast(dec)
+                * F.col("n1")
+            ).alias("dev"),
+            "n1", "n2",
+        )
+        # branch point: feeds the max AND the argmax scan
+        .localCheckpoint(eager=True)
+    )
+    m = dev_rel.agg(F.max("dev").alias("ks_num"))
+    return (
+        dev_rel.crossJoin(F.broadcast(m))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max("ks_num").cast("long").alias("ks_num"),
+            (F.max("ks_num").cast("double")
+             / (F.col("n1").cast("double") * F.col("n2").cast("double")))
+            .alias("ks_stat"),
+            F.min(F.when(F.col("dev") == F.col("ks_num"),
+                         F.col("cents"))).alias("argmax_cents"),
+        )
+        .select("n1", "n2", "ks_num", "ks_stat", "argmax_cents")
+    )
+
+
+ks_test_order_value_segments.__doc__ = (
+    ks_test_order_value_segments.__doc__.format(a=_KS_SEG_A, b=_KS_SEG_B))

@@ -543,3 +543,64 @@ def nation_revenue_seasonality(spark: SparkSession,
     )
     return per_cal.join(overall, "n_name").select(
         "n_name", "cal_month", "n_months", idx.alias("seasonal_index"))
+
+
+# ----------------------------------------------------- trigram paths
+
+_PATH_TOPK = 20
+
+
+@query(
+    "event_trigram_paths_topk",
+    survey="ext-sequence W4 A3 O2",
+    tags=("events", "mining"),
+    oracle=f"""
+        WITH t AS (
+          SELECT event_type AS e1,
+                 LEAD(event_type, 1) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+                 LEAD(event_type, 2) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS e3
+          FROM events
+        )
+        SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n_paths
+        FROM t WHERE e3 IS NOT NULL
+        GROUP BY e1, e2, e3
+        ORDER BY n_paths DESC, e1, e2, e3
+        LIMIT {_PATH_TOPK}
+    """,
+)
+def event_trigram_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} length-3 event-type paths across per-user streams —
+    the second-order extension of ``event_transition_matrix``
+    (bigrams there, trigrams here): the sequential-pattern signal
+    behind funnel discovery ("what actually precedes purchase?") and
+    session-anomaly scoring, the PrefixSpan-depth-3 special case that
+    stays fully declarative.
+
+    Plan shape: ONE window pass emits both LEADs (same partition +
+    order ⇒ one sort, two frame reads) partitioned by user_id —
+    per-partition rows are one user's history, bounded and
+    sf-independent — then a grouped count whose key space is
+    |event types|³ (a constant), and sort+limit top-{k}
+    (TakeOrderedAndProject). Determinism: (ts, event_id) totally
+    orders each stream; (n_paths, e1, e2, e3) totally orders the
+    result."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        t.filter(F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), "e1", "e2", "e3")
+        .limit(_PATH_TOPK)
+    )
+
+
+event_trigram_paths_topk.__doc__ = event_trigram_paths_topk.__doc__.format(
+    k=_PATH_TOPK)

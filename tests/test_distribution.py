@@ -242,3 +242,18 @@ def test_funnel_quantiles_ordered_and_positive(spark):
     [r] = funnel_conversion_time_quantiles(spark, SF_SMOKE).collect()
     assert r.n_converted > 0
     assert 0 <= r.p50_sec <= r.p90_sec <= r.p99_sec
+
+
+# ------------------------------------------------ KS two-sample
+
+
+def test_ks_statistic_bounds_and_argmax(spark):
+    from sql_data_warehouse_spark.analytics.distribution import (
+        ks_test_order_value_segments,
+    )
+
+    [r] = ks_test_order_value_segments(spark, SF_SMOKE).collect()
+    assert r.n1 > 0 and r.n2 > 0
+    assert 0.0 <= r.ks_stat <= 1.0
+    assert r.ks_num == int(round(r.ks_stat * r.n1 * r.n2))
+    assert r.argmax_cents > 0

@@ -96,3 +96,16 @@ def test_dhash_near_dup_pairs_found_and_symmetric_free(spark):
         assert 0 <= r.hamming <= _DHASH_HAM_MAX
         assert (r.doc1, r.doc2) not in seen
         seen.add((r.doc1, r.doc2))
+
+
+def test_jl_recall_includes_self_and_is_discrete(spark):
+    from sql_data_warehouse_spark.analytics.llmops import (
+        jl_projection_ann_recall,
+    )
+
+    rows = jl_projection_ann_recall(spark, SF_SMOKE).collect()
+    assert len(rows) == 5
+    for r in rows:
+        # self is rank 1 in BOTH spaces (cos=1.0) => always >= 1 hit
+        assert 1 <= r.n_hits <= 10
+        assert r.recall_at_10 == r.n_hits / 10.0
