@@ -28,7 +28,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.quantiles import grouped_exact_quantiles, type1_quantile_sql
+from ..operators.quantiles import (
+    grouped_exact_quantiles,
+    type1_quantile_sql,
+    weighted_type1_quantile_sql,
+)
 from ..sources import load_table
 from .registry import query
 
@@ -794,3 +798,132 @@ def ks_test_order_value_segments(
 
 ks_test_order_value_segments.__doc__ = (
     ks_test_order_value_segments.__doc__.format(a=_KS_SEG_A, b=_KS_SEG_B))
+
+
+# --------------------------------------------- weighted quantiles
+
+# p_retailprice cents live in [90000, 99991) (TPC-H price model):
+# 2^9-cent (~$5) bins give ~20 histogram buckets per brand.
+_PRICE_BUCKET = 1 << 9
+
+_BRAND_QTY_REL = (
+    "(SELECT p.p_brand AS brand, "
+    "CAST(floor(p.p_retailprice * 100.0 + 0.5) AS BIGINT) AS price_cents, "
+    "CAST(l.l_quantity AS BIGINT) AS qty "
+    "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey)"
+)
+
+
+@query(
+    "weighted_median_unit_price",
+    survey="ext-quantile A2 J4 W6",
+    tags=("tpch", "distribution"),
+    oracle=f"""
+        WITH q AS (
+{weighted_type1_quantile_sql(_BRAND_QTY_REL, "brand", "price_cents",
+                             "qty", [50, 90])}
+        )
+        SELECT brand,
+               CAST(MAX(w_total) AS BIGINT) AS units_sold,
+               CAST(MIN(CASE WHEN q_pct = 50 THEN q_val END) AS BIGINT)
+                 AS wp50_cents,
+               CAST(MIN(CASE WHEN q_pct = 90 THEN q_val END) AS BIGINT)
+                 AS wp90_cents
+        FROM q GROUP BY brand ORDER BY brand
+    """,
+)
+def weighted_median_unit_price(
+    spark: SparkSession, sf_dir: str,
+) -> DataFrame:
+    """QUANTITY-WEIGHTED median (and p90) retail price per brand —
+    "the price at which half the UNITS ship", not half the catalog
+    rows: the demand-weighted read of the reference's cost-range
+    bucketing (`10_data_segmentation.sql` slices the catalog; this
+    slices the FLOW). Weighted type-1 semantics and the positive-
+    integer-weight precondition live on
+    :func:`..operators.quantiles.grouped_weighted_quantiles`.
+
+    Scale shape: the part→lineitem equi-join feeds a pre-aggregation
+    to DISTINCT (brand, price) with summed unit weights — ~catalog-
+    sized, not fact-sized — then the same two-level histogram
+    rank-select as the unweighted family (counts → weight sums, ~20
+    price bins per brand), selector broadcast, in-bucket cumulative
+    walk over ≤1 bin's distinct prices. The oracle is the
+    definitional single cumulative-weight window."""
+    from ..operators.quantiles import grouped_weighted_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.col("l_quantity").cast("long").alias("qty"))
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"),
+        F.col("p_brand").alias("brand"),
+        F.floor(F.col("p_retailprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long").alias("price_cents"),
+    )
+    base = li.join(p, "l_partkey").select("brand", "price_cents", "qty")
+    q = grouped_weighted_quantiles(
+        base, "brand", "price_cents", "qty", [50, 90], _PRICE_BUCKET)
+    return (
+        q.groupBy("brand")
+        .agg(
+            F.max("w_total").alias("units_sold"),
+            F.min(F.when(F.col("q_pct") == 50, F.col("q_val")))
+            .alias("wp50_cents"),
+            F.min(F.when(F.col("q_pct") == 90, F.col("q_val")))
+            .alias("wp90_cents"),
+        )
+        .orderBy("brand")
+    )
+
+
+# --------------------------------------------------- grouped mode
+
+
+@query(
+    "brand_size_mode",
+    survey="ext-stats A2 A3 O1",
+    tags=("tpch", "distribution", "stats"),
+    oracle="""
+        WITH c AS (
+          SELECT p_brand AS brand, CAST(p_size AS BIGINT) AS size_v,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM part GROUP BY brand, size_v
+        ),
+        r AS (
+          SELECT brand, size_v, n,
+                 ROW_NUMBER() OVER (PARTITION BY brand
+                                    ORDER BY n DESC, size_v) AS rk
+          FROM c
+        )
+        SELECT brand, size_v AS mode_size, n AS n_at_mode
+        FROM r WHERE rk = 1 ORDER BY brand
+    """,
+)
+def brand_size_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modal part size per brand (most frequent value; smallest size
+    wins ties) — the MODE aggregate the reference's magnitude family
+    never reaches for because T-SQL lacks it. At scale mode is TWO
+    grouped aggregations, never a sort: count per (group, value),
+    then per-group argmax as ``MAX(struct(n, -value, value))`` —
+    lexicographic struct comparison encodes the (count DESC, value
+    ASC) tiebreak, so the pick is total-ordered and the plan is all
+    map-side-combinable hash aggregates (the oracle's definitional
+    ranked window is exactly the per-group sort this avoids)."""
+    c = (
+        load_table(spark, sf_dir, "part")
+        .groupBy(F.col("p_brand").alias("brand"),
+                 F.col("p_size").cast("long").alias("size_v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    best = c.groupBy("brand").agg(
+        F.max(F.struct(
+            F.col("n"),
+            (-F.col("size_v")).alias("neg_size"),
+            F.col("size_v"),
+        )).alias("b")
+    )
+    return best.select(
+        "brand",
+        F.col("b.size_v").alias("mode_size"),
+        F.col("b.n").alias("n_at_mode"),
+    ).orderBy("brand")

@@ -235,3 +235,98 @@ def scalable_ntile(
             tile.cast("int").alias("tile"),
         )
     )
+
+
+def grouped_weighted_quantiles(
+    df: DataFrame,
+    grp: str,
+    val: str,
+    weight: str,
+    percents: list[int],
+    bucket_width: int,
+) -> DataFrame:
+    """WEIGHTED type-1 percentiles: the value at which the cumulative
+    WEIGHT (ascending by value) first reaches ``ceil(p·W/100)`` of
+    the group's total weight W — "the price at which half the UNITS
+    sold", not half the rows. Same two-level histogram shape as
+    :func:`grouped_exact_quantiles` with counts replaced by integer
+    weight sums; stage one pre-aggregates to DISTINCT values per
+    group (ties carry summed weight), so the in-bucket cumulative
+    walk is over distinct values and every rank target is exact
+    BIGINT arithmetic. Returns ``[grp, q_pct, q_val, w_total]``.
+
+    ``weight`` must be positive integers (quantize first); zero-weight
+    rows would make the "first value reaching the target" sensitive
+    to tie order between a zero-weight value and its successor."""
+    b = (
+        df.select(F.col(grp), F.col(val).alias("v"),
+                  F.col(weight).alias("w"))
+        .groupBy(grp, "v")
+        .agg(F.sum("w").alias("w"))
+        .withColumn("bkt", F.expr(f"v div {bucket_width}"))
+    )
+    hist = b.groupBy(grp, "bkt").agg(F.sum("w").alias("wb"))
+    wgrid = Window.partitionBy(grp).orderBy("bkt")
+    cum = (
+        hist.withColumn("cum_thru", F.sum("wb").over(wgrid))
+        .withColumn("cum_before", F.col("cum_thru") - F.col("wb"))
+    )
+    tot = hist.groupBy(grp).agg(F.sum("wb").alias("w_total"))
+    sel = (
+        cum.join(tot, grp)
+        .withColumn(
+            "q_pct", F.explode(F.array(*[F.lit(p) for p in percents]))
+        )
+        .withColumn("target", F.expr("(q_pct * w_total + 99) div 100"))
+        .filter(
+            (F.col("cum_before") < F.col("target"))
+            & (F.col("target") <= F.col("cum_thru"))
+        )
+        .select(
+            grp, "q_pct", "bkt",
+            (F.col("target") - F.col("cum_before")).alias("rank_in"),
+            "w_total",
+        )
+    )
+    cand = b.join(F.broadcast(sel), [grp, "bkt"])
+    w2 = Window.partitionBy(grp, "q_pct").orderBy("v")
+    return (
+        cand.withColumn("cumw", F.sum("w").over(w2))
+        .groupBy(grp, "q_pct")
+        .agg(
+            F.min(F.when(F.col("cumw") >= F.col("rank_in"), F.col("v")))
+            .alias("q_val"),
+            F.max("w_total").alias("w_total"),
+        )
+    )
+
+
+def weighted_type1_quantile_sql(
+    rel: str, grp: str, val: str, weight: str, percents: list[int],
+) -> str:
+    """Definitional DuckDB twin of :func:`grouped_weighted_quantiles`:
+    one cumulative-weight window over the distinct values per group —
+    the single-sort plan the two-level rewrite avoids."""
+    branches = "\n          UNION ALL\n".join(
+        f"""          SELECT {grp}, CAST({p} AS INT) AS q_pct,
+                 MIN(CASE WHEN cumw >= ({p} * wt + 99) // 100
+                          THEN v END) AS q_val,
+                 MAX(wt) AS w_total
+          FROM r GROUP BY {grp}"""
+        for p in percents
+    )
+    return f"""
+        WITH d AS (
+          SELECT {grp}, {val} AS v,
+                 CAST(SUM({weight}) AS BIGINT) AS w
+          FROM {rel} GROUP BY {grp}, {val}
+        ),
+        r AS (
+          SELECT {grp}, v,
+                 CAST(SUM(w) OVER (PARTITION BY {grp} ORDER BY v)
+                      AS BIGINT) AS cumw,
+                 CAST(SUM(w) OVER (PARTITION BY {grp}) AS BIGINT) AS wt
+          FROM d
+        )
+{branches}
+    """

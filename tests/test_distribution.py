@@ -257,3 +257,50 @@ def test_ks_statistic_bounds_and_argmax(spark):
     assert 0.0 <= r.ks_stat <= 1.0
     assert r.ks_num == int(round(r.ks_stat * r.n1 * r.n2))
     assert r.argmax_cents > 0
+
+
+# --------------------------------------- weighted quantiles / mode
+
+
+def test_weighted_quantile_equals_definition_with_tied_values(spark):
+    """Weighted rank-select vs the definitional cumulative-weight
+    window — tied values must merge their weights BEFORE the walk,
+    and a weight mass sitting exactly on a target must select that
+    value, not its successor."""
+    from sql_data_warehouse_spark.operators.quantiles import (
+        grouped_weighted_quantiles,
+    )
+
+    rows = [
+        ("a", 10, 3), ("a", 10, 2), ("a", 20, 5), ("a", 30, 10),
+        ("b", 5, 1), ("b", 6, 1),
+        ("c", 7, 100),
+    ]
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    got = {
+        (r.g, r.q_pct): (r.q_val, r.w_total)
+        for r in grouped_weighted_quantiles(
+            df, "g", "v", "w", [25, 50, 100], 4).collect()
+    }
+    # group a: W=20; t25=5 -> cumw(10)=5 picks 10; t50=10 -> cumw(20)=10
+    # picks 20 (mass exactly on target); t100=20 -> 30
+    assert got[("a", 25)] == (10, 20)
+    assert got[("a", 50)] == (20, 20)
+    assert got[("a", 100)] == (30, 20)
+    # group b: W=2; t50=1 -> 5 ; group c: single value at every p
+    assert got[("b", 50)] == (5, 2)
+    assert got[("c", 25)] == (7, 100)
+
+
+def test_brand_mode_plan_has_no_window(spark):
+    from sql_data_warehouse_spark.analytics.distribution import (
+        brand_size_mode,
+    )
+
+    df = brand_size_mode(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "row_number" not in plan and "Window" not in plan
+    rows = df.collect()
+    assert len(rows) == 25
+    for r in rows:
+        assert r.n_at_mode >= 1
