@@ -76,7 +76,7 @@ def _landing_zone(spark: SparkSession, sf_dir: str) -> str:
     return cache[sf_dir]
 
 
-def _drain(df: DataFrame, output_mode: str) -> DataFrame:
+def _drain(df: DataFrame, output_mode: str, parts_cap: int = 4) -> DataFrame:
     """availableNow-drain a streaming DataFrame into a memory sink;
     return its contents **materialized** as a local-relation batch
     DataFrame, then drop the sink table and delete the checkpoint so
@@ -93,10 +93,17 @@ def _drain(df: DataFrame, output_mode: str) -> DataFrame:
     # real cluster deployment sizes this to executor count instead;
     # the checkpoint is fresh per drain, so the narrowing never
     # conflicts with a prior run's state layout.
+    # parts_cap: JVM-native stateful operators (session_window) WANT
+    # more state partitions than Python-worker ones — each Python
+    # partition pays an Arrow worker round-trip per micro-batch, each
+    # JVM partition only a state-store commit (measured: sessions
+    # 4.7 s @4 parts vs 1.9 s @16 at sf0.1; applyInPandasWithState
+    # 37 s @32 vs 4 s @4).
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set(
-            "spark.sql.shuffle.partitions", str(min(4, int(prev_parts)))
+            "spark.sql.shuffle.partitions",
+            str(min(parts_cap, int(prev_parts)))
         )
         q = (
             df.writeStream.format("memory")
@@ -1064,3 +1071,113 @@ def maintained_bloom_ingest(spark: SparkSession, src: str,
         shutil.rmtree(idx_root, ignore_errors=True)
         shutil.rmtree(out_dir, ignore_errors=True)
     return out
+
+
+# ---------------------------------------- streaming session windows
+
+_SESSION_GAP = "30 minutes"
+_FLUSH_USER = -1
+
+
+def _flushed_landing_zone(spark: SparkSession, sf_dir: str) -> str:
+    """Events landing zone with ONE far-future flush event baked in
+    (user {flush}, ts = max + 10 days): append-mode window emission
+    only finalizes windows the watermark has passed, and an
+    availableNow drain's watermark ends at max(ts) − delay — without
+    the flush, every real session would still be "open" when the
+    drain stops (the append-mode gotcha tests/test_streaming.py works
+    around with a second drain). With the flush IN the backlog the
+    single-batch drain finalizes everything real in one pass.
+    Cached per (session, sf_dir), immutable once written — a separate
+    zone from :func:`_landing_zone` because other streaming entries
+    must NOT see the synthetic event."""
+    cache = getattr(spark, "_wh_flush_zones", None)
+    if cache is None:
+        cache = {}
+        spark._wh_flush_zones = cache
+    if sf_dir not in cache:
+        path = scratch_dir("events_flush_src_")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value", "props")
+        flush = ev.agg(F.max("ts").alias("m")).select(
+            F.lit(10**12).cast("long").alias("event_id"),
+            F.expr("m + INTERVAL 10 DAYS").alias("ts"),
+            F.lit(_FLUSH_USER).cast("long").alias("user_id"),
+            F.lit("flush").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+        ev.repartition(_N_SOURCE_FILES).unionByName(flush.coalesce(1)) \
+            .write.mode("overwrite").parquet(path)
+        cache[sf_dir] = path
+    return cache[sf_dir]
+
+
+@query(
+    "stream_session_window_append",
+    survey="ext-stream ext-sessionwindow A7",
+    tags=("streaming", "live"),
+    oracle="""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        islands AS (
+          SELECT user_id, ts,
+                 SUM(new_session) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+          FROM flagged
+        )
+        SELECT user_id,
+               CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM islands GROUP BY user_id, sid
+    """,
+)
+def stream_session_window_append(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """REAL STREAMING session windows, finalized and hash-gated: file
+    source → watermark → ``session_window(ts, '{gap}')`` stateful
+    aggregation → APPEND-mode memory sink, against the same
+    gaps-and-islands batch oracle as ``events_session_window_builtin``
+    (that entry runs the operator in batch mode; this one exercises
+    the streaming state machine — merging session state across
+    events, watermark-driven finalization, append emission).
+
+    Determinism: the drain processes the whole backlog as one
+    availableNow batch (watermark only drops LATE data in later
+    batches, so intra-batch order is immaterial), and the baked-in
+    flush event (:func:`_flushed_landing_zone`) pushes the final
+    watermark past every real session, so exactly the complete real
+    session set is emitted — the flush row's own still-open session
+    is excluded by the user filter. At 100 TB the same plan runs
+    continuously: state is one (start, end, agg) triple per OPEN
+    session per user — bounded by active users — and emission lags
+    events by the lateness bound, not the backlog size."""
+    src = _flushed_landing_zone(spark, sf_dir)
+    stream = (
+        jobs.read_events_stream(spark, src)
+        .withWatermark("ts", _SESSION_GAP)
+        .groupBy("user_id", F.session_window("ts", _SESSION_GAP))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = _drain(stream, "append", parts_cap=16)
+    return (
+        out.filter(F.col("user_id") != _FLUSH_USER)
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+stream_session_window_append.__doc__ = (
+    stream_session_window_append.__doc__.format(gap=_SESSION_GAP))
+_flushed_landing_zone.__doc__ = _flushed_landing_zone.__doc__.format(
+    flush=_FLUSH_USER)

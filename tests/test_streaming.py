@@ -379,3 +379,26 @@ def test_maintained_bloom_index_ends_as_base_union_delta(
             bits_1 = {r.bk for r in idx}
         else:
             assert {r.bk for r in idx} == bits_1
+
+
+def test_registered_stream_session_window_matches_batch_builtin(spark):
+    """The registered streaming session entry must agree with the
+    batch-mode builtin operator row-for-row (same gap, same data —
+    the streaming state machine and watermark finalization are the
+    only moving parts)."""
+    from sql_data_warehouse_spark.analytics.streaming_live import (
+        stream_session_window_append,
+    )
+    from sql_data_warehouse_spark.streaming.events_batch import (
+        events_session_window_builtin,
+    )
+
+    got = {
+        (r.user_id, r.session_start): r.n_events
+        for r in stream_session_window_append(spark, SF_SMOKE).collect()
+    }
+    want = {
+        (r.user_id, r.session_start): r.n_events
+        for r in events_session_window_builtin(spark, SF_SMOKE).collect()
+    }
+    assert got == want and got
