@@ -607,3 +607,138 @@ def tf_cosine_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 tf_cosine_pairs_topk.__doc__ = tf_cosine_pairs_topk.__doc__.format(
     k=_SPARSE_TOPK, lo=_SPARSE_DF_MIN, hi=_SPARSE_DF_MAX)
+
+
+# --------------------------------------- contrastive pair manifest
+
+
+# Bounded-manifest form: the per-anchor hard-negative scan is a
+# brute-force corpus pass (~20 us per interpreted 64-dim dot in the
+# join stage — the codegen-limit floor), and the near-dup anchor set
+# GROWS with the corpus (330 pairs at sf0.1), so the registered entry
+# caps the manifest at the first {cap} anchors — the same bounded-
+# verifier discipline as simhash_near_dup_pairs' doc_id<2000 filter.
+# The production form swaps the brute-force scorer for any registered
+# ANN shortlist (ivf/lsh/pq) and drops the cap.
+_CPM_ANCHOR_CAP = 32
+
+
+def _contrastive_sql() -> str:
+    from ..operators.dedup import simhash_pairs_sql
+
+    return f"""
+        WITH pairs AS MATERIALIZED (
+          {simhash_pairs_sql(doc_filter="doc_id < 2000")}
+        ),
+        anchors AS MATERIALIZED (
+          SELECT DISTINCT doc_a AS anchor_id FROM pairs
+          ORDER BY anchor_id LIMIT {_CPM_ANCHOR_CAP}
+        ),
+        aemb AS MATERIALIZED (
+          SELECT a.anchor_id, e.embedding AS a_vec, e.label AS a_label
+          FROM anchors a JOIN embeddings e ON e.vec_id = a.anchor_id
+        ),
+        scored AS (
+          SELECT q.anchor_id, q.a_label, e.vec_id, e.label AS neg_label,
+                 {similarity.cosine_sql("q.a_vec", "e.embedding")}
+                   AS cosine_sim
+          FROM embeddings e CROSS JOIN aemb q
+          WHERE e.label <> q.a_label
+        ),
+        neg AS (
+          SELECT anchor_id, a_label, vec_id AS negative_id, neg_label,
+                 cosine_sim AS neg_cosine
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                          ORDER BY cosine_sim DESC, vec_id) AS rk
+                FROM scored)
+          WHERE rk = 1
+        )
+        SELECT p.doc_a AS anchor_id, p.doc_b AS positive_id,
+               CAST(p.hamming AS BIGINT) AS pos_hamming,
+               CAST(n.a_label AS BIGINT) AS anchor_label,
+               n.negative_id,
+               CAST(n.neg_label AS BIGINT) AS neg_label,
+               n.neg_cosine
+        FROM pairs p JOIN neg n ON n.anchor_id = p.doc_a
+        ORDER BY anchor_id, positive_id
+    """
+
+
+@query(
+    "contrastive_pair_manifest",
+    survey="ext-training ext-dedup ext-sim J-broadcast W3",
+    tags=("llmops", "search", "training"),
+    oracle=_contrastive_sql(),
+)
+def contrastive_pair_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINING-PAIR MANIFEST for contrastive embedding training: one
+    row per (anchor, positive, hardest-negative) triple — positives
+    are simhash near-duplicate document pairs (the same bounded pair
+    set ``simhash_near_dup_pairs`` gates; content twins make textbook
+    positives) and each anchor's negative is its highest-cosine
+    DIFFERENT-LABEL embedding (the ``hard_negative_mining`` scorer at
+    k=1). The composition is the point: the dedup family supplies
+    positives, the ANN family supplies negatives, and the manifest is
+    what a training job actually consumes — the pipeline-level
+    deliverable sitting on top of a dozen registered operators.
+
+    Scale shape: inherits each component's — banded signature join
+    for positives (never all-pairs), anchor set broadcast over the
+    corpus for negatives with the pre-normed unrolled dot (swap in
+    any registered ANN shortlist at production scale), rank window
+    partitioned by anchor. Determinism: hamming is exact integers;
+    cosine is the sequential-fold expression; every rank carries a
+    vec_id tiebreak."""
+    from ..analytics.llmops import simhash_near_dup_pairs
+    from ..functions.vectors import cosine_prenormed, norm_fixed
+
+    pairs = simhash_near_dup_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("anchor_id"),
+        F.col("doc_b").alias("positive_id"),
+        F.col("hamming").cast("long").alias("pos_hamming"),
+    ).localCheckpoint(eager=True)  # branch: anchors + final join
+    emb = load_table(spark, sf_dir, "embeddings")
+    aemb = (
+        pairs.select("anchor_id").distinct()
+        .orderBy("anchor_id").limit(_CPM_ANCHOR_CAP)
+        .join(emb, F.col("vec_id") == F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            F.col("embedding").alias("a_vec"),
+            F.col("label").alias("a_label"),
+            norm_fixed("embedding", similarity.SIM_DIM).alias("a_norm"),
+        )
+    )
+    e = emb.select(
+        "vec_id", F.col("label").alias("neg_label"),
+        F.col("embedding").alias("e_vec"),
+        norm_fixed("embedding", similarity.SIM_DIM).alias("e_norm"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(aemb))
+        .filter(F.col("neg_label") != F.col("a_label"))
+        .select(
+            "anchor_id", "a_label", "vec_id", "neg_label",
+            cosine_prenormed("a_vec", "e_vec", "a_norm", "e_norm",
+                             similarity.SIM_DIM).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine_sim"), F.asc("vec_id"))
+    neg = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "anchor_id",
+            F.col("a_label").cast("long").alias("anchor_label"),
+            F.col("vec_id").alias("negative_id"),
+            F.col("neg_label").cast("long").alias("neg_label"),
+            F.col("cosine_sim").alias("neg_cosine"),
+        )
+    )
+    return (
+        pairs.join(neg, "anchor_id")
+        .select("anchor_id", "positive_id", "pos_hamming",
+                "anchor_label", "negative_id", "neg_label", "neg_cosine")
+        .orderBy("anchor_id", "positive_id")
+    )

@@ -109,3 +109,18 @@ def test_jl_recall_includes_self_and_is_discrete(spark):
         # self is rank 1 in BOTH spaces (cos=1.0) => always >= 1 hit
         assert 1 <= r.n_hits <= 10
         assert r.recall_at_10 == r.n_hits / 10.0
+
+
+def test_contrastive_manifest_semantics(spark):
+    from sql_data_warehouse_spark.analytics.search import (
+        contrastive_pair_manifest,
+    )
+
+    rows = contrastive_pair_manifest(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.anchor_id < r.positive_id       # near-dup pair order
+        assert r.neg_label != r.anchor_label     # negative crosses labels
+        assert r.negative_id != r.anchor_id
+        assert -1.0 <= r.neg_cosine <= 1.0
+        assert 0 <= r.pos_hamming <= 3
