@@ -742,3 +742,107 @@ def contrastive_pair_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "anchor_label", "negative_id", "neg_label", "neg_cosine")
         .orderBy("anchor_id", "positive_id")
     )
+
+
+# ------------------------------------------------- retrieval MRR
+
+_MRR_N_QUERIES = 20
+_MRR_DEPTH = 10
+
+
+@query(
+    "retrieval_mrr_at_10",
+    survey="ext-sim ext-training W3 A1",
+    tags=("llmops", "search"),
+    oracle=f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding AS q_vec,
+                 label AS q_label
+          FROM embeddings WHERE vec_id < {_MRR_N_QUERIES}
+        ),
+        ranked AS (
+          SELECT q.query_id, q.q_label, e.label,
+                 ROW_NUMBER() OVER (PARTITION BY q.query_id
+                   ORDER BY {similarity.cosine_sql("q.q_vec", "e.embedding")}
+                     DESC, e.vec_id) AS rk
+          FROM embeddings e CROSS JOIN q
+          WHERE e.vec_id <> q.query_id
+        ),
+        firsts AS (
+          SELECT query_id,
+                 MIN(CASE WHEN label = q_label THEN rk END) AS first_hit
+          FROM ranked WHERE rk <= {_MRR_DEPTH}
+          GROUP BY query_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+               CAST(COUNT(first_hit) AS BIGINT) AS n_hit,
+               CAST(SUM(COALESCE(1000000 // first_hit, 0)) AS BIGINT)
+                 AS mrr_micros_sum,
+               CAST(SUM(COALESCE(1000000 // first_hit, 0)) AS DOUBLE)
+                 / (1000000.0 * CAST(COUNT(*) AS DOUBLE)) AS mrr
+        FROM firsts
+    """,
+)
+def retrieval_mrr_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank at depth {d} of label-match retrieval
+    over the embedding corpus ({n} queries, self excluded) — the
+    standard single-number retrieval-quality metric next to the
+    per-query ``knn_label_classify`` verdicts. Exactness trick: each
+    reciprocal rank enters as the exact integer ``1000000 div rank``
+    (rank ≤ {d}, so the floor loses nothing the metric cares about
+    and the cross-row SUM is integer — no float fold), and MRR is
+    one final division.
+
+    Scale shape: bounded query set broadcast over the corpus, one
+    ranked window per query (the ANN-family shape — swap any
+    registered ANN shortlist for the brute-force scorer at production
+    scale), then a {d}-row-per-query aggregate. Determinism: cosine
+    is the sequential-fold expression; (cosine, vec_id) totally
+    orders; first_hit is a MIN over exact integers."""
+    from ..functions.vectors import cosine_prenormed, norm_fixed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < _MRR_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("q_label"),
+        norm_fixed("embedding", similarity.SIM_DIM).alias("q_norm"),
+    )
+    e = emb.select(
+        "vec_id", "label", F.col("embedding").alias("e_vec"),
+        norm_fixed("embedding", similarity.SIM_DIM).alias("e_norm"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "q_label", "label",
+            cosine_prenormed("q_vec", "e_vec", "q_norm", "e_norm",
+                             similarity.SIM_DIM).alias("c"),
+            "vec_id",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("vec_id"))
+    firsts = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _MRR_DEPTH)
+        .groupBy("query_id", "q_label")
+        .agg(
+            F.min(F.when(F.col("label") == F.col("q_label"),
+                         F.col("rk"))).alias("first_hit")
+        )
+    )
+    return firsts.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.count("first_hit").cast("long").alias("n_hit"),
+        F.sum(F.coalesce(F.expr("1000000 div first_hit"), F.lit(0)))
+        .cast("long").alias("mrr_micros_sum"),
+        (F.sum(F.coalesce(F.expr("1000000 div first_hit"), F.lit(0)))
+         .cast("double")
+         / (F.lit(1000000.0) * F.count(F.lit(1)).cast("double")))
+        .alias("mrr"),
+    )
+
+
+retrieval_mrr_at_10.__doc__ = retrieval_mrr_at_10.__doc__.format(
+    d=_MRR_DEPTH, n=_MRR_N_QUERIES)
