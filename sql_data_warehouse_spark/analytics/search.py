@@ -846,3 +846,153 @@ def retrieval_mrr_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 retrieval_mrr_at_10.__doc__ = retrieval_mrr_at_10.__doc__.format(
     d=_MRR_DEPTH, n=_MRR_N_QUERIES)
+
+
+# ------------------------------------------- MMR diversity rerank
+
+# Maximal Marginal Relevance (Carbonell & Goldstein 1998) with
+# λ = 1/2: the k-th pick maximizes rel(c) − max_{s∈selected} sim(c,s)
+# (λ=1/2 makes the λ·rel − (1−λ)·maxsim objective a monotone function
+# of that difference, so no float multiplication enters the compare).
+# Fixed K unrolls the greedy into K chained stages — the same
+# fixed-iteration gating pattern as the BPE/Lloyd oracles: every
+# stage's argmax is over ≤ SHORTLIST deterministic doubles (each a
+# sequential-fold cosine, bit-identical cross-engine) with a vec_id
+# tiebreak, so the pick sequence gates exactly.
+_MMR_QUERY = 0
+_MMR_SHORTLIST = 20
+_MMR_K = 5
+
+
+def _mmr_sql() -> str:
+    cos_qe = similarity.cosine_sql("q.q_vec", "e.embedding")
+    cos_ab = similarity.cosine_sql("ea.embedding", "eb.embedding")
+    parts = [f"""
+        WITH q AS (SELECT embedding AS q_vec FROM embeddings
+                   WHERE vec_id = {_MMR_QUERY}),
+        cand AS MATERIALIZED (
+          SELECT e.vec_id, {cos_qe} AS rel
+          FROM embeddings e CROSS JOIN q
+          WHERE e.vec_id <> {_MMR_QUERY}
+          ORDER BY rel DESC, e.vec_id LIMIT {_MMR_SHORTLIST}
+        ),
+        sims AS MATERIALIZED (
+          SELECT a.vec_id AS va, b.vec_id AS vb, {cos_ab} AS sim
+          FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+          JOIN embeddings ea ON ea.vec_id = a.vec_id
+          JOIN embeddings eb ON eb.vec_id = b.vec_id
+        ),
+        sel1 AS (
+          SELECT vec_id, rel, CAST(1 AS INT) AS rank, rel AS gain
+          FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+        )"""]
+    for k in range(2, _MMR_K + 1):
+        prev = f"sel{k - 1}"
+        parts.append(f""",
+        pick{k} AS (
+          SELECT c.vec_id, c.rel, CAST({k} AS INT) AS rank,
+                 c.rel - m.msim AS gain
+          FROM cand c
+          JOIN (SELECT va, MAX(sim) AS msim FROM sims
+                WHERE vb IN (SELECT vec_id FROM {prev}) GROUP BY va) m
+            ON m.va = c.vec_id
+          WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev})
+          ORDER BY gain DESC, c.vec_id LIMIT 1
+        ),
+        sel{k} AS (
+          SELECT * FROM {prev} UNION ALL
+          SELECT * FROM pick{k}
+        )""")
+    parts.append(f"""
+        SELECT rank, vec_id, rel, gain FROM sel{_MMR_K} ORDER BY rank
+    """)
+    return "".join(parts)
+
+
+@query(
+    "mmr_diverse_rerank",
+    survey="ext-sim ext-search W3 O2",
+    tags=("llmops", "search"),
+    oracle=_mmr_sql(),
+)
+def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversity rerank: the top-{sl}
+    cosine shortlist for query {q} reranked greedily so each of the
+    {k} picks trades relevance against similarity to what's already
+    picked — the standard de-redundancy pass between ANN retrieval
+    and a RAG context window (an ANN shortlist full of near-dups
+    wastes the context budget; this is the operator that fixes it —
+    composition partner of ``contrastive_pair_manifest``'s positive
+    pairs). Objective form and the unrolled-greedy gating argument
+    are on the module block above ``_mmr_sql``.
+
+    Scale shape: the corpus-sized work is ONE brute-force shortlist
+    pass (swap any registered ANN path); everything after runs on the
+    {sl}-row shortlist — the {sl}² pairwise sim relation and {k}
+    chained argmax stages are constant-size regardless of corpus.
+    The greedy is inherently sequential (pick k depends on picks
+    1..k−1); unrolling it keeps the whole chain declarative instead
+    of a driver loop."""
+    from ..functions.vectors import cosine_prenormed, norm_fixed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == _MMR_QUERY).select(
+        F.col("embedding").alias("q_vec"),
+        norm_fixed("embedding", similarity.SIM_DIM).alias("q_norm"),
+    )
+    e = emb.select(
+        "vec_id", F.col("embedding").alias("e_vec"),
+        norm_fixed("embedding", similarity.SIM_DIM).alias("e_norm"),
+    )
+    cand = (
+        e.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != _MMR_QUERY)
+        .select(
+            "vec_id", "e_vec", "e_norm",
+            cosine_prenormed("q_vec", "e_vec", "q_norm", "e_norm",
+                             similarity.SIM_DIM).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(_MMR_SHORTLIST)
+        .localCheckpoint(eager=True)  # branch: sims + every stage
+    )
+    a = cand.select(F.col("vec_id").alias("va"),
+                    F.col("e_vec").alias("a_vec"),
+                    F.col("e_norm").alias("a_norm"))
+    b = cand.select(F.col("vec_id").alias("vb"),
+                    F.col("e_vec").alias("b_vec"),
+                    F.col("e_norm").alias("b_norm"))
+    sims = (
+        a.crossJoin(b)
+        .filter(F.col("va") != F.col("vb"))
+        .select(
+            "va", "vb",
+            cosine_prenormed("a_vec", "b_vec", "a_norm", "b_norm",
+                             similarity.SIM_DIM).alias("sim"),
+        )
+        .localCheckpoint(eager=True)  # reused by K-1 stages
+    )
+    shortlist = cand.select("vec_id", "rel")
+    sel = (
+        shortlist.orderBy(F.desc("rel"), F.asc("vec_id")).limit(1)
+        .select("vec_id", "rel", F.lit(1).cast("int").alias("rank"),
+                F.col("rel").alias("gain"))
+    )
+    for k in range(2, _MMR_K + 1):
+        chosen = sel.select(F.col("vec_id").alias("vb"))
+        msim = (
+            sims.join(F.broadcast(chosen), "vb")
+            .groupBy("va").agg(F.max("sim").alias("msim"))
+        )
+        pick = (
+            shortlist
+            .join(F.broadcast(sel.select("vec_id")), "vec_id",
+                  "left_anti")
+            .join(msim, F.col("va") == F.col("vec_id"))
+            .select("vec_id", "rel", F.lit(k).cast("int").alias("rank"),
+                    (F.col("rel") - F.col("msim")).alias("gain"))
+            .orderBy(F.desc("gain"), F.asc("vec_id"))
+            .limit(1)
+        )
+        sel = sel.unionByName(pick)
+    return sel.select("rank", "vec_id", "rel", "gain").orderBy("rank")

@@ -124,3 +124,32 @@ def test_contrastive_manifest_semantics(spark):
         assert r.negative_id != r.anchor_id
         assert -1.0 <= r.neg_cosine <= 1.0
         assert 0 <= r.pos_hamming <= 3
+
+
+def test_mmr_rerank_diversifies(spark):
+    """Greedy-MMR invariants: rank-1 is the relevance argmax (its
+    gain IS its relevance), later gains differ from relevance by at
+    most |max-sim| <= 1, and picks are distinct."""
+    from sql_data_warehouse_spark.analytics.search import (
+        _MMR_K, mmr_diverse_rerank,
+    )
+
+    rows = mmr_diverse_rerank(spark, SF_SMOKE).collect()
+    assert [r.rank for r in rows] == list(range(1, _MMR_K + 1))
+    assert len({r.vec_id for r in rows}) == _MMR_K
+    assert rows[0].gain == rows[0].rel  # first pick pays no penalty
+    for r in rows[1:]:
+        # gain = rel - max_sim(selected); cosines live in [-1, 1], so
+        # the penalty term is bounded, not sign-constrained
+        assert abs(r.gain - r.rel) <= 1.0 + 1e-12
+
+
+def test_mrr_bounds(spark):
+    from sql_data_warehouse_spark.analytics.search import (
+        retrieval_mrr_at_10,
+    )
+
+    [r] = retrieval_mrr_at_10(spark, SF_SMOKE).collect()
+    assert r.n_queries == 20 and 0 <= r.n_hit <= 20
+    assert 0.0 <= r.mrr <= 1.0
+    assert r.mrr == r.mrr_micros_sum / (1e6 * r.n_queries)
