@@ -927,3 +927,86 @@ def brand_size_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.size_v").alias("mode_size"),
         F.col("b.n").alias("n_at_mode"),
     ).orderBy("brand")
+
+
+# ------------------------------------------ trailing-window anomalies
+
+_ANOM_WIN = 24  # trailing hours
+_ANOM_Z = 3
+
+
+@query(
+    "hourly_event_anomalies",
+    survey="ext-timeseries A4 W6 P8",
+    tags=("events", "distribution", "timeseries"),
+    oracle=f"""
+        WITH h AS (
+          SELECT date_trunc('hour', ts) AS hr,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY 1
+        ),
+        w AS (
+          SELECT hr, c,
+                 CAST(COUNT(c) OVER tw AS BIGINT) AS n,
+                 CAST(SUM(c) OVER tw AS BIGINT) AS s,
+                 CAST(SUM(c * c) OVER tw AS BIGINT) AS ss
+          FROM h
+          WINDOW tw AS (ORDER BY hr
+                        ROWS BETWEEN {_ANOM_WIN} PRECEDING
+                                 AND 1 PRECEDING)
+        )
+        SELECT hr AS hour_start, c AS n_events,
+               s AS trail_sum, n AS trail_n
+        FROM w
+        WHERE n = {_ANOM_WIN}
+          AND (n * c - s) * (n * c - s)
+                > {_ANOM_Z * _ANOM_Z} * (n * ss - s * s)
+        ORDER BY hr
+    """,
+)
+def hourly_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hours whose event volume is a >{z}σ anomaly against the
+    TRAILING {w}-hour window — the ops-monitoring alert rule, next to
+    the per-type distributional ``event_value_anomalies`` (population
+    z there, trailing-window z here: a ramping series flags there
+    long after it flagged here). Only fully-warmed hours judge
+    (exactly {w} trailing points), so the first day is calibration,
+    not alerts.
+
+    Exactness: the z test clears denominators — |c − s/n| > z·σ ⟺
+    (n·c − s)² > z²·(n·ss − s²) — ALL integer (the
+    ``embedding_dim_outliers`` identity on a time axis), so no float
+    ever crosses the gate. Scale shape: one corpus-sized hourly
+    aggregate; the trailing window runs over the HOUR GRID (720 rows
+    per month regardless of event count — the unpartitioned window is
+    grid-sized by construction, same argument as the gapfill
+    family)."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count(F.lit(1)).alias("c"))
+    tw = Window.orderBy("hr").rowsBetween(-_ANOM_WIN, -1)
+    w = h.select(
+        "hr", "c",
+        F.count("c").over(tw).alias("n"),
+        F.sum("c").over(tw).alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(tw).alias("ss"),
+    )
+    dev = F.col("n") * F.col("c") - F.col("s")
+    var_num = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    return (
+        w.filter(
+            (F.col("n") == _ANOM_WIN)
+            & (dev * dev > F.lit(_ANOM_Z * _ANOM_Z) * var_num)
+        )
+        .select(
+            F.col("hr").alias("hour_start"),
+            F.col("c").alias("n_events"),
+            F.col("s").alias("trail_sum"),
+            F.col("n").alias("trail_n"),
+        )
+        .orderBy("hour_start")
+    )
+
+
+hourly_event_anomalies.__doc__ = hourly_event_anomalies.__doc__.format(
+    z=_ANOM_Z, w=_ANOM_WIN)

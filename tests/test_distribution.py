@@ -304,3 +304,15 @@ def test_brand_mode_plan_has_no_window(spark):
     assert len(rows) == 25
     for r in rows:
         assert r.n_at_mode >= 1
+
+
+def test_hourly_anomalies_warmup_and_exactness(spark):
+    from sql_data_warehouse_spark.analytics.distribution import (
+        _ANOM_WIN, hourly_event_anomalies,
+    )
+
+    rows = hourly_event_anomalies(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.trail_n == _ANOM_WIN       # only fully-warmed hours
+        assert r.n_events >= 0 and r.trail_sum >= 0
