@@ -604,3 +604,95 @@ def event_trigram_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 event_trigram_paths_topk.__doc__ = event_trigram_paths_topk.__doc__.format(
     k=_PATH_TOPK)
+
+
+# ------------------------------------------------ degree assortativity
+
+
+@query(
+    "copurchase_degree_assortativity",
+    survey="ext-graph A1 J-self",
+    tags=("graph", "mining"),
+    oracle="""
+        WITH und AS MATERIALIZED (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a
+          JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY src, dst HAVING COUNT(*) >= 2
+        ),
+        dire AS MATERIALIZED (
+          SELECT src, dst FROM und
+          UNION ALL SELECT dst, src FROM und
+        ),
+        deg AS MATERIALIZED (
+          SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+          FROM dire GROUP BY src
+        ),
+        s AS (
+          SELECT CAST(COUNT(*) AS HUGEINT) AS dd,
+                 CAST(SUM(j.d) AS HUGEINT) AS s_j,
+                 CAST(SUM(CAST(j.d AS HUGEINT) * k.d) AS HUGEINT) AS s_jk,
+                 CAST(SUM(CAST(j.d AS HUGEINT) * j.d) AS HUGEINT) AS s_jj
+          FROM dire e
+          JOIN deg j ON j.node = e.src
+          JOIN deg k ON k.node = e.dst
+        )
+        SELECT CAST(dd / 2 AS BIGINT) AS n_edges,
+               CAST(s_j AS BIGINT) AS s_j,
+               CAST(s_jk AS BIGINT) AS s_jk,
+               CAST(s_jj AS BIGINT) AS s_jj,
+               CAST(dd * s_jk - s_j * s_j AS DOUBLE)
+                 / CAST(dd * s_jj - s_j * s_j AS DOUBLE) AS assortativity
+        FROM s
+    """,
+)
+def copurchase_degree_assortativity(
+    spark: SparkSession, sf_dir: str,
+) -> DataFrame:
+    """Degree assortativity (Newman's r) of the SUPPORTED co-purchase
+    graph: do well-connected parts co-sell with other hubs (r > 0)
+    or with the long tail (r < 0)? The one-number structural read
+    that tells you whether ``copurchase_pagerank_top20``'s hubs form
+    a rich club or a hub-and-spoke catalog — disassortative graphs
+    are where the celebrity-node defense in the triangle miner
+    actually pays.
+
+    Exactness: over the direction-doubled edge list, r = (D·Σjk −
+    (Σj)²) / (D·Σj² − (Σj)²) with every sum an exact integer
+    (degrees are counts; HUGEINT/decimal(38,0) guards the products),
+    so the gate passes bit-for-bit and r is ONE final division.
+    Scale shape: degrees are a grouped count on the shared pair-count
+    artifact (one lineitem self-join per session,
+    ``advanced._copurchase_pair_counts``), the two degree enrichments
+    key on node, and the output is a 1-row aggregate."""
+    from .advanced import _copurchase_pair_counts
+
+    edges = _graph.edges_from_pair_counts(
+        _copurchase_pair_counts(spark, sf_dir), min_support=2)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    dec = "decimal(38,0)"
+    e = (
+        edges.join(deg.withColumnRenamed("src", "node")
+                   .withColumnRenamed("d", "dj"),
+                   F.col("src") == F.col("node")).drop("node")
+        .join(deg.select(F.col("src").alias("node2"),
+                         F.col("d").alias("dk")),
+              F.col("dst") == F.col("node2")).drop("node2")
+    )
+    s = e.agg(
+        F.count(F.lit(1)).cast(dec).alias("dd"),
+        F.sum("dj").cast(dec).alias("s_j"),
+        F.sum(F.col("dj").cast(dec) * F.col("dk")).cast(dec).alias("s_jk"),
+        F.sum(F.col("dj").cast(dec) * F.col("dj")).cast(dec).alias("s_jj"),
+    )
+    return s.select(
+        F.expr("CAST(dd div 2 AS BIGINT)").alias("n_edges"),
+        F.col("s_j").cast("long").alias("s_j"),
+        F.col("s_jk").cast("long").alias("s_jk"),
+        F.col("s_jj").cast("long").alias("s_jj"),
+        ((F.col("dd") * F.col("s_jk") - F.col("s_j") * F.col("s_j"))
+         .cast("double")
+         / (F.col("dd") * F.col("s_jj") - F.col("s_j") * F.col("s_j"))
+         .cast("double")).alias("assortativity"),
+    )

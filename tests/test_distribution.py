@@ -316,3 +316,15 @@ def test_hourly_anomalies_warmup_and_exactness(spark):
     for r in rows:
         assert r.trail_n == _ANOM_WIN       # only fully-warmed hours
         assert r.n_events >= 0 and r.trail_sum >= 0
+
+
+def test_assortativity_in_bounds(spark):
+    from sql_data_warehouse_spark.analytics.mining import (
+        copurchase_degree_assortativity,
+    )
+
+    [r] = copurchase_degree_assortativity(spark, SF_SMOKE).collect()
+    assert r.n_edges > 0
+    assert -1.0 - 1e-9 <= r.assortativity <= 1.0 + 1e-9
+    # direction-doubling identities
+    assert r.s_j >= 2 * r.n_edges  # every endpoint degree >= 1
