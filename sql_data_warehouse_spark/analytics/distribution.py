@@ -1010,3 +1010,127 @@ def hourly_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 hourly_event_anomalies.__doc__ = hourly_event_anomalies.__doc__.format(
     z=_ANOM_Z, w=_ANOM_WIN)
+
+
+# --------------------------------- position-weighted attribution
+
+# U-shaped (position-based) multi-touch credit in exact integer
+# micros, summing to exactly 1,000,000 per conversion:
+#   n=1 click  → 1,000,000
+#   n=2 clicks → 500,000 / 500,000
+#   n≥3        → first 400,000, last 400,000, each middle
+#                200,000 div (n−2), remainder to the EARLIEST middle
+# — every branch is integer arithmetic with a stated tie rule, so the
+# credit ledger hash-gates and audits to the conversion count.
+_ATTR_WINDOW_DAYS = 7
+
+
+@query(
+    "position_weighted_attribution",
+    survey="ext-attribution A4 W1 J-range",
+    tags=("events", "distribution"),
+    oracle=f"""
+        WITH conv AS MATERIALIZED (
+          SELECT event_id AS conv_id, user_id, ts AS conv_ts
+          FROM events WHERE event_type = 'purchase'
+        ),
+        touch AS MATERIALIZED (
+          SELECT c.conv_id, e.event_id AS click_id,
+                 CAST(e.ts AS DATE) AS click_day,
+                 ROW_NUMBER() OVER (PARTITION BY c.conv_id
+                                    ORDER BY e.ts, e.event_id) AS pos,
+                 COUNT(*) OVER (PARTITION BY c.conv_id) AS n
+          FROM conv c JOIN events e
+            ON e.user_id = c.user_id AND e.event_type = 'click'
+           AND e.ts <= c.conv_ts
+           AND e.ts >= c.conv_ts - INTERVAL {_ATTR_WINDOW_DAYS} DAY
+        ),
+        credit AS (
+          SELECT click_day,
+                 CASE WHEN n = 1 THEN 1000000
+                      WHEN n = 2 THEN 500000
+                      WHEN pos = 1 OR pos = n THEN 400000
+                      ELSE 200000 // (n - 2)
+                           + CASE WHEN pos = 2
+                                  THEN 200000 % (n - 2) ELSE 0 END
+                 END AS micros
+          FROM touch
+        )
+        SELECT strftime(click_day, '%Y-%m-%d') AS day,
+               CAST(SUM(micros) AS BIGINT) AS credit_micros,
+               CAST(SUM(micros) AS DOUBLE) / 1000000.0
+                 AS attributed_conversions
+        FROM credit
+        GROUP BY click_day ORDER BY day
+    """,
+)
+def position_weighted_attribution(
+    spark: SparkSession, sf_dir: str,
+) -> DataFrame:
+    """U-shaped multi-touch attribution: every purchase's credit
+    splits across the user's clicks in the prior {d} days — 40/20/40
+    between first touch, middles, and last touch — and the ledger
+    aggregates to attributed conversions per click DAY. The
+    multi-touch generalization of the single-touch
+    ``events_asof_attribution`` (last-touch over-credits the final
+    click; U-shaped is the standard corrective). Credit arithmetic
+    and the remainder rule are on the module block above — exact
+    micros, Σ = 1,000,000 per conversion, so SUM(credit)/1e6 audits
+    to the attributed-conversion count.
+
+    Scale shape: the conversion→click match is an equi-join on
+    user_id with the time window as a filter predicate (per-user
+    event history is bounded — the sessionize argument; never a
+    nested-loop range join), position/count from one window pass
+    partitioned by conversion (per-partition rows = clicks in one
+    {d}-day window), then a grouped integer sum over click days."""
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"), "user_id",
+        F.col("ts").alias("conv_ts"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts"))
+    touch = (
+        conv.join(clicks, "user_id")
+        .filter(
+            (F.col("ts") <= F.col("conv_ts"))
+            & (F.col("ts") >= F.col("conv_ts")
+               - F.expr(f"INTERVAL {_ATTR_WINDOW_DAYS} DAYS"))
+        )
+        .select("conv_id", "click_id",
+                F.to_date("ts").alias("click_day"), "ts")
+    )
+    wp = Window.partitionBy("conv_id").orderBy("ts", "click_id")
+    wn = Window.partitionBy("conv_id")
+    pos = touch.select(
+        "click_day",
+        F.row_number().over(wp).alias("pos"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    micros = (
+        F.when(F.col("n") == 1, 1000000)
+        .when(F.col("n") == 2, 500000)
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("n")), 400000)
+        .otherwise(
+            F.expr("200000 div (n - 2)")
+            + F.when(F.col("pos") == 2,
+                     F.expr("200000 % (n - 2)")).otherwise(0)
+        )
+    )
+    return (
+        pos.select(
+            F.date_format("click_day", "yyyy-MM-dd").alias("day"),
+            micros.alias("micros"),
+        )
+        .groupBy("day")
+        .agg(
+            F.sum("micros").cast("long").alias("credit_micros"),
+            (F.sum("micros").cast("double") / F.lit(1000000.0))
+            .alias("attributed_conversions"),
+        )
+        .orderBy("day")
+    )
+
+
+position_weighted_attribution.__doc__ = (
+    position_weighted_attribution.__doc__.format(d=_ATTR_WINDOW_DAYS))

@@ -996,3 +996,121 @@ def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sel = sel.unionByName(pick)
     return sel.select("rank", "vec_id", "rel", "gain").orderBy("rank")
+
+
+# --------------------------------------------- label-noise suspects
+
+_NOISE_SAMPLE = 20
+_NOISE_K = 5
+_NOISE_MIN_VOTES = 4
+
+
+@query(
+    "label_noise_suspects",
+    survey="ext-training ext-sim W3 A3",
+    tags=("llmops", "search", "training"),
+    oracle=f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding AS q_vec,
+                 label AS own_label
+          FROM embeddings WHERE vec_id < {_NOISE_SAMPLE}
+        ),
+        ranked AS (
+          SELECT q.query_id, q.own_label, e.label,
+                 ROW_NUMBER() OVER (PARTITION BY q.query_id
+                   ORDER BY {similarity.cosine_sql("q.q_vec", "e.embedding")}
+                     DESC, e.vec_id) AS rk
+          FROM embeddings e CROSS JOIN q
+          WHERE e.vec_id <> q.query_id
+        ),
+        votes AS (
+          SELECT query_id, own_label, label,
+                 CAST(COUNT(*) AS BIGINT) AS n_votes
+          FROM ranked WHERE rk <= {_NOISE_K}
+          GROUP BY query_id, own_label, label
+        ),
+        best AS (
+          SELECT query_id, own_label, label AS suggested_label, n_votes
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY n_votes DESC, label) AS rn
+                FROM votes)
+          WHERE rn = 1
+        )
+        SELECT query_id AS vec_id,
+               CAST(own_label AS BIGINT) AS own_label,
+               CAST(suggested_label AS BIGINT) AS suggested_label,
+               n_votes,
+               CAST(suggested_label <> own_label
+                    AND n_votes >= {_NOISE_MIN_VOTES} AS INT) AS is_suspect
+        FROM best
+        ORDER BY vec_id
+    """,
+)
+def label_noise_suspects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suspected MISLABELED vectors: sample members whose {k} nearest
+    neighbors (self excluded) vote ≥{m}-to-1 for a DIFFERENT label —
+    the confident-learning-style noise screen a training pipeline
+    runs before trusting a labeled set (``knn_label_classify`` grades
+    the embedding on a held-out split; this turns the same machinery
+    on the TRAINING labels themselves). The FULL per-sample verdict
+    ships with an ``is_suspect`` flag rather than a filtered queue:
+    on this corpus the labels cluster weakly in raw cosine space
+    (majorities are 1-2 votes of {k} — measured), so a ≥{m}-vote
+    filter is empty by nature and the flag is the honest output; a
+    tightly-clustered real embedding space flips flags on, not code.
+
+    Scale shape: bounded sample broadcast over the corpus (swap any
+    registered ANN path for unbounded audits), votes and the argmax
+    on k·|sample| rows. Determinism: the proven cosine total order;
+    majority by (votes DESC, label ASC); the suspect filter compares
+    exact integers."""
+    from ..functions.vectors import cosine_prenormed, norm_fixed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _NOISE_SAMPLE).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("own_label"),
+        norm_fixed("embedding", similarity.SIM_DIM).alias("q_norm"),
+    )
+    e = emb.select(
+        "vec_id", "label", F.col("embedding").alias("e_vec"),
+        norm_fixed("embedding", similarity.SIM_DIM).alias("e_norm"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "own_label", "label",
+            cosine_prenormed("q_vec", "e_vec", "q_norm", "e_norm",
+                             similarity.SIM_DIM).alias("c"),
+            "vec_id",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("vec_id"))
+    votes = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _NOISE_K)
+        .groupBy("query_id", "own_label", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("label"))
+    best = votes.withColumn("rn", F.row_number().over(wv)).filter(
+        F.col("rn") == 1)
+    return (
+        best.select(
+            F.col("query_id").alias("vec_id"),
+            F.col("own_label").cast("long").alias("own_label"),
+            F.col("label").cast("long").alias("suggested_label"),
+            "n_votes",
+            ((F.col("label") != F.col("own_label"))
+             & (F.col("n_votes") >= _NOISE_MIN_VOTES))
+            .cast("int").alias("is_suspect"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+label_noise_suspects.__doc__ = label_noise_suspects.__doc__.format(
+    k=_NOISE_K, m=_NOISE_MIN_VOTES)

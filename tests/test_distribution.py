@@ -328,3 +328,31 @@ def test_assortativity_in_bounds(spark):
     assert -1.0 - 1e-9 <= r.assortativity <= 1.0 + 1e-9
     # direction-doubling identities
     assert r.s_j >= 2 * r.n_edges  # every endpoint degree >= 1
+
+
+def test_attribution_credit_audits_to_conversions(spark):
+    """Σ credit must equal 1,000,000 micros per attributed
+    conversion: total ledger / 1e6 == number of purchases that had
+    ≥1 click in the window."""
+    from sql_data_warehouse_spark.analytics.distribution import (
+        _ATTR_WINDOW_DAYS, position_weighted_attribution,
+    )
+
+    rows = position_weighted_attribution(spark, SF_SMOKE).collect()
+    assert rows
+    total = sum(r.credit_micros for r in rows)
+    assert total % 1000000 == 0
+    ev = distribution.load_table(spark, SF_SMOKE, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("cid"), "user_id",
+        F.col("ts").alias("cts"))
+    clk = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts")
+    n_attr = (
+        conv.join(clk, "user_id")
+        .filter((F.col("ts") <= F.col("cts"))
+                & (F.col("ts") >= F.col("cts")
+                   - F.expr(f"INTERVAL {_ATTR_WINDOW_DAYS} DAYS")))
+        .select("cid").distinct().count()
+    )
+    assert total == 1000000 * n_attr

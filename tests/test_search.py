@@ -153,3 +153,20 @@ def test_mrr_bounds(spark):
     assert r.n_queries == 20 and 0 <= r.n_hit <= 20
     assert 0.0 <= r.mrr <= 1.0
     assert r.mrr == r.mrr_micros_sum / (1e6 * r.n_queries)
+
+
+def test_label_noise_audit_covers_sample(spark):
+    from sql_data_warehouse_spark.analytics.search import (
+        _NOISE_SAMPLE, label_noise_suspects,
+    )
+
+    from pyspark.sql import functions as F
+
+    rows = label_noise_suspects(spark, SF_SMOKE).collect()
+    n_vecs = (load_table(spark, SF_SMOKE, "embeddings")
+              .filter(F.col("vec_id") < _NOISE_SAMPLE).count())
+    assert len(rows) == n_vecs  # one verdict per sampled vector
+    for r in rows:
+        assert r.is_suspect in (0, 1)
+        if r.is_suspect:
+            assert r.suggested_label != r.own_label and r.n_votes >= 4
