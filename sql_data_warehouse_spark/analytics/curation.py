@@ -10,7 +10,7 @@ exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import TOKENS_SQL, tokens
@@ -709,3 +709,72 @@ def ngram_doc_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         dfreq, "lang", [F.col("doc_freq").desc(), F.col("gram")],
         k=10, salt_from="gram",
     ).select("lang", "gram", "doc_freq", "rnk")
+
+
+# -------------------------------------------- stratified k-fold CV
+
+_KFOLD_K = 5
+
+
+@query(
+    "kfold_stratified_assignment",
+    survey="ext-training A3 W1 A5",
+    tags=("llmops", "training"),
+    oracle=f"""
+        WITH ranked AS (
+          SELECT vec_id, label,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY label
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                 ) AS rn
+          FROM embeddings
+        )
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST((rn - 1) % {_KFOLD_K} AS INT) AS fold,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               CAST(MIN(vec_id) AS BIGINT) AS min_vec_id,
+               CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id
+        FROM ranked
+        GROUP BY label, fold
+        ORDER BY label, fold
+    """,
+)
+def kfold_stratified_assignment(
+    spark: SparkSession, sf_dir: str,
+) -> DataFrame:
+    """STRATIFIED {k}-fold cross-validation assignment: within each
+    label, rows shuffle deterministically (md5 of the id — no RNG
+    state, stable across runs and engines) and deal round-robin into
+    {k} folds, so every fold's label distribution matches the
+    corpus's by construction (per-label fold sizes differ by ≤ 1) —
+    the eval-split primitive next to the single-split
+    ``dataset_split_assignment``. Reported as the per-(label, fold)
+    census with membership checksums (min + sum of ids), so the gate
+    pins the ASSIGNMENT, not just the counts.
+
+    Scale shape: one rank window per label partition (the md5 sort
+    key is computed in the scan projection) and one grouped
+    aggregate; both shuffle on the label key. Label skew bounds the
+    partition sort, and a salting rewrite (``operators/skew``) is the
+    documented escape hatch if one label dominates a real corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id")
+    ranked = emb.select(
+        "vec_id", "label", F.row_number().over(w).alias("rn"))
+    return (
+        ranked.groupBy(
+            F.col("label").cast("long").alias("label"),
+            ((F.col("rn") - 1) % _KFOLD_K).cast("int").alias("fold"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.sum("vec_id").cast("long").alias("sum_vec_id"),
+        )
+        .orderBy("label", "fold")
+    )
+
+
+kfold_stratified_assignment.__doc__ = (
+    kfold_stratified_assignment.__doc__.format(k=_KFOLD_K))

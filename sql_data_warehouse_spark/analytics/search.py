@@ -1114,3 +1114,102 @@ def label_noise_suspects(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 label_noise_suspects.__doc__ = label_noise_suspects.__doc__.format(
     k=_NOISE_K, m=_NOISE_MIN_VOTES)
+
+
+# --------------------------------------------- mutual nearest pairs
+
+_MNN_SAMPLE = 50
+
+
+@query(
+    "mutual_nn_pairs",
+    survey="ext-sim ext-dedup W3 J-self",
+    tags=("llmops", "search"),
+    oracle=f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding AS q_vec
+          FROM embeddings WHERE vec_id < {_MNN_SAMPLE}
+        ),
+        top1 AS (
+          SELECT query_id, vec_id AS nn, c AS nn_cosine
+          FROM (
+            SELECT q.query_id, e.vec_id,
+                   {similarity.cosine_sql("q.q_vec", "e.embedding")} AS c,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                     ORDER BY {similarity.cosine_sql("q.q_vec",
+                                                     "e.embedding")}
+                       DESC, e.vec_id) AS rk
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id < {_MNN_SAMPLE}) e CROSS JOIN q
+            WHERE e.vec_id <> q.query_id
+          ) WHERE rk = 1
+        )
+        SELECT a.query_id AS vec_a, b.query_id AS vec_b,
+               a.nn_cosine AS cosine_ab
+        FROM top1 a JOIN top1 b
+          ON a.nn = b.query_id AND b.nn = a.query_id
+         AND a.query_id < b.query_id
+        ORDER BY vec_a, vec_b
+    """,
+)
+def mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL nearest-neighbor pairs within the {n}-vector slice:
+    (a, b) where each is the other's cosine top-1 INSIDE the slice —
+    the reciprocal-NN criterion that seeds agglomerative clustering
+    and high-precision semantic dedup (a one-way top-1 is noise-
+    prone; mutuality is the classic precision filter). Slice-local
+    ranking is the semantics, not a shortcut: reciprocal-NN is
+    applied per shard/cluster in practice (chunked RNN agglomeration)
+    because a corpus-wide top-1 almost never lands back in a small
+    working set — measured here: against the full corpus the pair
+    set is empty from sf0.1 up (every sampled vector's global top-1
+    is its out-of-slice replica twin). Cosine symmetry makes
+    ``nn_cosine`` identical from both sides.
+
+    Scale shape: slice×slice scoring (constant), top-1 per member by
+    the proven (cosine, vec_id) total order, mutuality as a self-join
+    of the {n}-row top-1 relation. The production form runs this
+    per-shard over an ANN-bucketed partitioning."""
+    from ..functions.vectors import cosine_prenormed, norm_fixed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _MNN_SAMPLE).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        norm_fixed("embedding", similarity.SIM_DIM).alias("q_norm"),
+    )
+    e = emb.filter(F.col("vec_id") < _MNN_SAMPLE).select(
+        "vec_id", F.col("embedding").alias("e_vec"),
+        norm_fixed("embedding", similarity.SIM_DIM).alias("e_norm"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            cosine_prenormed("q_vec", "e_vec", "q_norm", "e_norm",
+                             similarity.SIM_DIM).alias("c"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("vec_id"))
+    top1 = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("query_id", F.col("vec_id").alias("nn"),
+                F.col("c").alias("nn_cosine"))
+    )
+    a = top1.select(F.col("query_id").alias("vec_a"),
+                    F.col("nn").alias("nn_a"),
+                    F.col("nn_cosine").alias("cosine_ab"))
+    b = top1.select(F.col("query_id").alias("vec_b"),
+                    F.col("nn").alias("nn_b"))
+    return (
+        a.join(b, (F.col("nn_a") == F.col("vec_b"))
+               & (F.col("nn_b") == F.col("vec_a"))
+               & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b", "cosine_ab")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+mutual_nn_pairs.__doc__ = mutual_nn_pairs.__doc__.format(n=_MNN_SAMPLE)

@@ -170,3 +170,27 @@ def test_label_noise_audit_covers_sample(spark):
         assert r.is_suspect in (0, 1)
         if r.is_suspect:
             assert r.suggested_label != r.own_label and r.n_votes >= 4
+
+
+def test_mutual_nn_is_symmetric_and_kfold_balanced(spark):
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_spark.analytics.curation import (
+        _KFOLD_K, kfold_stratified_assignment,
+    )
+    from sql_data_warehouse_spark.analytics.search import mutual_nn_pairs
+
+    pairs = mutual_nn_pairs(spark, SF_SMOKE).collect()
+    for r in pairs:
+        assert r.vec_a < r.vec_b and -1.0 <= r.cosine_ab <= 1.0
+
+    folds = kfold_stratified_assignment(spark, SF_SMOKE).collect()
+    assert folds
+    from collections import defaultdict
+
+    per_label = defaultdict(list)
+    for r in folds:
+        assert 0 <= r.fold < _KFOLD_K
+        per_label[r.label].append(r.n_vectors)
+    for label, sizes in per_label.items():
+        assert max(sizes) - min(sizes) <= 1, (label, sizes)
