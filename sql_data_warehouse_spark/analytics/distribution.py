@@ -1134,3 +1134,77 @@ def position_weighted_attribution(
 
 position_weighted_attribution.__doc__ = (
     position_weighted_attribution.__doc__.format(d=_ATTR_WINDOW_DAYS))
+
+
+# ------------------------------------------ leave-one-out encoding
+
+
+@query(
+    "loo_target_encoding",
+    survey="ext-training A2 J4 W9",
+    tags=("tpch", "distribution", "training"),
+    oracle="""
+        WITH base AS MATERIALIZED (
+          SELECT o.o_orderkey, n.n_name AS nation,
+                 CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)
+                   AS cents
+          FROM orders o
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n ON n.n_nationkey = c.c_nationkey
+        ),
+        g AS (
+          SELECT nation, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(cents) AS BIGINT) AS s
+          FROM base GROUP BY nation
+        )
+        SELECT b.o_orderkey, b.nation, b.cents,
+               CAST(g.s - b.cents AS DOUBLE)
+                 / CAST(g.n - 1 AS DOUBLE) AS loo_mean_cents
+        FROM base b JOIN g ON g.nation = b.nation
+        WHERE g.n > 1
+    """,
+)
+def loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAVE-ONE-OUT target encoding of the nation category against
+    order value: each order's feature is the mean of the OTHER
+    orders in its nation, (Σ − own)/(n − 1) — the standard
+    leakage-free categorical encoding for tabular model training
+    (a plain group mean leaks each row's own target into its
+    feature; LOO is the one-line fix, and the fact that it's exact
+    algebra — no per-row re-aggregation — is why it scales). The
+    row-level sibling of the SCD2/split-leakage family's
+    leakage-prevention theme.
+
+    Scale shape: one grouped aggregate to the 25-row (nation, n, Σ)
+    relation, broadcast back onto the fact scan — each row's encode
+    is two exact-integer reads plus ONE division (deterministic:
+    exact BIGINT numerator and denominator, single double op).
+    Output is row-level by design — it's a FEATURE COLUMN — so the
+    gate hashes the full encoded relation, not a summary."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name").alias("nation"),
+    )
+    base = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), "c_nationkey")
+        .select("o_orderkey", "nation", "cents")
+    )
+    g = base.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+    return (
+        base.join(F.broadcast(g), "nation")
+        .filter(F.col("n") > 1)
+        .select(
+            "o_orderkey", "nation", "cents",
+            ((F.col("s") - F.col("cents")).cast("double")
+             / (F.col("n") - 1).cast("double")).alias("loo_mean_cents"),
+        )
+    )

@@ -356,3 +356,18 @@ def test_attribution_credit_audits_to_conversions(spark):
         .select("cid").distinct().count()
     )
     assert total == 1000000 * n_attr
+
+
+def test_loo_encoding_is_leakage_free(spark):
+    """LOO identity: n·mean_all = cents + (n−1)·loo_mean per row —
+    i.e. adding the row back recovers the plain group mean exactly."""
+    from sql_data_warehouse_spark.analytics.distribution import (
+        loo_target_encoding,
+    )
+
+    df = loo_target_encoding(spark, SF_SMOKE)
+    g = df.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+    rows = df.join(g, "nation").collect()
+    for r in rows[:200]:
+        assert abs((r.s - r.cents) / (r.n - 1) - r.loo_mean_cents) < 1e-9
