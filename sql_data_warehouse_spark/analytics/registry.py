@@ -116,7 +116,8 @@ def core_ids() -> frozenset[str]:
     return frozenset(ids)
 
 
-def coverfill(checked: frozenset[str]) -> frozenset[str]:
+def coverfill(checked: frozenset[str],
+              spot: frozenset[str] | None = None) -> frozenset[str]:
     """Coverage fill, computed PER ROUND from driver history (VERDICT
     r5 ask #1 — a static list went round-stale the moment its queries
     got their first driver row): a deterministic greedy set-cover over
@@ -137,6 +138,8 @@ def coverfill(checked: frozenset[str]) -> frozenset[str]:
     cutting a fill name — the round-7 basket_association_rules
     regression); then most uncovered ids, then name, so the pick
     order is deterministic for a given history."""
+    if spot is None:
+        spot = spotlight()
     need = set(core_ids())
     for n in _PINNED:
         need -= set(_REGISTRY[n].survey.split())
@@ -152,7 +155,7 @@ def coverfill(checked: frozenset[str]) -> frozenset[str]:
         name, q = min(
             cands,
             key=lambda it: (it[0] in checked,
-                            it[0] not in _SPOTLIGHT,
+                            it[0] not in spot,
                             -len(need & set(it[1].survey.split())),
                             it[0]),
         )
@@ -161,49 +164,70 @@ def coverfill(checked: frozenset[str]) -> frozenset[str]:
     return frozenset(picks)
 
 
-# This round's NEW registrations: they jump the rotation queue so
-# every operator added in a round gets its first driver hash row in
-# the same round it ships (the judge reads CORRECTNESS_r{N} for the
-# round's deltas). Refreshed each round; names age out of here once
-# a committed CORRECTNESS file records them (then they're ordinary
-# checked queries and the slots go back to the rotation). Every name
-# here MUST resolve in the registry — gated by
+# This round's debut tier: names here jump the rotation queue so the
+# round's priorities get their driver hash row in the round they ship
+# (the judge reads CORRECTNESS_r{N} for the round's deltas). The set
+# is hand-refreshed each round, but aging is AUTOMATED (VERDICT r7
+# ask #3): ``_SPOTLIGHT_AS_OF`` records the newest committed
+# CORRECTNESS round this freeze reflects, and :func:`spotlight` drops
+# any member recorded by a LATER file. So when the driver commits the
+# round's own CORRECTNESS file after close, every spotlighted name it
+# records ages out by itself and the 50-slot window arithmetic stays
+# valid — the r07-close failure (a hand-frozen set oversubscribing
+# the window once the new history file landed) cannot recur. Every
+# name here MUST resolve in the registry — gated by
 # tests/test_registry_cover.py::test_spotlight_names_resolve, so a
 # ghost (announced-but-unshipped) entry can never ship again.
+_SPOTLIGHT_AS_OF = 7  # freeze reflects history through CORRECTNESS_r07
+
 _SPOTLIGHT = frozenset({
-    # Round-7 registrations and gate upgrades debut here.
-    "copurchase_pagerank_top20",         # NEW: graph family (scaled-int PageRank)
-    "minhash_estimate_error",            # NEW: sketch-accuracy audit
-    "ngram_doc_freq_topk",               # NEW: vocab mining, salted top-k
-    "event_transition_matrix",           # NEW: Markov sequence mining
-    "pmi_collocations_topk",             # NEW: lift collocations (pre-log PMI)
-    "pareto_frontier_parts",             # NEW: bucketed 2-D skyline
-    "copurchase_triangle_counts",        # NEW: degree-oriented triangles
-    "stream_ingest_embedding_cells",     # NEW: maintained IVF cell index
-    "gold_dim_products_scalable_sk",     # NEW: composite-key scalable SK
-    "wh_q06_top5_products_dense_rank",   # NEW: closes VERDICT r6 missing #4
-    "bucketed_colocated_join",           # NEW: exchange-free bucketed layout
-    "bucket_pruned_lookup",              # NEW: bucket-pruned point lookup
-    # rows-only -> hash-gated this round (VERDICT r6 asks #2/#5): the
-    # new gates must face the driver's DuckDB in the same round they
-    # ship (semantic_dedup_clusters has an OLD green row for retired
-    # label-cell semantics, so the oracle-retrofit freshness rule
-    # alone would not re-window it — spotlight outranks checked).
-    "lsh_ann_topk",
-    "embedding_near_dup_lsh",
-    "semantic_dedup_clusters",
-    # r5/r6 oracle retrofits the driver has never hash-verified
-    # (ADVICE r6 #4 — their only history rows are err=no_oracle).
-    "bpe_train_merges",
-    "bpe_encode_stats",
-    "pq_ann_topk_distfit",
-    "ivf_kmeans_ann_topk",
-    # VERDICT r6 ask #1 priority names from the never-checked pool.
-    "dedup_pipeline_keep_best",
-    "gopher_repetition",
-    "winnow_near_dup_pairs",
-    "token_budget_pack",
+    # Round 8 is a drain round (VERDICT r7 ask #2): no new operator
+    # families; the spotlight is the judge's named never-checked
+    # priorities — the fourth-continuation families first…
+    "exact_priority_quantiles",        # exact distributed quantiles
+    "scd2_point_in_time_join",         # SCD2 as-of temporal join
+    "loo_target_encoding",             # leave-one-out target encoding
+    "stream_session_window_append",    # streaming session windows
+    "retrieval_mrr_at_10",             # retrieval quality: MRR@10
+    "mmr_diverse_rerank",              # MMR diversity rerank
+    "contrastive_pair_manifest",       # contrastive training manifest
+    "ks_test_order_value_segments",    # KS two-sample test
+    "media_dhash_near_dup",            # dHash media near-dup
+    "copurchase_degree_assortativity", # graph degree assortativity
+    # …then the long-waiting r2–r3 names (decontaminate_benchmark,
+    # the third name the verdict listed, got its green row in r07
+    # itself, so it is already checked and would age out anyway).
+    "minhash_candidate_pairs",
+    "pii_scrub_stats",
 })
+
+
+def _recorded_after_freeze() -> frozenset[str]:
+    """Names recorded by any committed ``CORRECTNESS_r{N}.json`` with
+    ``N > _SPOTLIGHT_AS_OF`` — these have faced the driver under the
+    gate the spotlight was advertising, so they age out of it."""
+    import json
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[2]
+    aged: set[str] = set()
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)", p.stem)
+        if m is None or int(m.group(1)) <= _SPOTLIGHT_AS_OF:
+            continue
+        try:
+            aged.update(json.loads(p.read_text()).keys())
+        except (OSError, ValueError):
+            continue
+    return frozenset(aged)
+
+
+def spotlight(extra_recorded: frozenset[str] = frozenset()) -> frozenset[str]:
+    """The EFFECTIVE spotlight: the frozen set minus members already
+    recorded post-freeze. ``extra_recorded`` lets tests simulate the
+    round's own CORRECTNESS file landing without writing it."""
+    return _SPOTLIGHT - _recorded_after_freeze() - extra_recorded
 
 
 def _driver_history() -> tuple[int, frozenset[str]]:
@@ -256,7 +280,7 @@ def driver_checked() -> frozenset[str]:
 
 
 def _run_priority_key(names_checked: frozenset[str], rnd: int,
-                      fill: frozenset[str]):
+                      fill: frozenset[str], spot: frozenset[str]):
     """Ordering for the returned registry dict. A driver that walks
     the dict in insertion order under a wall-clock budget cuts the
     TAIL — so the head must carry (a) the 25-query pinned set-cover
@@ -291,7 +315,7 @@ def _run_priority_key(names_checked: frozenset[str], rnd: int,
             # round), the cut must land on a debut, never on the
             # 70-id cover
             return (1, 0, name)
-        if name in _SPOTLIGHT:
+        if name in spot:
             fresh = 1  # debuts & regated gates: next after the cover
         elif name not in names_checked:
             if q.oracle is not None:
@@ -314,14 +338,18 @@ def _import_query_modules() -> None:
     from ..streaming import events_batch  # noqa: F401
 
 
-def ordered_names(checked: frozenset[str], rnd: int) -> list[str]:
+def ordered_names(checked: frozenset[str], rnd: int,
+                  spot: frozenset[str] | None = None) -> list[str]:
     """Driver-window ordering for a GIVEN history — split out from
     :func:`all_queries` so tests can simulate future rounds (grow
-    ``checked`` by each simulated window and re-derive the order)."""
+    ``checked`` by each simulated window, shrink ``spot`` by what the
+    simulated driver recorded, and re-derive the order)."""
     _import_query_modules()
-    fill = coverfill(checked)
+    if spot is None:
+        spot = spotlight()
+    fill = coverfill(checked, spot)
     return [n for n, _ in sorted(
-        _REGISTRY.items(), key=_run_priority_key(checked, rnd, fill))]
+        _REGISTRY.items(), key=_run_priority_key(checked, rnd, fill, spot))]
 
 
 def all_queries() -> dict[str, Query]:

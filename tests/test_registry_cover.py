@@ -27,11 +27,13 @@ import pytest
 from sql_data_warehouse_spark.analytics.registry import (
     _PINNED,
     _SPOTLIGHT,
+    _SPOTLIGHT_AS_OF,
     all_queries,
     core_ids,
     coverfill,
     driver_checked,
     ordered_names,
+    spotlight,
 )
 
 ROOT = Path(__file__).resolve().parents[1]
@@ -117,8 +119,11 @@ def test_cover_survives_simulated_future_rounds(registry):
     the driver (window -> history -> recompute) and assert every
     round's window still covers all 70 core ids."""
     checked = set(_checked())
+    recorded: set[str] = set()
     for rnd in range(6, 18):
-        window = ordered_names(frozenset(checked), rnd)[:WINDOW]
+        spot = spotlight(extra_recorded=frozenset(recorded))
+        window = ordered_names(frozenset(checked), rnd, spot)[:WINDOW]
+        recorded.update(window)
         got: set[str] = set()
         for name in window:
             got.update(registry[name].survey.split())
@@ -139,7 +144,7 @@ def test_window_has_first_ever_names(registry):
     remaining_fresh = [n for n in registry if n not in checked]
     window = list(registry)[:WINDOW]
     fresh = [n for n in window if n not in checked]
-    regated = [n for n in window if n in _SPOTLIGHT and n in checked]
+    regated = [n for n in window if n in spotlight() and n in checked]
     quota = min(25 - len(regated), len(remaining_fresh))
     assert len(fresh) >= quota, f"only {len(fresh)} fresh names in window"
     # the window itself still covers every core id
@@ -150,14 +155,43 @@ def test_window_has_first_ever_names(registry):
 
 
 def test_spotlight_and_coverfill_inside_window(registry):
-    """Spotlight now outranks the checked test outright (a regated
-    name with an old green row still debuts its NEW gate), so every
-    spotlight name must sit inside the window."""
+    """Spotlight outranks the checked test outright (a regated name
+    with an old green row still debuts its NEW gate), so every
+    EFFECTIVE spotlight name must sit inside the window."""
     checked = _checked()
     window = set(list(registry)[:WINDOW])
-    expected = coverfill(checked) | set(_SPOTLIGHT)
+    expected = coverfill(checked) | spotlight()
     missing = expected - window
     assert not missing, f"debuts outside the driver window: {sorted(missing)}"
+
+
+def test_spotlight_survives_post_close_history_landing(registry):
+    """VERDICT r7 ask #3 regression test: at the r07 close, the
+    driver's freshly committed CORRECTNESS file advanced the round
+    while the hand-frozen spotlight still held the now-checked names,
+    oversubscribing the 50-slot window by one. With automated aging
+    the scenario must be a no-op: simulate the round's own driver
+    file landing (every window name recorded, round number advanced)
+    and assert the window invariants still hold."""
+    checked = _checked()
+    spot_now = spotlight()
+    window_now = list(registry)[:WINDOW]
+    # ... the driver records exactly this window in CORRECTNESS_r{N}:
+    landed = frozenset(window_now)
+    new_checked = frozenset(checked | landed)
+    new_spot = spotlight(extra_recorded=landed)
+    # every spotlighted name the driver recorded has aged out
+    assert not (new_spot & landed)
+    # the next-round window is not oversubscribed and still covers
+    names = ordered_names(new_checked, _SPOTLIGHT_AS_OF + 2, new_spot)
+    window = names[:WINDOW]
+    expected = _PINNED | coverfill(new_checked, new_spot) | new_spot
+    assert len(expected) <= WINDOW
+    assert expected <= set(window)
+    got: set[str] = set()
+    for name in window:
+        got.update(registry[name].survey.split())
+    assert not core_ids() - got
 
 
 def test_rows_only_fresh_sorts_after_oracle_gated_fresh(registry):
@@ -165,7 +199,7 @@ def test_rows_only_fresh_sorts_after_oracle_gated_fresh(registry):
     fill = coverfill(checked)
     names = list(registry)
     pos = {n: i for i, n in enumerate(names)}
-    skip = _PINNED | _SPOTLIGHT | fill
+    skip = _PINNED | spotlight() | fill
     fresh_oracle = [n for n, q in registry.items()
                     if n not in checked and q.oracle is not None
                     and n not in skip]
