@@ -40,6 +40,13 @@ print(f"entry(): {n} rows, schema={[f.name for f in e.schema]}")
 assert n > 0
 
 qs, os_ = mod.queries(), mod.oracle_sql()
+only = os.environ.get("SPARK_GRAFT_QUERIES")
+if only:
+    names = [n.strip() for n in only.split(",") if n.strip()]
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        sys.exit(f"unknown query names: {unknown}")
+    qs = {n: qs[n] for n in names}
 print(f"{len(qs)} queries, {len(os_)} oracles")
 fails=[]
 for name, fn in sorted(qs.items()):

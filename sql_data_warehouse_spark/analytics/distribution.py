@@ -461,12 +461,17 @@ def customer_value_deciles_scalable(
 # E_t = (E_{t-1} + v_t)/2 clears denominators EXACTLY:
 #   2^(T-1) · E_T = v_1 + Σ_{k=2..T} 2^(k-2) · v_k
 # — numerator and denominator are exact integers and the reported
-# EWMA is one double division. Weights reach 2^(T-2); with T ≤ ~120
-# months and month-revenue ≤ ~10¹¹ cents the numerator stays inside
-# decimal(38,0)/HUGEINT (~10³⁸) at any realistic corpus age — the
-# overflow bound is documented, not hoped. Each power of two is built
-# as a PRODUCT OF TWO LONG SHIFTS (each half-exponent ≤ 62), never a
-# float power() cast.
+# EWMA is one double division. Weights reach 2^(T-2), so the
+# numerator is ≤ 2^(T-1)·v_max; with month-revenue ≤ ~10¹¹ cents it
+# stays inside decimal(38,0)/HUGEINT (~10³⁸) only while
+# 2^(T-1) ≤ 10²⁷, i.e. T ≤ ~90 months (ADVICE r7 #1 corrected the
+# earlier ~120 claim: 2^119·10¹¹ ≈ 6.6×10⁴⁶ overflows). TPC-H spans
+# ~84 months, inside the bound — and because Spark decimal overflow
+# is a SILENT NULL (non-ANSI) while DuckDB HUGEINT raises, the
+# builder enforces t ≤ 90 with assert_true so a longer series fails
+# loudly on BOTH engines instead of diverging. Each power of two is
+# built as a PRODUCT OF TWO LONG SHIFTS (each half-exponent ≤ 62),
+# never a float power() cast.
 # integer division MUST be div/// — engine "/" on ints is float
 # division and CAST of the .5 halves rounds in DuckDB but truncates
 # in Spark (measured divergence at t=5)
@@ -564,6 +569,15 @@ def ewma_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.expr(_EWMA_W.format(t="t + 1")))
     cum = Window.partitionBy("nation").orderBy("ym").rowsBetween(
         Window.unboundedPreceding, Window.currentRow)
+    # Overflow guard (ADVICE r7 #1): past ~90 months 2^(t-1)·v_max
+    # exceeds decimal(38,0) and Spark would NULL silently where
+    # DuckDB raises. assert_true returns NULL on success, raises on
+    # violation; coalesce keeps it in the plan at zero cost.
+    guard = F.assert_true(
+        F.col("t") <= F.lit(90),
+        F.lit("ewma_monthly_revenue: t > 90 months overflows"
+              " decimal(38,0) — rescale revenue or re-window"),
+    )
     return (
         t.withColumn("num", F.sum(wt * F.col("rev_cents")).over(cum))
         .withColumn("den", den)
@@ -573,7 +587,10 @@ def ewma_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             # ~2^80-scale numerator does NOT round-trip through double
             # identically in Spark decimal vs DuckDB HUGEINT (measured
             # ulp drift) — integer division sidesteps the conversion
-            F.expr("CAST(num div den AS BIGINT)").alias("ewma_cents"),
+            F.coalesce(
+                guard.cast("bigint"),
+                F.expr("CAST(num div den AS BIGINT)"),
+            ).alias("ewma_cents"),
         )
         .orderBy("nation", "ym")
     )
@@ -959,8 +976,8 @@ _ANOM_Z = 3
                s AS trail_sum, n AS trail_n
         FROM w
         WHERE n = {_ANOM_WIN}
-          AND (n * c - s) * (n * c - s)
-                > {_ANOM_Z * _ANOM_Z} * (n * ss - s * s)
+          AND (n::HUGEINT * c - s) * (n::HUGEINT * c - s)
+                > {_ANOM_Z * _ANOM_Z} * (n::HUGEINT * ss - s::HUGEINT * s)
         ORDER BY hr
     """,
 )
@@ -976,7 +993,12 @@ def hourly_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: the z test clears denominators — |c − s/n| > z·σ ⟺
     (n·c − s)² > z²·(n·ss − s²) — ALL integer (the
     ``embedding_dim_outliers`` identity on a time axis), so no float
-    ever crosses the gate. Scale shape: one corpus-sized hourly
+    ever crosses the gate. The cleared-denominator products run in
+    decimal(38,0) (Spark) / HUGEINT (DuckDB), not int64 (ADVICE r7
+    #2): dev² ≤ (24·c)² overflows int64 once an hour exceeds ~1.3e8
+    events, where non-ANSI Spark would wrap silently while DuckDB
+    errors — the same wide-integer guard as the rest of the
+    cleared-denominator family. Scale shape: one corpus-sized hourly
     aggregate; the trailing window runs over the HOUR GRID (720 rows
     per month regardless of event count — the unpartitioned window is
     grid-sized by construction, same argument as the gapfill
@@ -991,8 +1013,10 @@ def hourly_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").over(tw).alias("s"),
         F.sum(F.col("c") * F.col("c")).over(tw).alias("ss"),
     )
-    dev = F.col("n") * F.col("c") - F.col("s")
-    var_num = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    nd = F.col("n").cast("decimal(38,0)")
+    sd = F.col("s").cast("decimal(38,0)")
+    dev = nd * F.col("c") - sd
+    var_num = nd * F.col("ss") - sd * F.col("s")
     return (
         w.filter(
             (F.col("n") == _ANOM_WIN)
