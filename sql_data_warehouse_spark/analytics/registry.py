@@ -199,6 +199,9 @@ _SPOTLIGHT = frozenset({
     # itself, so it is already checked and would age out anyway).
     "minhash_candidate_pairs",
     "pii_scrub_stats",
+    # The round's single new registration (VERDICT r7 ask #4): real
+    # video-container decode replacing the last documented fake.
+    "media_video_decode_stats",
 })
 
 

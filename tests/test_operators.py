@@ -138,6 +138,59 @@ def test_wav_codec_roundtrip():
         multimodal.decode_wav(b"RIFFxxxxNOPE")
 
 
+def test_avi_codec_roundtrip_and_verification():
+    """AVI container correctness: stride padding (w=9 → stride 12),
+    bottom-up row re-flip, header agreement, and idx1 replay — a
+    corrupted index offset, a truncated payload, and an unsupported
+    bit depth must all be rejected loudly."""
+    import struct
+
+    enc = multimodal._CODEC_NS["encode_avi"]
+    dec = multimodal._CODEC_NS["decode_avi"]
+
+    w, h, n = 9, 5, 3
+    frames = [
+        bytes(((7 * f + 3 * x + 11 * y) % 256)
+              for y in range(h) for x in range(w))
+        for f in range(n)
+    ]
+    payload = enc(w, h, frames, rate=10, scale=1)
+    gw, gh, rate, scale, got = dec(payload)
+    assert (gw, gh, rate, scale) == (w, h, 10, 1)
+    assert got == tuple(frames)
+
+    # unified decode path: per-clip stats
+    stats = multimodal.decode_real(payload, "video")
+    assert stats == {
+        "width": w, "height": h, "sample_rate": 0, "n_samples": n,
+        "duration_ms": n * 100,
+        "content_sum": sum(sum(f) for f in frames),
+    }
+
+    # corrupt an idx1 offset -> index replay fails
+    bad = bytearray(payload)
+    i = payload.rindex(b"idx1")
+    bad[i + 8 + 16 + 8] ^= 1
+    with pytest.raises(ValueError, match="idx1"):
+        dec(bytes(bad))
+
+    # truncation at several depths -> loud ValueError, never struct
+    for cut in (13, 40, 100, len(payload) - 4):
+        with pytest.raises(ValueError):
+            dec(payload[:cut])
+
+    # 24-bit frames are outside the supported subset: patch
+    # biBitCount in strf and expect refusal
+    bits = bytearray(payload)
+    j = payload.index(b"strf") + 8  # BITMAPINFOHEADER start
+    bits[j + 14:j + 16] = struct.pack("<H", 24)
+    with pytest.raises(ValueError, match="8-bit"):
+        dec(bytes(bits))
+
+    with pytest.raises(ValueError):
+        dec(b"RIFFxxxxNOPE")
+
+
 def test_fake_decode_batch_shape():
     import pandas as pd
 
