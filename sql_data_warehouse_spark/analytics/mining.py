@@ -139,13 +139,20 @@ def pmi_collocations_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     an ulp across engines). The staple vocabulary-mining signal for
     tokenizer merges and phrase detection over a training corpus.
 
-    Plan shape: doc-frequency aggregate → top-V via sort+limit
-    (TakeOrderedAndProject, never a global window) → the tiny vocab
-    BROADCASTS into the doc-token restriction, so the co-occurrence
-    self-join is keyed on doc_id with per-doc fan-out ≤ C(V,2) — a
-    constant — and the grouped pair count shuffles ≤ V² rows. At
-    100 TB the only corpus-sized passes are the two token scans; no
-    stage is quadratic in anything but the constant V.
+    Plan shape: ONE tokenize pass (the regex explode is the dominant
+    cost — the r7 sf10 sweep measured 74.5 s with the token relation
+    recomputed for the vocab aggregate AND the restriction join;
+    localCheckpoint(eager=True) fuses the two scans, the branch-point
+    rule from the r6 sweep) → doc-frequency aggregate → top-V via
+    sort+limit (TakeOrderedAndProject, never a global window) → the
+    tiny vocab BROADCASTS into the doc-token restriction, so the
+    co-occurrence self-join is keyed on doc_id with per-doc fan-out
+    ≤ C(V,2) — a constant — and the grouped pair count shuffles ≤ V²
+    rows. At 100 TB the checkpointed token relation is
+    (doc_id, tok) — compact columns, a fraction of the text it
+    derives from — and on a cluster the same fusion is a persist() or
+    an intermediate parquet stage; no stage is quadratic in anything
+    but the constant V.
 
     Overflow note: ``n_co · n_docs`` is exact in BIGINT up to ~9·10¹⁸
     (n_docs ≈ 3·10⁹ at 100 TB ⇒ products ≤ ~10¹⁹ only if a pair
@@ -158,6 +165,7 @@ def pmi_collocations_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"),
         )
         .filter(F.col("tok") != "")
+        .localCheckpoint(eager=True)  # branch point: vocab agg + tv join
     )
     dfc = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     vocab = dfc.orderBy(F.col("df").desc(), "tok").limit(_PMI_VOCAB)
