@@ -424,8 +424,8 @@ _AD_SCALE = 10000  # value → exact int at 1e-4 resolution
         stats AS (
           SELECT event_type,
                  COUNT(*) AS n,
-                 SUM(s) AS sum_s,            -- HUGEINT: exact
-                 SUM(s * s) AS sum_ss        -- HUGEINT: exact
+                 SUM(s) AS sum_s,                       -- HUGEINT: exact
+                 SUM(CAST(s AS HUGEINT) * s) AS sum_ss  -- widen BEFORE the square
           FROM scaled GROUP BY event_type
         ),
         enriched AS (
@@ -475,7 +475,10 @@ def event_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("s").cast(dec)).alias("sum_s"),
-            F.sum((F.col("s") * F.col("s")).cast(dec)).alias("sum_ss"),
+            # widen BEFORE the square: s*s in int64 wraps silently in
+            # non-ANSI Spark once |value| nears sqrt(2^63)/SCALE while
+            # DuckDB raises (the hourly_event_anomalies lesson)
+            F.sum(F.col("s").cast(dec) * F.col("s")).alias("sum_ss"),
         )
         .select(
             "event_type", "n",
