@@ -12,7 +12,7 @@ spark = SparkSession.builder.master("local[4]").config("spark.ui.enabled","false
 
 import duckdb, pandas as pd, datetime as dt, math
 TABLES = ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]
-SF="/root/testdata/sf0.01"
+SF=os.environ.get("SPARK_GRAFT_SIM_SF", "/root/testdata/sf0.01")
 con = duckdb.connect()
 for t in TABLES:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")

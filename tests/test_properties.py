@@ -423,3 +423,33 @@ def test_transition_matrix_rows_normalize(spark):
         psum[r["from_type"]] += r["p_trans"]
     for ft, s in psum.items():
         assert abs(s - 1.0) < 1e-9, (ft, s)
+
+
+# --------------------------------------------------- AVI codec roundtrip
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    width=st.integers(min_value=1, max_value=40),
+    height=st.integers(min_value=1, max_value=24),
+    n_frames=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    rate=st.integers(min_value=1, max_value=60),
+)
+def test_avi_roundtrip_any_geometry(width, height, n_frames, seed, rate):
+    """encode_avi∘decode_avi is the identity for ANY frame geometry —
+    in particular every stride-padding residue (width % 4 ∈ {0,1,2,3})
+    and single-pixel/single-frame edges. No Spark session needed: the
+    codec is the worker-side core of media_video_decode_stats."""
+    from sql_data_warehouse_spark.operators import multimodal
+
+    enc = multimodal._CODEC_NS["encode_avi"]
+    dec = multimodal._CODEC_NS["decode_avi"]
+    frames = [
+        bytes((seed + 13 * f + 5 * i) % 256
+              for i in range(width * height))
+        for f in range(n_frames)
+    ]
+    gw, gh, grate, gscale, got = dec(enc(width, height, frames, rate=rate))
+    assert (gw, gh, grate, gscale) == (width, height, rate, 1)
+    assert got == tuple(frames)
