@@ -106,8 +106,13 @@ plan-asserted in tests/test_layout.py), multimodal
 sampling, media embedding retrieval, and — since round 3 — a REAL
 pure-stdlib PNG/WAV codec: zlib inflate + scanline unfilter + CRC
 verification and RIFF/PCM16 parsing, oracle-gated per doc by
-`media_real_decode_stats`; video decode remains a documented fake —
-no stdlib container parser; and real audio DSP
+`media_real_decode_stats`; since round 8 ALSO a real AVI video
+container codec — RIFF hdrl/strl headers, uncompressed bottom-up
+stride-padded DIB frames, keyframe idx1 index verified entry-by-
+entry on decode — oracle-gated per FRAME by
+`media_video_decode_stats` (only compressed mp4/av1 stays behind the
+documented fake_decode_batch stand-in, there being no stdlib
+parser); and real audio DSP
 `media_audio_features`: peak/energy/zero-crossings from the DECODED
 PCM16 samples in exact integers, oracle-replayed arithmetically),
 text
