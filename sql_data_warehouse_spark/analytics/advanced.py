@@ -400,11 +400,20 @@ def supplier_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for sf0.1 → sf1 (400 suppliers/nation → 2 M verified pairs).
     This is the exact VERIFIER-role form (cf. `embedding_near_dup`);
     the production path is `supplier_fuzzy_pairs_banded`, whose
-    segment blocks stay Σ block²-bounded as data grows."""
+    segment blocks stay Σ block²-bounded as data grows.
+
+    Parallelism: supplier at sf10 is ONE parquet row group, and a
+    broadcast join inherits the probe side's partitioning — the r8
+    full sf10 sweep caught the whole 200M-levenshtein verify running
+    as a single task (1400 s on one core). Repartitioning the probe
+    side first spreads the quadratic work across the cluster; the
+    quadratic BOUND is unchanged (that is the banded twin's job),
+    only the single-task collapse is fixed."""
     s = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_nationkey"
     )
-    a = s.alias("a")
+    n_part = spark.sparkContext.defaultParallelism
+    a = s.repartition(n_part).alias("a")
     b = s.alias("b")
     return (
         a.join(
