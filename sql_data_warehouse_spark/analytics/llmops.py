@@ -1037,7 +1037,7 @@ def media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         q AS (
             SELECT doc_id AS query_id, emb AS q_vec FROM emb
-            WHERE doc_id % 167 = 0
+            WHERE doc_id % 167 = 0 AND doc_id < 500
         ),
         scored AS (
             SELECT q.query_id, e.doc_id AS vec_id,
@@ -1062,12 +1062,21 @@ def media_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (similarity.cosine_topk, queries broadcast, corpus never
     shuffles). The oracle replays the md5-byte projection
     arithmetically, so the gate covers the Python feature path AND
-    the retrieval join bit-for-bit."""
+    the retrieval join bit-for-bit.
+
+    FIXED query panel (r8 full-sf10-sweep fix): the panel is the
+    %167 == 0 ids among the first 500 docs — a CONSTANT 3-query set
+    at every sf, the standard retrieval-eval shape (panel fixed,
+    corpus grows). The previous corpus-growing panel (every 167th
+    doc) made the scorer quadratic by construction: 3k queries ×
+    500k docs = 1.5B cosines at sf10, measured 326 s solo; fixed
+    panel is corpus-linear. The driver-gate hash is unchanged —
+    every sf0.01 doc_id is < 500, so both panels coincide there."""
     media = multimodal.attach_fake_media(load_table(spark, sf_dir, "documents"))
     emb = multimodal.embed_media(media)
-    queries = emb.filter(F.col("doc_id") % 167 == 0).select(
-        F.col("doc_id").alias("query_id"), "emb"
-    )
+    queries = emb.filter(
+        (F.col("doc_id") % 167 == 0) & (F.col("doc_id") < 500)
+    ).select(F.col("doc_id").alias("query_id"), "emb")
     return similarity.cosine_topk(
         emb, queries, k=5, id_col="doc_id", vec_col="emb", dim=16
     )
