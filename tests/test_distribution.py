@@ -371,3 +371,45 @@ def test_loo_encoding_is_leakage_free(spark):
     rows = df.join(g, "nation").collect()
     for r in rows[:200]:
         assert abs((r.s - r.cents) / (r.n - 1) - r.loo_mean_cents) < 1e-9
+
+
+def test_ewma_overflow_guard_fires_past_90_months(spark, tmp_path):
+    """The ADVICE r7 #1 claim, executed: past ~90 months the dyadic
+    EWMA numerator exceeds decimal(38,0), where non-ANSI Spark would
+    silently NULL while DuckDB raises — the builder's assert_true
+    must turn that silent divergence into a loud error. Build a
+    96-month synthetic slice and expect the failure; 84 months (the
+    TPC-H span) must pass."""
+    import datetime
+
+    import pytest
+    from pyspark.sql import Row
+
+    from sql_data_warehouse_spark.analytics.distribution import (
+        ewma_monthly_revenue,
+    )
+
+    def write_sf(months: int) -> str:
+        d = tmp_path / f"m{months}"
+        d.mkdir()
+        spark.createDataFrame(
+            [Row(n_nationkey=0, n_name="A")]
+        ).write.parquet(str(d / "nation.parquet"))
+        spark.createDataFrame(
+            [Row(c_custkey=1, c_nationkey=0)]
+        ).write.parquet(str(d / "customer.parquet"))
+        base = datetime.date(2000, 1, 1)
+        spark.createDataFrame([
+            Row(o_orderkey=i, o_custkey=1,
+                o_orderdate=datetime.date(
+                    base.year + i // 12, i % 12 + 1, 15),
+                o_totalprice=100.0)
+            for i in range(months)
+        ]).write.parquet(str(d / "orders.parquet"))
+        return str(d)
+
+    ok = ewma_monthly_revenue(spark, write_sf(84)).collect()
+    assert len(ok) == 84 and all(r.ewma_cents is not None for r in ok)
+
+    with pytest.raises(Exception, match="90 months"):
+        ewma_monthly_revenue(spark, write_sf(96)).collect()
