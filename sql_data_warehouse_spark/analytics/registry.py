@@ -178,51 +178,74 @@ def coverfill(checked: frozenset[str],
 # name here MUST resolve in the registry — gated by
 # tests/test_registry_cover.py::test_spotlight_names_resolve, so a
 # ghost (announced-but-unshipped) entry can never ship again.
-_SPOTLIGHT_AS_OF = 7  # freeze reflects history through CORRECTNESS_r07
+_SPOTLIGHT_AS_OF = 8  # freeze reflects history through CORRECTNESS_r08
 
 _SPOTLIGHT = frozenset({
-    # Round 8 is a drain round (VERDICT r7 ask #2): no new operator
-    # families; the spotlight is the judge's named never-checked
-    # priorities — the fourth-continuation families first…
-    "exact_priority_quantiles",        # exact distributed quantiles
-    "scd2_point_in_time_join",         # SCD2 as-of temporal join
-    "loo_target_encoding",             # leave-one-out target encoding
-    "stream_session_window_append",    # streaming session windows
-    "retrieval_mrr_at_10",             # retrieval quality: MRR@10
-    "mmr_diverse_rerank",              # MMR diversity rerank
-    "contrastive_pair_manifest",       # contrastive training manifest
-    "ks_test_order_value_segments",    # KS two-sample test
-    "media_dhash_near_dup",            # dHash media near-dup
-    "copurchase_degree_assortativity", # graph degree assortativity
-    # …then the long-waiting r2–r3 names (decontaminate_benchmark,
-    # the third name the verdict listed, got its green row in r07
-    # itself, so it is already checked and would age out anyway).
-    "minhash_candidate_pairs",
-    "pii_scrub_stats",
-    # The round's single new registration (VERDICT r7 ask #4): real
-    # video-container decode replacing the last documented fake.
-    "media_video_decode_stats",
+    # Round 9 is the second drain round (VERDICT r8 ask #1): growth
+    # frozen; the spotlight is the judge's named priorities. The 25
+    # fresh slots are exactly: these 23, plus the two non-spotlight
+    # coverfill picks (etl_bronze_erp_px_cat_g1v2 for S1/S3/S6 and
+    # nation_market_share for J5 — each the only fresh coverer of its
+    # id); kmv_daily_merge_estimate (O2) and txn_merge_orders (S2)
+    # below double as fill coverers at zero extra slots. The verdict's
+    # 24th name, stream_user_totals_final, is the one cut — its
+    # nearest relative stream_replay_user_totals got its green row in
+    # r08, so it is the lowest-information member of the list.
+    #
+    # (a) round-8-modified entries needing a post-change row:
+    "media_embedding_topk",            # constant query panel (r8 fix)
+    "ewma_monthly_revenue",            # overflow guard (r8 fix)
+    "hourly_event_anomalies",          # decimal-widened z-test (r8 fix)
+    "simhash_near_dup_pairs",          # r8-touched, never checked
+    "supplier_fuzzy_pairs_banded",     # probe repartition (r8 fix)
+    # (b) whole families with zero driver history:
+    "txn_merge_orders",                # Delta-style MERGE (also S2 fill)
+    "txn_time_travel",                 # snapshot time travel
+    "txn_datasource_scan",             # txn log datasource scan
+    "revenue_cube",                    # CUBE rollup lattice
+    "revenue_grouping_sets",           # GROUPING SETS
+    "nation_segment_pivot",            # PIVOT
+    "nation_segment_unpivot",          # UNPIVOT/stack
+    "stream_cagg_refresh",             # continuous-agg refresh
+    "stream_click_purchase_join",      # stream-stream interval join
+    "stream_tumbling_hourly",          # tumbling-window aggregation
+    "kmv_distinct_users_estimate",     # KMV distinct sketch
+    "kmv_daily_merge_estimate",        # KMV merge (also O2 fill)
+    "cms_event_type_estimates",        # count-min sketch
+    "nation_revenue_gini",             # Gini coefficient
+    "nation_revenue_changepoint",      # changepoint detection
+    "nation_revenue_trend_ols",        # OLS trend fit
+    "nation_revenue_seasonality",      # seasonal decomposition
+    "benford_first_digit_audit",       # Benford first-digit audit
 })
 
 
-def _recorded_after_freeze() -> frozenset[str]:
-    """Names recorded by any committed ``CORRECTNESS_r{N}.json`` with
-    ``N > _SPOTLIGHT_AS_OF`` — these have faced the driver under the
-    gate the spotlight was advertising, so they age out of it."""
+def _recorded_after_freeze(root=None) -> frozenset[str]:
+    """Names recorded CLEANLY (``err == null``) by any committed
+    ``CORRECTNESS_r{N}.json`` with ``N > _SPOTLIGHT_AS_OF`` — these
+    have faced the driver under the gate the spotlight was advertising
+    and produced a real comparison row, so they age out of it. A row
+    with ``err`` set (driver crash, no_oracle, timeout) is NOT the
+    signal the spotlight exists to buy — a failed debut keeps its
+    guaranteed slot for a retry round (ADVICE r8 #3)."""
     import json
     import re
     from pathlib import Path
 
-    root = Path(__file__).resolve().parents[2]
+    if root is None:
+        root = Path(__file__).resolve().parents[2]
     aged: set[str] = set()
     for p in sorted(root.glob("CORRECTNESS_r*.json")):
         m = re.fullmatch(r"CORRECTNESS_r(\d+)", p.stem)
         if m is None or int(m.group(1)) <= _SPOTLIGHT_AS_OF:
             continue
         try:
-            aged.update(json.loads(p.read_text()).keys())
+            data = json.loads(p.read_text())
         except (OSError, ValueError):
             continue
+        for name, rec in data.items():
+            if not isinstance(rec, dict) or rec.get("err") is None:
+                aged.add(name)
     return frozenset(aged)
 
 
@@ -272,6 +295,19 @@ def _driver_history() -> tuple[int, frozenset[str]]:
             continue  # oracle retrofitted after every recorded row
         checked.add(name)
     return n + 1, frozenset(checked)
+
+
+# Driver-history names that are INTENTIONALLY no longer registered:
+# renames recorded before the registry settled (VERDICT r8 ask #3).
+# A checked name absent from both the registry and this map is a ghost
+# — the driver burned a window slot on something users can't run —
+# gated by tests/test_registry_cover.py::test_checked_history_has_no_ghosts.
+_RENAMED_HISTORY = {
+    "events_minutely_gapfill": (
+        "r1 name; the minutely gap-fill was folded into the hourly "
+        "interpolate family as events_hourly_interpolate in r2"
+    ),
+}
 
 
 def driver_checked() -> frozenset[str]:

@@ -26,6 +26,7 @@ import pytest
 
 from sql_data_warehouse_spark.analytics.registry import (
     _PINNED,
+    _RENAMED_HISTORY,
     _SPOTLIGHT,
     _SPOTLIGHT_AS_OF,
     all_queries,
@@ -73,6 +74,23 @@ def test_spotlight_names_resolve(registry):
     a ghost the driver can never run — fail loudly."""
     ghosts = _SPOTLIGHT - set(registry)
     assert not ghosts, f"spotlight names missing from registry: {sorted(ghosts)}"
+
+
+def test_checked_history_has_no_ghosts(registry):
+    """VERDICT r8 ask #3: every name the driver ever recorded must be
+    either registered today or a documented rename — a checked name
+    that is neither means a window slot was burned on something users
+    can't run, and that must be a loud failure, not archaeology."""
+    ghosts = _raw_checked() - set(registry) - set(_RENAMED_HISTORY)
+    assert not ghosts, f"checked-but-unregistered names: {sorted(ghosts)}"
+    # the allowlist itself must not rot: a rename that re-enters the
+    # registry under its old name should be dropped from the map
+    stale = set(_RENAMED_HISTORY) & set(registry)
+    assert not stale, f"renames that are registered again: {sorted(stale)}"
+    # and every rename target cited in the rationale must resolve
+    for old, why in _RENAMED_HISTORY.items():
+        targets = [n for n in registry if n in why]
+        assert targets, f"rename rationale for {old} cites no registered query"
 
 
 def test_pinned_plus_coverfill_covers_all_core_ids(registry):
@@ -192,6 +210,28 @@ def test_spotlight_survives_post_close_history_landing(registry):
     for name in window:
         got.update(registry[name].survey.split())
     assert not core_ids() - got
+
+
+def test_failed_rows_do_not_age_spotlight(tmp_path):
+    """ADVICE r8 #3 regression: a post-freeze row with ``err`` set
+    (driver crash, no_oracle) must NOT age a name out of the
+    spotlight — it never got the hash row the slot exists to buy —
+    while a clean row (err == null) must."""
+    from sql_data_warehouse_spark.analytics.registry import (
+        _recorded_after_freeze,
+    )
+
+    rnd = _SPOTLIGHT_AS_OF + 1
+    (tmp_path / f"CORRECTNESS_r{rnd:02d}.json").write_text(json.dumps({
+        "crashed_debut": {"rows_match": False, "err": "driver crash"},
+        "clean_debut": {"rows_match": True, "schema_match": True,
+                        "hash_match": True, "err": None},
+        "no_oracle_debut": {"rows_match": True, "err": "no_oracle"},
+    }))
+    aged = _recorded_after_freeze(root=tmp_path)
+    assert "clean_debut" in aged
+    assert "crashed_debut" not in aged
+    assert "no_oracle_debut" not in aged
 
 
 def test_rows_only_fresh_sorts_after_oracle_gated_fresh(registry):
