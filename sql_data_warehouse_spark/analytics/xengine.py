@@ -1,8 +1,8 @@
 """Cross-engine determinism helpers (Spark side + DuckDB-SQL macros).
 
 The driver hash-compares Spark output against DuckDB output, so every
-value must be bit-identical. Rules (verified empirically — see
-.claude/skills/verify/SKILL.md):
+value must be bit-identical. Rules (each verified empirically against
+both engines at sf0.001–sf0.1):
 
 - Sums over doubles go through scaled int64: ``floor(x*S + 0.5)`` is
   a pure IEEE double expression, identical in both engines; the int64

@@ -1065,8 +1065,8 @@ def shingle_sets(df: DataFrame, text_col: str = "text",
     shingling HOF: a lambda inlines its captured expressions, so
     ``substr(normalize(text), i, k)`` would re-run the 3-regexp
     normalize chain once per character position (measured ~30 s for
-    5 000 docs; staged it's sub-second — the winnowing pitfall,
-    .claude/skills/verify/SKILL.md)."""
+    5 000 docs; staged it's sub-second). Rule: materialize an array
+    as a column BEFORE any sliding-window HOF consumes it."""
     staged = df.select(
         F.col(id_col).alias("doc_id"),
         normalize_text(F.col(text_col)).alias("_norm"),

@@ -134,9 +134,9 @@ def _lloyd_step(corpus: DataFrame,
     scale = _SCALE
 
     def partial_sums(batches):
-        # self-contained closure: driver imports this module by file
-        # path under the grading harness, so workers must not
-        # reference module globals (see .claude/skills/verify)
+        # self-contained closure: when the package is imported by
+        # file path (foreign-cwd driver), workers can't resolve the
+        # module name, so this must not touch module globals
         import numpy as np
         import pandas as pd
 

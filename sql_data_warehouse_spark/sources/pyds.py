@@ -18,10 +18,11 @@ exactly the surviving files with normal task parallelism and each
 partition streams Arrow RecordBatches (no Python row loop).
 
 Everything (DataSource, Reader, Partition) is defined INSIDE the
-factory function: the grading/driver harness imports this package by
-file path, so Spark workers cannot import it by name — cloudpickle
-ships locally-defined classes by value, module-level ones by
-reference (see .claude/skills/verify/SKILL.md).
+factory function: when this package is imported by file path (e.g. a
+driver that loads ``__spark_entry__.py`` directly from a foreign
+cwd), Spark workers cannot import it by module name — cloudpickle
+ships locally-defined classes by value but module-level ones by
+reference, so only the closure form survives.
 """
 
 from __future__ import annotations
