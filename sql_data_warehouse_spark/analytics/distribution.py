@@ -504,8 +504,16 @@ _EWMA_W_SQL = ("(1::HUGEINT << CAST(({t} - 2) // 2 AS INT))"
           FROM m
         ),
         w AS (
+          -- domain guard mirroring the builder's assert_true (ADVICE
+          -- r8 #2): with small revenues HUGEINT keeps producing rows
+          -- out to t~120+ while Spark raises at 91 — both engines
+          -- must reject the same inputs, so the oracle errors at
+          -- t > 90 unconditionally too (error() is branch-lazy).
           SELECT nation, ym, rev_cents, t,
-                 CASE WHEN t = 1 THEN 1::HUGEINT
+                 CASE WHEN t > 90 THEN error('ewma_monthly_revenue: '
+                        || 't > 90 months overflows decimal(38,0) — '
+                        || 'rescale revenue or re-window')
+                      WHEN t = 1 THEN 1::HUGEINT
                       ELSE {_EWMA_W_SQL.format(t="t")} END
                    AS wt
           FROM t
@@ -572,7 +580,10 @@ def ewma_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Overflow guard (ADVICE r7 #1): past ~90 months 2^(t-1)·v_max
     # exceeds decimal(38,0) and Spark would NULL silently where
     # DuckDB raises. assert_true returns NULL on success, raises on
-    # violation; coalesce keeps it in the plan at zero cost.
+    # violation; coalesce keeps it in the plan at zero cost. The
+    # oracle mirrors the SAME t<=90 domain check with error()
+    # (ADVICE r8 #2), so for 91+-month inputs both engines reject —
+    # DuckDB no longer returns data where Spark raises.
     guard = F.assert_true(
         F.col("t") <= F.lit(90),
         F.lit("ewma_monthly_revenue: t > 90 months overflows"
@@ -966,7 +977,7 @@ _ANOM_Z = 3
           SELECT hr, c,
                  CAST(COUNT(c) OVER tw AS BIGINT) AS n,
                  CAST(SUM(c) OVER tw AS BIGINT) AS s,
-                 CAST(SUM(c * c) OVER tw AS BIGINT) AS ss
+                 SUM(CAST(c AS HUGEINT) * c) OVER tw AS ss
           FROM h
           WINDOW tw AS (ORDER BY hr
                         ROWS BETWEEN {_ANOM_WIN} PRECEDING
@@ -998,7 +1009,11 @@ def hourly_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     #2): dev² ≤ (24·c)² overflows int64 once an hour exceeds ~1.3e8
     events, where non-ANSI Spark would wrap silently while DuckDB
     errors — the same wide-integer guard as the rest of the
-    cleared-denominator family. Scale shape: one corpus-sized hourly
+    cleared-denominator family. The ss ACCUMULATION is widened too
+    (ADVICE r8 #1): a bare int64 ``SUM(c·c)`` would wrap past
+    c ≈ 6.8e8 events/hour before the cleared products ever ran, so
+    both engines square into the wide type inside the window sum and
+    the whole test is divergence-free out to int64 counts. Scale shape: one corpus-sized hourly
     aggregate; the trailing window runs over the HOUR GRID (720 rows
     per month regardless of event count — the unpartitioned window is
     grid-sized by construction, same argument as the gapfill
@@ -1011,7 +1026,12 @@ def hourly_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hr", "c",
         F.count("c").over(tw).alias("n"),
         F.sum("c").over(tw).alias("s"),
-        F.sum(F.col("c") * F.col("c")).over(tw).alias("ss"),
+        # ss accumulates WIDE (ADVICE r8 #1): a bare int64 SUM(c*c)
+        # wraps silently in non-ANSI Spark past c ~ 6.8e8 events/hour
+        # while the oracle's HUGEINT raises — widen BEFORE squaring so
+        # both engines agree out to the count column's own range.
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+        .over(tw).alias("ss"),
     )
     nd = F.col("n").cast("decimal(38,0)")
     sd = F.col("s").cast("decimal(38,0)")

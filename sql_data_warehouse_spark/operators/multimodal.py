@@ -325,12 +325,22 @@ def decode_avi(payload):
                     movi_at = body_at
                 walk(body_at + 4, body_at + length)
             elif tag == b"avih":
+                # declared length must hold the fixed struct (ADVICE
+                # r8 #4): a short-but-in-bounds chunk would otherwise
+                # hit struct.unpack with a short slice and raise
+                # struct.error instead of the promised ValueError
+                if length < 56:
+                    raise ValueError("truncated AVI: short avih chunk")
                 avih = struct.unpack(
                     "<IIIIIIIIIIIIII", payload[body_at:body_at + 56])
             elif tag == b"strh":
+                if length < 56:
+                    raise ValueError("truncated AVI: short strh chunk")
                 strh = struct.unpack(
                     "<4s4sIHHIIIIIIII4h", payload[body_at:body_at + 56])
             elif tag == b"strf":
+                if length < 40:
+                    raise ValueError("truncated AVI: short strf chunk")
                 bmih = struct.unpack(
                     "<IiiHHIIiiII", payload[body_at:body_at + 40])
             elif tag == b"00db":

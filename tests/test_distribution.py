@@ -318,6 +318,26 @@ def test_hourly_anomalies_warmup_and_exactness(spark):
         assert r.n_events >= 0 and r.trail_sum >= 0
 
 
+def test_hourly_anomalies_ss_accumulates_wide(spark):
+    """ADVICE r8 #1: the ss window sum must SQUARE INTO decimal(38,0)
+    — a bare int64 SUM(c*c) wraps silently in non-ANSI Spark past
+    c≈6.8e8 events/hour while the DuckDB oracle raises. The wrap is
+    unreachable at test scale, so pin the TYPE in the analyzed plan
+    (the same style as the plan-shape tests) on both engines."""
+    from sql_data_warehouse_spark.analytics.distribution import (
+        hourly_event_anomalies,
+    )
+    from sql_data_warehouse_spark.analytics.registry import all_queries
+
+    df = hourly_event_anomalies(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "cast(c" in plan and "as decimal(38,0)" in plan, (
+        "ss no longer widens before squaring:\n" + plan
+    )
+    oracle = all_queries()["hourly_event_anomalies"].oracle
+    assert "CAST(c AS HUGEINT) * c" in oracle
+
+
 def test_assortativity_in_bounds(spark):
     from sql_data_warehouse_spark.analytics.mining import (
         copurchase_degree_assortativity,
@@ -413,3 +433,38 @@ def test_ewma_overflow_guard_fires_past_90_months(spark, tmp_path):
 
     with pytest.raises(Exception, match="90 months"):
         ewma_monthly_revenue(spark, write_sf(96)).collect()
+
+    # ADVICE r8 #2: the ORACLE must reject the same 91+-month domain.
+    # With tiny revenues HUGEINT doesn't overflow until t≈120+, so
+    # without the mirrored guard DuckDB would return rows where Spark
+    # raises — run the registered oracle SQL on the same synthetic
+    # slices and assert both verdicts match the Spark side.
+    import duckdb
+
+    from sql_data_warehouse_spark.analytics.registry import all_queries
+
+    oracle = all_queries()["ewma_monthly_revenue"].oracle
+
+    def run_oracle_months(months: int):
+        con = duckdb.connect()
+        try:
+            base = datetime.date(2000, 1, 1)
+            con.sql("CREATE TABLE nation AS SELECT 0 AS n_nationkey,"
+                    " 'A' AS n_name")
+            con.sql("CREATE TABLE customer AS SELECT 1 AS c_custkey,"
+                    " 0 AS c_nationkey")
+            con.sql("CREATE TABLE orders (o_orderkey INT, o_custkey INT,"
+                    " o_orderdate DATE, o_totalprice DOUBLE)")
+            con.executemany(
+                "INSERT INTO orders VALUES (?, ?, ?, ?)",
+                [(i, 1, datetime.date(base.year + i // 12,
+                                      i % 12 + 1, 15), 100.0)
+                 for i in range(months)],
+            )
+            return con.sql(oracle).fetchall()
+        finally:
+            con.close()
+
+    assert len(run_oracle_months(84)) == 84
+    with pytest.raises(Exception, match="90 months"):
+        run_oracle_months(96)

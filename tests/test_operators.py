@@ -191,6 +191,24 @@ def test_avi_codec_roundtrip_and_verification():
         dec(b"RIFFxxxxNOPE")
 
 
+def test_avi_short_header_chunks_raise_valueerror():
+    """ADVICE r8 #4: an avih/strh/strf chunk whose DECLARED length is
+    shorter than its fixed struct (but still inside the payload) must
+    raise the promised ValueError, not struct.error from a short
+    slice."""
+    import struct
+
+    enc = multimodal._CODEC_NS["encode_avi"]
+    dec = multimodal._CODEC_NS["decode_avi"]
+    payload = enc(4, 2, [bytes(8), bytes(8)], rate=10, scale=1)
+    for tag, short in ((b"avih", 8), (b"strh", 12), (b"strf", 16)):
+        bad = bytearray(payload)
+        at = payload.index(tag)
+        bad[at + 4:at + 8] = struct.pack("<I", short)
+        with pytest.raises(ValueError, match=f"short {tag.decode()}"):
+            dec(bytes(bad))
+
+
 def test_fake_decode_batch_shape():
     import pandas as pd
 
