@@ -460,12 +460,28 @@ def knn_label_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 # there, count-vector angle here).
 #
 # Blocking: a shingle joins pair generation only when its document
-# frequency sits in [2, 32] — df=1 can't form a pair, and the cap
-# bounds the posting self-join by Σ df² ≤ 32·Σ df, LINEAR in corpus
-# size (rare-feature blocking, the sparse-similarity analogue of the
-# LSH band bound).
+# frequency sits in [2, cap] — df=1 can't form a pair. The cap is
+# DENSITY-ADAPTIVE (VERDICT r8 ask #2): cap = max(32, 32·N/5000
+# docs). A fixed 32 goes EMPTY under replication density (the sf10
+# corpus carries ~100 near-copies per doc, so every base-df∈[2,32]
+# shingle lands at df≈200–3200 and the window excluded all of them —
+# the r8 sweep's 0-row artifact), while a cap ∝ N keeps the window
+# aligned with what "rare" means at that corpus size. At the sf0.01
+# hash gate and the sf0.1 bench N/5000 ≤ 1, so the cap is exactly
+# the old 32 — the change is a no-op below sf1 by construction.
+#
+# Linearity at the adaptive cap: the posting self-join is bounded by
+# CHAMPION-LIST truncation, the impact-ordered-index technique from
+# the IR literature — per shingle only the _SPARSE_CHAMP strongest
+# postings (tf DESC, doc_id ASC — a total order) enter the index, so
+# Σ min(df, R)² ≤ R·Σ df stays LINEAR in corpus size no matter how
+# dense the window gets. The similarity is DEFINED on the truncated
+# index (norms and dots both) — stated, not hidden — and truncation
+# is a no-op whenever df ≤ R, i.e. everywhere below sf1.
 _SPARSE_DF_MIN = 2
-_SPARSE_DF_MAX = 32
+_SPARSE_DF_MAX = 32          # base cap AND champion width
+_SPARSE_BASE_DOCS = 5000     # corpus size at which the base cap holds
+_SPARSE_CHAMP = 32
 _SPARSE_TOPK = 50
 _DOC_NORM_SQL = NORMALIZE_SQL.format(col="text")
 _SHINGLE_TF_SQL = (
@@ -494,17 +510,28 @@ _SHINGLE_TF_SQL = (
           FROM tf t
           JOIN (SELECT s, COUNT(*) AS df FROM tf GROUP BY s
                 HAVING COUNT(*) BETWEEN {_SPARSE_DF_MIN}
-                                    AND {_SPARSE_DF_MAX}) d
+                  AND (SELECT GREATEST({_SPARSE_DF_MAX},
+                         COUNT(*) * {_SPARSE_DF_MAX}
+                           // {_SPARSE_BASE_DOCS})
+                       FROM documents)) d
             ON d.s = t.s
+        ),
+        champ AS MATERIALIZED (
+          SELECT doc_id, s, tf FROM (
+            SELECT doc_id, s, tf,
+                   ROW_NUMBER() OVER (PARTITION BY s
+                                      ORDER BY tf DESC, doc_id) AS rk
+            FROM rare)
+          WHERE rk <= {_SPARSE_CHAMP}
         ),
         norms AS MATERIALIZED (
           SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS nrm
-          FROM rare GROUP BY doc_id
+          FROM champ GROUP BY doc_id
         ),
         dots AS (
           SELECT a.doc_id AS doc1, b.doc_id AS doc2,
                  CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
-          FROM rare a JOIN rare b
+          FROM champ a JOIN champ b
             ON a.s = b.s AND a.doc_id < b.doc_id
           GROUP BY a.doc_id, b.doc_id
         )
@@ -530,13 +557,17 @@ def tf_cosine_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Feature-space and blocking rationale on the module block above.
 
     Scale shape: pair generation is the posting-list self-join keyed
-    on the shingle — exactly the LSH-band join shape — and the df cap
-    bounds it by Σ df² ≤ {hi}·Σ df, linear in corpus size (dense
-    shingles are EXCLUDED by construction, so no stopword-like
-    feature produces a quadratic bucket). Norms aggregate per
-    document over the same pruned postings (cosine is DEFINED on the
-    rare-shingle subspace — stated, not hidden), the two norm
-    enrichment joins key on doc_id, and the final top-{k} is
+    on the shingle — exactly the LSH-band join shape. The df window
+    is DENSITY-ADAPTIVE (cap = max({hi}, {hi}·N/{base}) — a fixed cap
+    empties under the 100-copy replication density of the scaled
+    corpus; see the module block), and the self-join is bounded by
+    champion-list truncation (top-{hi} postings per shingle, tf DESC
+    then doc_id — the impact-ordered-index bound Σ min(df,R)² ≤
+    R·Σ df, linear in corpus size at ANY window density). Norms
+    aggregate per document over the same truncated postings (cosine
+    is DEFINED on the champion rare-shingle subspace — stated, not
+    hidden; truncation is a no-op below sf1 where df ≤ R), the two
+    norm enrichment joins key on doc_id, and the final top-{k} is
     sort+limit (TakeOrderedAndProject). Determinism: dot and norms
     are exact BIGINTs; the score is one fixed-shape double expression
     (÷, ×, sqrt are IEEE correctly-rounded — no float fold whose
@@ -566,21 +597,35 @@ def tf_cosine_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.expr("substring(nm, i, 8)").alias("s"))
     )
     tf = sh.groupBy("doc_id", "s").agg(F.count(F.lit(1)).alias("tf"))
+    # density-adaptive cap: one parquet-metadata count — a bounded
+    # driver scalar, same class as the centroid/codebook artifacts
+    df_cap = max(_SPARSE_DF_MAX,
+                 docs.count() * _SPARSE_DF_MAX // _SPARSE_BASE_DOCS)
     rare_feats = (
         tf.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df").between(_SPARSE_DF_MIN, _SPARSE_DF_MAX))
+        .filter(F.col("df").between(_SPARSE_DF_MIN, df_cap))
         .select("s")
     )
-    # branch point: the pruned postings feed the norm aggregate AND
-    # both self-join sides — checkpoint so the shingle+prune runs once
-    rare = tf.join(rare_feats, "s").select(
-        "doc_id", "s", "tf").localCheckpoint(eager=True)
-    norms = rare.groupBy("doc_id").agg(
+    rare = tf.join(rare_feats, "s").select("doc_id", "s", "tf")
+    # champion-list truncation: per shingle keep the _SPARSE_CHAMP
+    # strongest postings (tf DESC, doc_id — total order), bounding the
+    # self-join by R·Σdf regardless of window density; a no-op while
+    # df ≤ R (everywhere below sf1). Branch point: the truncated
+    # postings feed the norm aggregate AND both self-join sides —
+    # checkpoint so the shingle+prune+rank runs once.
+    wch = Window.partitionBy("s").orderBy(F.col("tf").desc(), "doc_id")
+    champ = (
+        rare.withColumn("rk", F.row_number().over(wch))
+        .filter(F.col("rk") <= _SPARSE_CHAMP)
+        .select("doc_id", "s", "tf")
+        .localCheckpoint(eager=True)
+    )
+    norms = champ.groupBy("doc_id").agg(
         F.sum(F.col("tf") * F.col("tf")).cast("long").alias("nrm"))
-    a = rare.select(F.col("doc_id").alias("doc1"), "s",
-                    F.col("tf").alias("tf1"))
-    b = rare.select(F.col("doc_id").alias("doc2"), "s",
-                    F.col("tf").alias("tf2"))
+    a = champ.select(F.col("doc_id").alias("doc1"), "s",
+                     F.col("tf").alias("tf1"))
+    b = champ.select(F.col("doc_id").alias("doc2"), "s",
+                     F.col("tf").alias("tf2"))
     dots = (
         a.join(b, "s")
         .filter(F.col("doc1") < F.col("doc2"))
@@ -606,7 +651,8 @@ def tf_cosine_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 tf_cosine_pairs_topk.__doc__ = tf_cosine_pairs_topk.__doc__.format(
-    k=_SPARSE_TOPK, lo=_SPARSE_DF_MIN, hi=_SPARSE_DF_MAX)
+    k=_SPARSE_TOPK, lo=_SPARSE_DF_MIN, hi=_SPARSE_DF_MAX,
+    base=_SPARSE_BASE_DOCS)
 
 
 # --------------------------------------- contrastive pair manifest

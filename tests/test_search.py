@@ -78,6 +78,56 @@ def test_tf_cosine_pairs_bounded_and_rare_blocked(spark):
         assert 0.0 < r.cosine_rare <= 1.0
 
 
+def test_tf_cosine_adaptive_cap_and_champion_truncation(spark, tmp_path):
+    """VERDICT r8 ask #2 regression: under replication density a FIXED
+    df cap empties the rare window (the sf10 0-row artifact). Build a
+    6,000-doc corpus where one copy-cluster's shingles have df=36 —
+    above the base cap 32, below the adaptive cap 32·6000/5000=38 —
+    and assert (a) the window admits them (rows come back), (b) the
+    champion list truncates the cluster to its 32 lowest doc_ids
+    (tf ties break by doc_id), and (c) Spark and the DuckDB oracle
+    agree row-for-row on the truncated definition."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sql_data_warehouse_spark.analytics.registry import all_queries
+    from sql_data_warehouse_spark.analytics.search import (
+        _SPARSE_CHAMP, tf_cosine_pairs_topk,
+    )
+
+    import duckdb
+
+    from .oracle_harness import compare
+
+    n_copies, n_fill = 36, 5964
+    texts = ["the quick brown fox jumps over the lazy dog"] * n_copies + [
+        f"unique filler document number {i:06d} with its own tail {i * 7:07d}"
+        for i in range(n_fill)
+    ]
+    pq.write_table(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts}),
+        str(tmp_path / "documents.parquet"),
+    )
+    df = tf_cosine_pairs_topk(spark, str(tmp_path))
+    rows = df.collect()
+    assert rows, "adaptive cap must keep the df=36 cluster in-window"
+    seen = {d for r in rows for d in (r.doc1, r.doc2)}
+    assert seen and max(seen) < _SPARSE_CHAMP, (
+        "champion truncation must keep only the 32 lowest doc_ids "
+        f"of the copy cluster, got {sorted(seen)[-3:]}"
+    )
+    assert all(r.cosine_rare == 1.0 for r in rows)  # exact copies
+    con = duckdb.connect()
+    try:
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+        oracle_pdf = con.sql(
+            all_queries()["tf_cosine_pairs_topk"].oracle).df()
+    finally:
+        con.close()
+    compare(df, oracle_pdf, "tf_cosine_adaptive")
+
+
 def test_dhash_near_dup_pairs_found_and_symmetric_free(spark):
     from sql_data_warehouse_spark.analytics.llmops import (
         _DHASH_HAM_MAX, media_dhash_near_dup,
