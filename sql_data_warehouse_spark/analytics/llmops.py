@@ -999,6 +999,56 @@ def media_video_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "media_gif_decode_stats",
+    survey="ext-media ext-codec mapInPandas-explode",
+    tags=("llmops", "multimodal"),
+    oracle="""
+        WITH gif AS (
+          SELECT doc_id, 6 + doc_id % 11 AS width, 3 + doc_id % 6 AS height,
+                 1 + doc_id % 5 AS n_frames, 4 + doc_id % 7 AS delay_cs
+          FROM documents WHERE doc_id % 3 = 2
+        ),
+        f AS (
+          SELECT g.doc_id, g.width, g.height, g.n_frames, g.delay_cs,
+                 gf.f AS frame_idx
+          FROM gif g, generate_series(0, 5) gf(f)
+          WHERE gf.f < g.n_frames
+        )
+        SELECT f.doc_id,
+               CAST(f.frame_idx AS BIGINT) AS frame_idx,
+               CAST(f.width AS BIGINT) AS width,
+               CAST(f.height AS BIGINT) AS height,
+               CAST(f.n_frames AS BIGINT) AS n_frames,
+               CAST(f.n_frames * f.delay_cs * 10 AS BIGINT) AS duration_ms,
+               CAST(SUM((3 * f.doc_id + 13 * f.frame_idx + 5 * gx.x
+                         + 7 * gy.y) % 256) AS BIGINT) AS frame_sum
+        FROM f,
+             generate_series(0, 16) gx(x),
+             generate_series(0, 8) gy(y)
+        WHERE gx.x < f.width AND gy.y < f.height
+        GROUP BY f.doc_id, f.frame_idx, f.width, f.height, f.n_frames,
+                 f.delay_cs
+    """,
+)
+def media_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-animation roundtrip (VERDICT r8 ask #7 — the
+    real-codec family's first COMPRESSED format): doc_id-derived
+    frames → pure-stdlib GIF89a ENCODE (grayscale global palette,
+    per-frame Graphic Control Extension, real variable-width LZW) →
+    pure-stdlib DECODE with structural verification (signature,
+    screen/descriptor agreement, palette checks, LZW code-range and
+    exact-length gates) → one row PER FRAME with its exact pixel sum,
+    inside one Arrow-batched mapInPandas. The oracle replays frame
+    geometry, durations, and pixel sums arithmetically in DuckDB, so
+    a mispacked LZW bit, a wrong width-growth rule, or a palette
+    off-by-one breaks the hash. Reference parity: the warehouse has
+    no media path — beyond-reference multimodal family (SURVEY §2
+    ext-media)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.gif_codec_roundtrip(docs)
+
+
+@query(
     "media_frame_samples",
     survey="ext-media mapInPandas-explode",
     tags=("llmops", "multimodal"),

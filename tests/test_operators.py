@@ -209,6 +209,88 @@ def test_avi_short_header_chunks_raise_valueerror():
             dec(bytes(bad))
 
 
+def test_gif_codec_roundtrip_and_verification():
+    """GIF89a with REAL variable-width LZW: encode∘decode identity on
+    multi-frame grayscale animations (including a frame long enough
+    to grow the code width several times), plus loud rejection of
+    structural corruption."""
+    import struct
+
+    enc = multimodal.encode_gif
+    dec = multimodal.decode_gif
+
+    w, h, n = 13, 7, 3   # odd width exercises non-aligned packing
+    frames = [
+        bytes(((5 * f + 7 * x + 13 * y) % 256)
+              for y in range(h) for x in range(w))
+        for f in range(n)
+    ]
+    payload = enc(w, h, frames, delay_cs=4)
+    gw, gh, delay, got = dec(payload)
+    assert (gw, gh, delay) == (w, h, 4)
+    assert got == tuple(frames)
+
+    # a big high-entropy frame: the LZW table passes every width
+    # growth step; identity must still hold bit-for-bit
+    big = bytes((i * 131 + (i >> 7) * 17) % 256 for i in range(200 * 100))
+    _, _, _, got2 = dec(enc(200, 100, [big]))
+    assert got2 == (big,)
+
+    # constant frame: maximal LZW compression path (KwKwK chains)
+    flat = bytes(128 for _ in range(64 * 64))
+    assert dec(enc(64, 64, [flat]))[3] == (flat,)
+
+    with pytest.raises(ValueError, match="signature"):
+        dec(b"NOTAGIF" + payload)
+    with pytest.raises(ValueError, match="trailer"):
+        dec(payload[:-1])
+    # truncation inside the LZW sub-blocks
+    with pytest.raises(ValueError):
+        dec(payload[:len(payload) // 2])
+    # corrupt an LZW byte deep in frame data -> decoder must catch it
+    # (code beyond table / length mismatch), never return silently
+    bad = bytearray(payload)
+    # first 0x2C AFTER the 768-byte palette (the palette itself
+    # contains gray 0x2C) — that's the image descriptor
+    img_at = payload.index(b"\x2C", 13 + 768)
+    bad[img_at + 15] ^= 0xFF
+    with pytest.raises(ValueError):
+        dec(bytes(bad))
+
+
+def test_gif_decode_canonical_hand_vector():
+    """Decode the canonical hand-assembled 1×1 GIF89a (the well-known
+    43-byte minimal GIF): validates the decoder against a byte string
+    NOT produced by our encoder — signature walk, GCE parse, and the
+    3-code LZW stream (clear, literal 0, EOI) at width 3."""
+    vec = (
+        b"GIF89a"
+        + b"\x01\x00\x01\x00"      # 1x1 logical screen
+        + b"\x80\x00\x00"          # global table, 2 entries
+        + b"\x00\x00\x00\xff\xff\xff"  # black, white (both grayscale)
+        + b"\x21\xf9\x04\x01\x00\x00\x00\x00"  # GCE, delay 0
+        + b"\x2c\x00\x00\x00\x00\x01\x00\x01\x00\x00"  # descriptor
+        + b"\x02\x02\x44\x01\x00"  # min code 2; codes: clear, 0, EOI
+        + b"\x3b"
+    )
+    w, h, delay, frames = multimodal.decode_gif(vec)
+    assert (w, h, delay) == (1, 1, 0)
+    assert frames == (b"\x00",)    # palette entry 0 = black
+
+
+def test_gif_lzw_table_reset_on_long_stream():
+    """A frame large and varied enough to fill the 4096-entry LZW
+    table forces the encoder's CLEAR-and-reset path; the decoder must
+    resynchronize through it."""
+    import random
+
+    rnd = random.Random(42)
+    data = bytes(rnd.randrange(256) for _ in range(300 * 200))
+    _, _, _, got = multimodal.decode_gif(
+        multimodal.encode_gif(300, 200, [data]))
+    assert got == (data,)
+
+
 def test_fake_decode_batch_shape():
     import pandas as pd
 
