@@ -453,3 +453,37 @@ def test_avi_roundtrip_any_geometry(width, height, n_frames, seed, rate):
     gw, gh, grate, gscale, got = dec(enc(width, height, frames, rate=rate))
     assert (gw, gh, grate, gscale) == (width, height, rate, 1)
     assert got == tuple(frames)
+
+
+# --------------------------------------------------- GIF codec roundtrip
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    width=st.integers(min_value=1, max_value=40),
+    height=st.integers(min_value=1, max_value=24),
+    n_frames=st.integers(min_value=1, max_value=8),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    delay=st.integers(min_value=0, max_value=600),
+    stretch=st.integers(min_value=1, max_value=97),
+)
+def test_gif_roundtrip_any_geometry(width, height, n_frames, seed, delay,
+                                    stretch):
+    """encode_gif∘decode_gif is the identity for ANY geometry and
+    content profile — ``stretch`` varies run-length structure from
+    near-constant (long LZW chains, KwKwK) to high-entropy (table
+    growth through every code width), and single-pixel/zero-delay
+    edges are included. No Spark session needed: the codec is the
+    worker-side core of media_gif_decode_stats."""
+    from sql_data_warehouse_spark.operators import multimodal
+
+    enc = multimodal._CODEC_NS["encode_gif"]
+    dec = multimodal._CODEC_NS["decode_gif"]
+    frames = [
+        bytes(((seed + 13 * f + 5 * i) // stretch) % 256
+              for i in range(width * height))
+        for f in range(n_frames)
+    ]
+    gw, gh, gdelay, got = dec(enc(width, height, frames, delay_cs=delay))
+    assert (gw, gh, gdelay) == (width, height, delay)
+    assert got == tuple(frames)
