@@ -161,6 +161,12 @@ def decode_png(payload):
     while pos + 12 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos:pos + 4])
         tag = payload[pos + 4:pos + 8]
+        # declared length must fit INSIDE the payload before any
+        # slice-and-unpack — a short slice would surface struct.error
+        # instead of the promised ValueError (same class as the AVI
+        # header guard, ADVICE r8 #4)
+        if pos + 12 + length > len(payload):
+            raise ValueError(f"truncated PNG: chunk {tag!r} overruns")
         data = payload[pos + 8:pos + 8 + length]
         (crc,) = struct.unpack(
             ">I", payload[pos + 8 + length:pos + 12 + length]
@@ -168,6 +174,8 @@ def decode_png(payload):
         if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
         if tag == b"IHDR":
+            if len(data) != 13:
+                raise ValueError("truncated PNG: short IHDR chunk")
             width, height, depth, color, comp, filt, interlace = (
                 struct.unpack(">IIBBBBB", data)
             )
@@ -182,7 +190,10 @@ def decode_png(payload):
         pos += 12 + length
     if width is None or not idat:
         raise ValueError("truncated PNG: missing IHDR/IDAT")
-    raw = zlib.decompress(idat)
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as e:          # corrupt deflate behind a valid CRC
+        raise ValueError(f"corrupt PNG: IDAT inflate failed ({e})")
     stride = width + 1
     if len(raw) != stride * height:
         raise ValueError("PNG pixel data length mismatch")
@@ -236,8 +247,12 @@ def decode_wav(payload):
     while pos + 8 <= len(payload):
         tag = payload[pos:pos + 4]
         (length,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        if pos + 8 + length > len(payload):
+            raise ValueError(f"truncated WAV: chunk {tag!r} overruns")
         body = payload[pos + 8:pos + 8 + length]
         if tag == b"fmt ":
+            if length < 16:
+                raise ValueError("truncated WAV: short fmt chunk")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif tag == b"data":
             data = body
@@ -365,6 +380,8 @@ def decode_avi(payload):
         raise ValueError("AVI frame count mismatch (avih/strh/movi)")
     if idx1 is None or len(idx1) != 16 * n_frames:
         raise ValueError("AVI idx1 index missing or wrong length")
+    if chunks and movi_at is None:
+        raise ValueError("corrupt AVI: frame chunks outside a movi LIST")
     for i, (chunk_pos, data) in enumerate(chunks):
         ckid, flags, off, ln = struct.unpack(
             "<4sIII", idx1[16 * i:16 * i + 16])

@@ -291,6 +291,49 @@ def test_gif_lzw_table_reset_on_long_stream():
     assert got == (data,)
 
 
+def test_decoders_never_escape_valueerror():
+    """Every real decoder promises LOUD ValueError on malformed input
+    — fuzz all four with seeded byte mutations, every truncation
+    length, and pure-random buffers, and assert no struct.error /
+    IndexError / TypeError ever escapes (the generalized ADVICE r8 #4
+    guarantee; this fuzz found and fixed short-chunk struct.error
+    paths in PNG/WAV and a None-movi TypeError in AVI)."""
+    import random
+
+    dec = {
+        "png": multimodal.decode_png,
+        "wav": multimodal.decode_wav,
+        "avi": multimodal._CODEC_NS["decode_avi"],
+        "gif": multimodal.decode_gif,
+    }
+    valid = {
+        "png": multimodal.encode_png(9, 5, lambda x, y: (3 * x + 7 * y) % 256),
+        "wav": multimodal.encode_wav([0, 100, -100, 32767, -32768], 8000),
+        "avi": multimodal._CODEC_NS["encode_avi"](
+            9, 5, [bytes(45), bytes(45)]),
+        "gif": multimodal.encode_gif(9, 5, [bytes(45), bytes(45)]),
+    }
+    rnd = random.Random(7)
+    for kind, payload in valid.items():
+        cases = []
+        for _ in range(1500):
+            b = bytearray(payload)
+            for _ in range(rnd.randrange(1, 4)):
+                b[rnd.randrange(len(b))] = rnd.randrange(256)
+            cases.append(bytes(b))
+        cases += [payload[:cut] for cut in range(len(payload))]
+        cases += [
+            bytes(rnd.randrange(256) for _ in range(rnd.randrange(300)))
+            for _ in range(500)
+        ]
+        for blob in cases:
+            try:
+                dec[kind](blob)
+            except ValueError:
+                pass
+            # any other exception type propagates and fails the test
+
+
 def test_fake_decode_batch_shape():
     import pandas as pd
 
