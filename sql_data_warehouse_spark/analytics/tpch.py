@@ -860,7 +860,15 @@ def important_stock_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "left_semi")
         .groupBy("ps_partkey")
         .agg(
-            F.sum(F.col("ps_supplycost_cents") * F.col("ps_availqty"))
+            # the per-product term (~1e10) is safe in int64, but the
+            # ACCUMULATIONS widen to decimal(38,0): the grand-total
+            # window below crosses int64 at ~2e8 parts x 4e10 cents
+            # (the 1000x scale), where non-ANSI Spark would wrap
+            # silently while the oracle's HUGEINT keeps counting —
+            # the same silent-divergence class as the EWMA/anomaly
+            # guards (ADVICE r7/r8)
+            F.sum((F.col("ps_supplycost_cents") * F.col("ps_availqty"))
+                  .cast("decimal(38,0)"))
             .alias("value_cents")
         )
     )
