@@ -1011,9 +1011,12 @@ def hourly_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     errors — the same wide-integer guard as the rest of the
     cleared-denominator family. The ss ACCUMULATION is widened too
     (ADVICE r8 #1): a bare int64 ``SUM(c·c)`` would wrap past
-    c ≈ 6.8e8 events/hour before the cleared products ever ran, so
-    both engines square into the wide type inside the window sum and
-    the whole test is divergence-free out to int64 counts. Scale shape: one corpus-sized hourly
+    c ≈ 6.8e8 events/hour before the cleared products ever ran. The
+    remaining ceiling is the 38-digit type itself: dev² ≤ (24·c)²
+    crosses decimal(38,0)/HUGEINT at c ≈ 4e17 events/hour (Spark
+    NULLs the product and silently drops the row; DuckDB raises) —
+    stated as the domain bound, ~9 orders beyond any hourly count
+    the int64 ingest path could produce. Scale shape: one corpus-sized hourly
     aggregate; the trailing window runs over the HOUR GRID (720 rows
     per month regardless of event count — the unpartitioned window is
     grid-sized by construction, same argument as the gapfill

@@ -244,7 +244,10 @@ def _recorded_after_freeze(root=None) -> frozenset[str]:
         except (OSError, ValueError):
             continue
         for name, rec in data.items():
-            if not isinstance(rec, dict) or rec.get("err") is None:
+            # only a well-formed CLEAN row ages a name out; a non-dict
+            # record is as unparseable as a crash row and must keep
+            # the retry slot, same as err != null
+            if isinstance(rec, dict) and rec.get("err") is None:
                 aged.add(name)
     return frozenset(aged)
 

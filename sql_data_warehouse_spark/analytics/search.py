@@ -479,9 +479,13 @@ def knn_label_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 # index (norms and dots both) — stated, not hidden — and truncation
 # is a no-op whenever df ≤ R, i.e. everywhere below sf1.
 _SPARSE_DF_MIN = 2
-_SPARSE_DF_MAX = 32          # base cap AND champion width
+_SPARSE_DF_MAX = 32          # base cap
 _SPARSE_BASE_DOCS = 5000     # corpus size at which the base cap holds
-_SPARSE_CHAMP = 32
+# Champion width is DERIVED from the base cap — the below-sf1 no-op
+# argument (df ≤ base cap ⇒ truncation keeps every posting) only
+# holds while the two agree; tuning them apart needs a fresh no-op
+# proof, so a single constant owns both.
+_SPARSE_CHAMP = _SPARSE_DF_MAX
 _SPARSE_TOPK = 50
 _DOC_NORM_SQL = NORMALIZE_SQL.format(col="text")
 _SHINGLE_TF_SQL = (

@@ -449,6 +449,19 @@ def _gif_lzw_compress(data, min_code):
         w = bytes((ch,))
     if w:
         emit(table[w])
+        # the decoder appends one more entry AFTER this final code (it
+        # cannot know the stream is ending) and widens when its table
+        # reaches 2^width — mirror that here so EOI is written at the
+        # width the decoder will read it with. Without this, a stream
+        # whose final append lands exactly on a power-of-two boundary
+        # desyncs by one bit (usually hidden by zero padding; fatal
+        # when the stream happens to end byte-aligned — found by a
+        # length sweep at n=4192, regression-tested).
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        # (if the final code was the first after a CLEAR the decoder
+        # does not append; next_code is 2·clear+2 then, never a power
+        # of two, so this condition cannot misfire in that case)
     emit(eoi)
     if nbits:
         buf.append(acc & 0xFF)

@@ -278,6 +278,24 @@ def test_gif_decode_canonical_hand_vector():
     assert frames == (b"\x00",)    # palette entry 0 = black
 
 
+def test_gif_lzw_eoi_width_at_power_boundaries():
+    """Code-review r9 regression: when the decoder's post-final-code
+    append lands exactly on a 2^width table boundary it widens before
+    reading EOI — the encoder must emit EOI at that widened width.
+    Pre-fix, high-entropy frames of length 4192 (seed 1) and 8663
+    desynced fatally whenever the stream ended byte-aligned. Sweep
+    the lengths around every observed failure point."""
+    import random
+
+    rnd = random.Random(1)
+    blob = bytes(rnd.randrange(256) for _ in range(8700))
+    for n in list(range(4180, 4210)) + list(range(8650, 8680)):
+        data = blob[:n]
+        _, _, _, got = multimodal.decode_gif(
+            multimodal.encode_gif(n, 1, [data]))
+        assert got == (data,), f"roundtrip broke at length {n}"
+
+
 def test_gif_lzw_table_reset_on_long_stream():
     """A frame large and varied enough to fill the 4096-entry LZW
     table forces the encoder's CLEAR-and-reset path; the decoder must

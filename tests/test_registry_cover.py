@@ -227,11 +227,14 @@ def test_failed_rows_do_not_age_spotlight(tmp_path):
         "clean_debut": {"rows_match": True, "schema_match": True,
                         "hash_match": True, "err": None},
         "no_oracle_debut": {"rows_match": True, "err": "no_oracle"},
+        "malformed_debut": "driver wrote a bare string",
     }))
     aged = _recorded_after_freeze(root=tmp_path)
     assert "clean_debut" in aged
     assert "crashed_debut" not in aged
     assert "no_oracle_debut" not in aged
+    # a non-dict record is as unparseable as a crash — keeps its slot
+    assert "malformed_debut" not in aged
 
 
 def test_rows_only_fresh_sorts_after_oracle_gated_fresh(registry):
