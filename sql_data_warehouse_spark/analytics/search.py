@@ -617,6 +617,11 @@ def tf_cosine_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # df ≤ R (everywhere below sf1). Branch point: the truncated
     # postings feed the norm aggregate AND both self-join sides —
     # checkpoint so the shingle+prune+rank runs once.
+    # per-shingle task bound: the rank window holds at most cap rows
+    # per shingle in one task — 32·N/5000 ≈ 3.2M rows at the 1000×
+    # scale, a bounded straggler (single-task sort of a few MB), not
+    # a blow-up; if it ever matters, operators/skew.py's two-stage
+    # top-R is the drop-in mitigation
     wch = Window.partitionBy("s").orderBy(F.col("tf").desc(), "doc_id")
     champ = (
         rare.withColumn("rk", F.row_number().over(wch))
