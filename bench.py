@@ -70,6 +70,28 @@ def main() -> None:
     # session-start cost.
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
 
+    # One-time Python-worker fleet startup (fork + numpy/pandas import
+    # per core, ~2-3 s wall at 32 cores) otherwise lands on whichever
+    # entry first runs an Arrow stage — same class of one-time session
+    # cost as the builds below, so it gets the same treatment: an
+    # explicit timed setup entry (kept in the total, out of the
+    # per-query floors, disclosed in OPTIMIZATION_r09.md).
+    def warm_python_workers() -> None:
+        def _ident(batches):
+            import numpy as np  # noqa: F401
+            import pandas as pd  # noqa: F401
+
+            yield from batches
+
+        n = spark.sparkContext.defaultParallelism
+        (
+            spark.range(0, n, 1, n)
+            .mapInPandas(_ident, "id long")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
     # Retry-on-spike (round 7): this VM's host has bursty vCPU-steal
     # freezes (tens of seconds) that endpoint CPU probes can't see
     # (BASELINE.md noise protocol; scripts/cpu_probe.py). A query is
@@ -137,10 +159,32 @@ def main() -> None:
     # One-time session caches, timed as their own entries (see module
     # docstring) so per-query numbers are clean regression floors.
     def build_medallion_cache() -> None:
-        from sql_data_warehouse_spark.medallion.gold import gold_df
+        # Layered thread-parallel build (guide-style overlap of
+        # independent jobs): materialize the six silver caches
+        # concurrently, then the three gold views concurrently. The
+        # DataFrames are created sequentially on the driver (the
+        # per-session cache dicts are not thread-safe), only the
+        # materializing noop actions overlap. Results are identical —
+        # the same cached plans are built, in a wall-clock that is
+        # max(per-table) instead of sum(per-table).
+        from concurrent.futures import ThreadPoolExecutor
 
-        for view in ("dim_customers", "dim_products", "fact_sales"):
-            gold_df(spark, view).write.format("noop").mode("overwrite").save()
+        from sql_data_warehouse_spark.medallion.gold import gold_df
+        from sql_data_warehouse_spark.medallion.silver import (
+            SILVER_SQL,
+            silver_df,
+        )
+
+        def noop(df) -> None:
+            df.write.format("noop").mode("overwrite").save()
+
+        silvers = [silver_df(spark, t) for t in SILVER_SQL]
+        with ThreadPoolExecutor(max_workers=len(silvers)) as pool:
+            list(pool.map(noop, silvers))
+        golds = [gold_df(spark, v)
+                 for v in ("dim_customers", "dim_products", "fact_sales")]
+        with ThreadPoolExecutor(max_workers=len(golds)) as pool:
+            list(pool.map(noop, golds))
 
     def build_landing_zone() -> None:
         from sql_data_warehouse_spark.analytics.streaming_live import _landing_zone
@@ -212,6 +256,7 @@ def main() -> None:
             raise SystemExit(f"unknown queries: {sorted(unknown)}")
         queries = {n: q for n, q in queries.items() if n in only}
 
+    timed("_py_worker_warmup", warm_python_workers)
     if not only or any(n.startswith("wh_") for n in queries):
         timed("_medallion_cache_build", build_medallion_cache)
     if not only or any(n.startswith("stream_") for n in queries):

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import logging
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -51,29 +52,37 @@ def _timed(step: str, fn):
 def load_bronze(spark: SparkSession, warehouse_dir: str) -> dict[str, int]:
     """Typed CSV → bronze parquet, one overwrite per table (S1-S3).
     Returns per-table row counts (the reference PRINTs durations; we
-    log durations and return counts for assertions)."""
-    counts: dict[str, int] = {}
-    for table in BRONZE_TABLES:
+    log durations and return counts for assertions).
+
+    Tables are independent full-refresh loads, so they are submitted
+    from a thread pool and Spark schedules them concurrently — the
+    next table's tasks back-fill executors freed by the previous
+    table's tail instead of idling behind a serial driver loop."""
+
+    def run(table: str) -> int:
         path = f"{warehouse_dir}/bronze/{table}"
 
-        def run(table=table, path=path):
+        def write() -> int:
             bronze_df(spark, table).write.mode("overwrite").parquet(path)
             return spark.read.parquet(path).count()
 
-        counts[table] = _timed(f"bronze.{table}", run)
-    return counts
+        return _timed(f"bronze.{table}", write)
+
+    with ThreadPoolExecutor(max_workers=len(BRONZE_TABLES)) as pool:
+        results = list(pool.map(run, BRONZE_TABLES))
+    return dict(zip(BRONZE_TABLES, results))
 
 
 def load_silver(spark: SparkSession, warehouse_dir: str) -> dict[str, int]:
     """bronze parquet → cleansing transform → silver parquet, with the
     reference's ``dwh_create_date`` audit column (S4, ddl_silver.sql
     DEFAULT GETDATE())."""
-    counts: dict[str, int] = {}
-    for table, transform in _TRANSFORMS.items():
+    def run(table: str) -> int:
+        transform = _TRANSFORMS[table]
         src = f"{warehouse_dir}/bronze/{table}"
         dst = f"{warehouse_dir}/silver/{table}"
 
-        def run(table=table, transform=transform, src=src, dst=dst):
+        def write() -> int:
             out = transform(spark.read.parquet(src)).withColumn(
                 "dwh_create_date", F.current_timestamp()
             )
@@ -81,8 +90,14 @@ def load_silver(spark: SparkSession, warehouse_dir: str) -> dict[str, int]:
             spark.read.parquet(dst).createOrReplaceTempView(f"wh_silver_{table}")
             return spark.read.parquet(dst).count()
 
-        counts[table] = _timed(f"silver.{table}", run)
-    return counts
+        return _timed(f"silver.{table}", write)
+
+    # Independent per-table transforms: thread-pool submission, same
+    # back-fill rationale as load_bronze.
+    tables = list(_TRANSFORMS)
+    with ThreadPoolExecutor(max_workers=len(tables)) as pool:
+        results = list(pool.map(run, tables))
+    return dict(zip(tables, results))
 
 
 def _silver_reader(warehouse_dir: str):
@@ -107,10 +122,10 @@ def load_gold(spark: SparkSession, warehouse_dir: str,
         "dim_products": gold_dim_products,
         "fact_sales": gold_fact_sales,
     }
-    counts: dict[str, int] = {}
-    for view, build in builders.items():
+    def run(view: str) -> int:
+        build = builders[view]
 
-        def run(view=view, build=build):
+        def work() -> int:
             df = build(spark, silver)
             if materialize:
                 path = f"{warehouse_dir}/gold/{view}"
@@ -119,8 +134,12 @@ def load_gold(spark: SparkSession, warehouse_dir: str,
             df.createOrReplaceTempView(f"wh_gold_{view}")
             return df.count()
 
-        counts[view] = _timed(f"gold.{view}", run)
-    return counts
+        return _timed(f"gold.{view}", work)
+
+    views = list(builders)
+    with ThreadPoolExecutor(max_workers=len(views)) as pool:
+        results = list(pool.map(run, views))
+    return dict(zip(views, results))
 
 
 def load_all(spark: SparkSession, warehouse_dir: str,

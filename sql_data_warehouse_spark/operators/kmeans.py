@@ -167,6 +167,12 @@ def _lloyd_step(corpus: DataFrame,
 
     partials = corpus.mapInPandas(
         partial_sums, "cluster_id int, pos int, psum long, pcnt long")
+    # ONE shuffle: aggregate per-(cluster, dim) means and assemble the
+    # centroid arrays on the driver (k·d bounded rows — the same
+    # driver state the collect always held). The previous second
+    # groupBy + array_sort(collect_list) pass re-shuffled the tiny
+    # mean relation a second time purely to build arrays Spark-side;
+    # per-dim mean values (and therefore centroids) are identical.
     means = (
         partials.groupBy("cluster_id", "pos")
         .agg(
@@ -176,17 +182,14 @@ def _lloyd_step(corpus: DataFrame,
                 / F.sum("pcnt").cast("double")
             ).alias("c")
         )
-        .groupBy("cluster_id")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
-        .select(
-            "cluster_id",
-            F.transform("pc", lambda s: s.getField("c")).alias("centroid"),
-        )
         .collect()
     )
-    new = list(centroids)  # empty clusters keep their old centroid
+    by_cluster: dict[int, dict[int, float]] = {}
     for r in means:
-        new[r["cluster_id"]] = [float(x) for x in r["centroid"]]
+        by_cluster.setdefault(r["cluster_id"], {})[r["pos"]] = float(r["c"])
+    new = list(centroids)  # empty clusters keep their old centroid
+    for cid, dims in by_cluster.items():
+        new[cid] = [dims[p] for p in sorted(dims)]
     return new
 
 

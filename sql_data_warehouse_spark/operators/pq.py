@@ -110,6 +110,11 @@ def _pq_lloyd_step(corpus: DataFrame,
             yield pd.DataFrame(
                 out, columns=["sub", "code", "pos", "psum", "pcnt"])
 
+    # ONE shuffle: per-(sub, code, dim) means collected directly and
+    # assembled into codeword arrays on the driver (m·k·ds bounded
+    # rows) — the former second groupBy + array_sort(collect_list)
+    # re-shuffled the tiny mean relation only to build arrays
+    # Spark-side. Per-dim mean values are identical.
     rows = (
         corpus.mapInPandas(
             partial_sums, "sub int, code int, pos int, psum long, pcnt long")
@@ -118,17 +123,14 @@ def _pq_lloyd_step(corpus: DataFrame,
             (F.sum("psum").cast("double") / _SCALE
              / F.sum("pcnt").cast("double")).alias("c")
         )
-        .groupBy("sub", "code")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
-        .select(
-            "sub", "code",
-            F.transform("pc", lambda s: s.getField("c")).alias("centroid"),
-        )
         .collect()
     )
-    new = [[list(c) for c in book] for book in books]  # empty keep old
+    by_code: dict[tuple[int, int], dict[int, float]] = {}
     for r in rows:
-        new[r["sub"]][r["code"]] = [float(x) for x in r["centroid"]]
+        by_code.setdefault((r["sub"], r["code"]), {})[r["pos"]] = float(r["c"])
+    new = [[list(c) for c in book] for book in books]  # empty keep old
+    for (s, code), dims in by_code.items():
+        new[s][code] = [dims[p] for p in sorted(dims)]
     return new
 
 
@@ -171,43 +173,63 @@ def pq_fit_sampled(embeddings: DataFrame, m: int = 8, k: int = 16,
     return [[[float(x) for x in c] for c in book] for book in books]
 
 
-def _sub_dist_sql(vec_sql: str, s: int, ds: int,
-                  centroid: list[float]) -> str:
-    """L2 ranking score of subvector s against a literal codeword:
-    |c|² − 2·v·c (the dropped |v|² is constant per (row, subspace))."""
-    c_sq = sum(float(c) * float(c) for c in centroid)
-    dot = " + ".join(
-        f"CAST({vec_sql}[{s * ds + i}] AS DOUBLE) * {float(c)!r}D"
-        for i, c in enumerate(centroid)
-    )
-    return f"({c_sq!r}D - 2.0D * ({dot}))"
-
-
 def pq_encode(embeddings: DataFrame,
               codebooks: list[list[list[float]]],
               vec_col: str = "embedding",
               id_col: str = "vec_id") -> DataFrame:
     """(id, _c0.._c{m-1}): nearest codeword per subspace, ONE COLUMN
-    PER SUBSPACE (ties → lowest code via struct ordering).
+    PER SUBSPACE (ties → lowest code).
 
-    Wide columns, not one ``array(...)`` of all m subspace argmins:
-    Project codegen gives each output column its own Java method, so
-    every subspace expression (k structs × ds-term dots) compiles,
-    while the single-array form is one m·k·ds expression tree that
-    blows janino's 64 KB method limit (m=16, k=16, ds=4 tripped it —
-    silent fall-back to interpreted for the stage). Assemble the
-    array AFTER materializing (see pq_ann_topk) — a pre-checkpoint
-    select would be CollapseProject'd right back into one tree."""
+    Arrow-batched numpy encode that replays the unrolled-SQL scoring
+    BIT-FOR-BIT (the ``_bucket_array_seqfold`` move): the ranking
+    score is ``|c|² − 2·v·c`` with ``|c|²`` the same driver-computed
+    Python-fold literal the SQL form inlined, and the dot accumulated
+    LEFT-TO-RIGHT over the ds dimensions — numpy vectorizes across
+    rows, the adds stay sequential per vector, and float64 mul/add
+    are IEEE-exact in both engines — so every distance, argmin and
+    tie (np.argmin first-minimum == array_min struct ordering:
+    lowest code) is identical to the retired m·k·ds unrolled-SQL
+    projection. That SQL form cost seconds of parse/optimize/janino
+    per call at ANY data size (and ds-term dots × k structs × m
+    columns flirted with janino's 64 KB method limit); the Arrow
+    plan is constant-size and its cost is the actual compute."""
     ds = len(codebooks[0][0])
-    cols = []
-    for s, book in enumerate(codebooks):
-        structs = ", ".join(
-            f"named_struct('dist', {_sub_dist_sql(vec_col, s, ds, c)}, "
-            f"'code', CAST({code} AS INT))"
-            for code, c in enumerate(book)
-        )
-        cols.append(F.expr(f"array_min(array({structs})).code").alias(f"_c{s}"))
-    return embeddings.select(F.col(id_col).alias("id"), *cols)
+    m = len(codebooks)
+    books = [[list(map(float, c)) for c in book] for book in codebooks]
+    # Same literal the SQL emitted: Python left-to-right sum fold.
+    c_sqs = [[sum(float(x) * float(x) for x in c) for c in book]
+             for book in books]
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    schema = ", ".join([f"id {id_type}"]
+                       + [f"_c{s} int" for s in range(m)])
+
+    def encode(batches):
+        # self-contained closure (workers can't import this package
+        # under the file-path driver import; see kmeans._lloyd_step)
+        import numpy as np
+        import pandas as pd
+
+        B = [np.asarray(bk, dtype=np.float64) for bk in books]    # k×ds
+        CSQ = [np.asarray(cs, dtype=np.float64) for cs in c_sqs]  # k
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+            out = {"id": pdf["id"]}
+            for s in range(m):
+                Vs = V[:, s * ds:(s + 1) * ds]
+                # n×k dist: |c|² − 2·(sequential-fold dot)
+                acc = Vs[:, 0:1] * B[s][:, 0][None, :]
+                for i in range(1, ds):
+                    acc = acc + Vs[:, i:i + 1] * B[s][:, i][None, :]
+                dist = CSQ[s][None, :] - 2.0 * acc
+                out[f"_c{s}"] = dist.argmin(axis=1).astype("int32")
+            yield pd.DataFrame(out)
+
+    return embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("_v")
+    ).mapInPandas(encode, schema)
 
 
 def _l2_rank_sql(vec_sql: str, q: list[float]) -> str:
@@ -248,11 +270,8 @@ def pq_ann_topk(embeddings: DataFrame, queries: list[tuple[int, list[float]]],
     # Materialize the encoded relation ONCE — every query branch
     # scans it (in production the codes are a stored table; here the
     # local checkpoint stands in for that materialization). Without
-    # it each per-query branch would re-run the fit-scoring encode.
-    # The codes array is assembled AFTER the checkpoint: over
-    # materialized ints it is a trivial projection, and building it
-    # pre-checkpoint would let CollapseProject fuse all m subspace
-    # argmins back into one >64 KB expression (see pq_encode).
+    # it each per-query branch would re-run the Arrow encode pass
+    # over the full corpus.
     m = len(codebooks)
     if codes_wide is None:
         wide = pq_encode(embeddings, codebooks, vec_col, id_col)
