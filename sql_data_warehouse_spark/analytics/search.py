@@ -605,12 +605,17 @@ def tf_cosine_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver scalar, same class as the centroid/codebook artifacts
     df_cap = max(_SPARSE_DF_MAX,
                  docs.count() * _SPARSE_DF_MAX // _SPARSE_BASE_DOCS)
-    rare_feats = (
-        tf.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    # df as a COUNT window over the same per-shingle partitioning the
+    # champion rank below uses: one exchange serves both windows,
+    # where the former groupBy(s) + join back re-shuffled (and
+    # re-computed) the whole tf relation a second time. Same df per
+    # shingle, same surviving rows.
+    wdf = Window.partitionBy("s")
+    rare = (
+        tf.withColumn("df", F.count(F.lit(1)).over(wdf))
         .filter(F.col("df").between(_SPARSE_DF_MIN, df_cap))
-        .select("s")
+        .select("doc_id", "s", "tf")
     )
-    rare = tf.join(rare_feats, "s").select("doc_id", "s", "tf")
     # champion-list truncation: per shingle keep the _SPARSE_CHAMP
     # strongest postings (tf DESC, doc_id — total order), bounding the
     # self-join by R·Σdf regardless of window density; a no-op while
@@ -1009,7 +1014,7 @@ def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("rel"), F.asc("vec_id"))
         .limit(_MMR_SHORTLIST)
-        .localCheckpoint(eager=True)  # branch: sims + every stage
+        .localCheckpoint(eager=True)  # branch: sims reads it too
     )
     a = cand.select(F.col("vec_id").alias("va"),
                     F.col("e_vec").alias("a_vec"),
@@ -1025,32 +1030,54 @@ def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine_prenormed("a_vec", "b_vec", "a_norm", "b_norm",
                              similarity.SIM_DIM).alias("sim"),
         )
-        .localCheckpoint(eager=True)  # reused by K-1 stages
     )
-    shortlist = cand.select("vec_id", "rel")
-    sel = (
-        shortlist.orderBy(F.desc("rel"), F.asc("vec_id")).limit(1)
-        .select("vec_id", "rel", F.lit(1).cast("int").alias("rank"),
-                F.col("rel").alias("gain"))
+    # The greedy runs on BOUNDED driver artifacts: the {sl}-row
+    # shortlist and its {sl}² sim matrix — constants, regardless of
+    # corpus size (the one corpus pass is the shortlist above). The
+    # previous unrolled-DataFrame greedy referenced ``sel`` three
+    # times per stage, so the logical plan tripled per pick (3^(K-1)
+    # branches) and Catalyst re-optimized the whole lattice on every
+    # action — seconds of pure plan time over ≤20 rows. Same picks,
+    # same floats (rel/sim come from the identical Spark stages; the
+    # Python ``rel − msim`` and (−gain, vec_id) tie-order replicate
+    # the stage expressions IEEE-exactly).
+    shortlist = sorted(
+        ((r["vec_id"], r["rel"])
+         for r in cand.select("vec_id", "rel").collect()),
+        key=lambda t: (-t[1], t[0]),
     )
-    for k in range(2, _MMR_K + 1):
-        chosen = sel.select(F.col("vec_id").alias("vb"))
-        msim = (
-            sims.join(F.broadcast(chosen), "vb")
-            .groupBy("va").agg(F.max("sim").alias("msim"))
-        )
-        pick = (
-            shortlist
-            .join(F.broadcast(sel.select("vec_id")), "vec_id",
-                  "left_anti")
-            .join(msim, F.col("va") == F.col("vec_id"))
-            .select("vec_id", "rel", F.lit(k).cast("int").alias("rank"),
-                    (F.col("rel") - F.col("msim")).alias("gain"))
-            .orderBy(F.desc("gain"), F.asc("vec_id"))
-            .limit(1)
-        )
-        sel = sel.unionByName(pick)
-    return sel.select("rank", "vec_id", "rel", "gain").orderBy("rank")
+    sim: dict[tuple, float] = {
+        (r["va"], r["vb"]): r["sim"] for r in sims.collect()
+    }
+    sel_rows: list[tuple] = []  # (rank, vec_id, rel, gain)
+    chosen: list = []
+    for k in range(1, _MMR_K + 1):
+        best = None
+        for vid, rel in shortlist:
+            if vid in chosen:
+                continue
+            gain = (rel if k == 1
+                    else rel - max(sim[(vid, c)] for c in chosen))
+            if best is None or (-gain, vid) < (-best[3], best[1]):
+                best = (k, vid, rel, gain)
+        sel_rows.append(best)
+        chosen.append(best[1])
+    spark_s = emb.sparkSession
+    id_type = emb.schema["vec_id"].dataType
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType([
+        StructField("rank", IntegerType(), False),
+        StructField("vec_id", id_type, False),
+        StructField("rel", DoubleType(), True),
+        StructField("gain", DoubleType(), True),
+    ])
+    return spark_s.createDataFrame(sel_rows, schema).orderBy("rank")
 
 
 # --------------------------------------------- label-noise suspects

@@ -220,7 +220,9 @@ def winnow_fingerprints(docs: DataFrame, k: int = WINNOW_K,
     # serializes the md5-per-shingle map (the dominant cost — the
     # minhash_signatures lesson, dedup.py): spread it first.
     n_part = docs.sparkSession.sparkContext.defaultParallelism
-    with_norm = docs.repartition(n_part).select(
+    if docs.rdd.getNumPartitions() < n_part:
+        docs = docs.repartition(n_part)
+    with_norm = docs.select(
         F.col(id_col), norm.alias("_norm"))
     with_hashes = with_norm.select(
         F.col(id_col),
@@ -391,7 +393,9 @@ def dsir_importance_topk(docs: DataFrame, target_pred: Column,
     Returns the top ``k_top`` docs by importance: (doc_id,
     score_micros, rank)."""
     # md5-per-word on the scan stage: spread first (the winnow lesson)
-    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    _par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < _par:
+        docs = docs.repartition(_par)
     b = (
         docs.select(
             F.col(id_col).alias("doc_id"),

@@ -115,7 +115,9 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     # Small corpora arrive as one parquet partition; spread the
     # hash-heavy map side across the cluster first (tiny shuffle).
     n_part = df.sparkSession.sparkContext.defaultParallelism
-    norm = df.repartition(n_part).select(
+    if df.rdd.getNumPartitions() < n_part:
+        df = df.repartition(n_part)
+    norm = df.select(
         F.col(id_col).alias("doc_id"),
         normalize_text(F.col(text_col)).alias("norm"),
     )
@@ -518,7 +520,8 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
     # Spread the md5-per-token map first: a single-row-group input
     # otherwise serializes it on one task (the minhash/winnow lesson).
     n_part = df.sparkSession.sparkContext.defaultParallelism
-    df = df.repartition(n_part)
+    if df.rdd.getNumPartitions() < n_part:
+        df = df.repartition(n_part)
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(

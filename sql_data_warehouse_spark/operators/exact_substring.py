@@ -69,7 +69,9 @@ def positioned_grams(docs: DataFrame, n: int = SPAN_GRAM_N,
     # the scan stage, and a single-row-group input would serialize it
     # on one task (the minhash/winnow lesson).
     n_part = docs.sparkSession.sparkContext.defaultParallelism
-    staged = docs.repartition(n_part).select(
+    if docs.rdd.getNumPartitions() < n_part:
+        docs = docs.repartition(n_part)
+    staged = docs.select(
         F.col(id_col).alias("doc_id"),
         tokens(F.col(text_col)).alias("_t"))
     return (
@@ -233,6 +235,11 @@ def source_similarity_matrix(docs: DataFrame, k: int = 8,
         )
         .distinct()
     )
+    # Branch point with THREE consumers (sizes + both self-join
+    # sides): materialize once or the shingle scan + distinct re-runs
+    # per consumer. One write/read of the distinct relation beats
+    # re-scanning the corpus even at scale.
+    sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -14,9 +14,11 @@ runs after dedup in LLM data pipelines. Re-expressed Spark-first:
   slice only — map-side partial aggregation, shuffle ∝ distinct
   grams.
 - **Score** — every document's positioned bigrams LEFT JOIN the two
-  count relations (keyed sort-merge joins: the model is a RELATION,
-  not a broadcast — a reference corpus at the 100 TB scale produces
-  a count table far beyond driver memory; hot-context skew is a
+  count relations. The model is a RELATION whose size is bounded by
+  the reference's distinct-gram count, so the join strategy is left
+  to AQE's runtime sizes: broadcast while the count tables fit (the
+  corpus-sized bigram relation then never shuffles), sort-merge when
+  a 100 TB-reference count table does not (hot-context skew is a
   many-to-one join AQE splits). Unseen bigrams back off to c=0 —
   still a valid smoothed probability, and counted as ``n_oov``.
 - **Determinism** — perplexity proper needs ``ln``, which is NOT
@@ -55,8 +57,13 @@ def _positioned_bigrams(docs: DataFrame, id_col: str,
     (HOF-inline pitfall)."""
     # Spread the tokenize+pair assembly first (single-row-group
     # inputs otherwise serialize the scan stage — the winnow lesson).
+    # Conditional: a corpus-scale scan already has ≥ default-
+    # parallelism partitions, and an unconditional repartition would
+    # re-shuffle the whole corpus for nothing.
     n_part = docs.sparkSession.sparkContext.defaultParallelism
-    staged = docs.repartition(n_part).select(
+    if docs.rdd.getNumPartitions() < n_part:
+        docs = docs.repartition(n_part)
+    staged = docs.select(
         F.col(id_col).alias("doc_id"),
         tokens(F.col(text_col)).alias("_t"))
     t = F.col("_t")
@@ -105,9 +112,16 @@ def lm_quality_scores(docs: DataFrame, ref_docs: DataFrame,
     half_v = 0.5 * vocab
     # p computed per ROW (one +, one /, both IEEE-exact), the fold
     # only ADDS in position order => bit-identical to the DuckDB twin.
+    # No join-strategy hint: the model relations are bounded by the
+    # reference's distinct-gram count, so AQE broadcasts them from
+    # RUNTIME sizes when they fit (keeping the corpus-sized bigram
+    # relation shuffle-free — two fewer corpus exchanges) and falls
+    # back to sort-merge when a 100 TB-reference count table does
+    # not. Forcing merge here shuffled the corpus bigrams twice at
+    # every scale.
     scored = (
-        bg.join(c12.hint("merge"), ["w1", "w2"], "left")
-        .join(c1.hint("merge"), "w1", "left")
+        bg.join(c12, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
         .select(
             "doc_id", "pos",
             F.coalesce("c12", F.lit(0)).alias("c12"),

@@ -420,11 +420,13 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
         .select(
             "vec_id_a",
             "vec_id_b",
-            _cosine_pre(
-                dot_fixed("vec_a", "vec_b", dim),
-                F.col("norm_a"),
-                F.col("norm_b"),
-            ).alias("cosine_sim"),
+            # Arrow seqfold, not the unrolled in-join dot: the O(n²)
+            # pair stage evaluates the dot once per PAIR, where the
+            # unrolled expression runs interpreted past codegen's
+            # silent hugeMethodLimit fallback (~16-21 µs/pair vs
+            # ~0.3 µs — same bit-exact left fold either way).
+            _cosine_seqfold("vec_a", "vec_b", "norm_a", "norm_b", dim)
+            .alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )

@@ -30,7 +30,21 @@ TESTDATA_TABLES: dict[str, str] = {
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Unexecuted reader PLAN for one testdata table, memoized per
+    session: ``spark.read.parquet`` re-lists the directory and
+    re-reads footers for schema on every call — pure driver-side
+    overhead that adds up over hundreds of registered queries.
+    Reusing the DataFrame object skips that; it caches NO data
+    (every action still scans the parquet files), exactly like the
+    view objects the medallion layer shares."""
     tune_session(spark)
+    cache = getattr(spark, "_wh_table_plans", None)
+    if cache is None:
+        cache = {}
+        spark._wh_table_plans = cache
+    key = (sf_dir, name)
+    if key in cache:
+        return cache[key]
     if name == "events":
         # events.parquet timestamps vary by generator version:
         # TIMESTAMP(NANOS) (vectorized reader rejects → read as long,
@@ -46,8 +60,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    cache[key] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
