@@ -37,8 +37,13 @@ spark.sparkContext.setLogLevel("ERROR")
 
 
 def cap(name: str, df) -> None:
-    text = df._jdf.queryExecution().explainString("formatted")
-    (OUT / f"{name}_{TAG}.txt").write_text(text)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    (OUT / f"{name}_{TAG}.txt").write_text(buf.getvalue())
     print("captured", name, TAG)
 
 
@@ -49,6 +54,8 @@ qs = all_queries()
 # Registry queries captured whole.
 for q in [
     "mmr_diverse_rerank",
+    "tf_cosine_pairs_topk",
+    "embedding_near_dup",
     "lm_quality_scores",
     "curriculum_shard_order",
     "source_similarity_matrix",
@@ -121,3 +128,35 @@ if TAG == "before":
 else:
     means = per_dim
 cap("kmeans_lloyd_means", means)
+
+# tf_cosine_pairs_topk: the df-window change sits UPSTREAM of the
+# query's eager champion-list checkpoint, so the registered query's
+# final plan cannot show it. Reconstruct the pre-checkpoint champion
+# relation exactly as the (before|after) code builds it and capture
+# that sub-plan.
+from sql_data_warehouse_spark.functions.text import normalize_text  # noqa: E402
+from pyspark.sql import Window  # noqa: E402
+
+_docs = load_table(spark, SF, "documents")
+_sh = (
+    _docs.repartition(spark.sparkContext.defaultParallelism)
+    .select("doc_id", normalize_text(F.col("text")).alias("nm"))
+    .select("doc_id", "nm",
+            F.explode(F.sequence(
+                F.lit(1), F.greatest(F.length("nm") - 7, F.lit(1)))).alias("i"))
+    .select("doc_id", F.expr("substring(nm, i, 8)").alias("s"))
+)
+_tf = _sh.groupBy("doc_id", "s").agg(F.count(F.lit(1)).alias("tf"))
+if TAG == "before":
+    _feats = (_tf.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+              .filter(F.col("df").between(2, 32)).select("s"))
+    _rare = _tf.join(_feats, "s").select("doc_id", "s", "tf")
+else:
+    _rare = (_tf.withColumn("df", F.count(F.lit(1))
+                            .over(Window.partitionBy("s")))
+             .filter(F.col("df").between(2, 32))
+             .select("doc_id", "s", "tf"))
+_wch = Window.partitionBy("s").orderBy(F.col("tf").desc(), "doc_id")
+_champ = (_rare.withColumn("rk", F.row_number().over(_wch))
+          .filter(F.col("rk") <= 32).select("doc_id", "s", "tf"))
+cap("tf_cosine_champion_stage", _champ)
