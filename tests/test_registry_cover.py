@@ -154,16 +154,24 @@ def test_window_has_first_ever_names(registry):
     """Every non-pinned window slot buys a first-time hash row for
     the CURRENT gate: >= min(25, remaining-fresh) effectively-fresh
     names per round (never checked, or checked only before their
-    oracle existed — ADVICE r6 #4), minus only spotlight entries
-    whose gate changed this round (they carry an old green row for
-    retired semantics but still must face the driver — the
-    semantic_dedup_clusters case)."""
+    oracle existed — ADVICE r6 #4), minus spotlight entries whose
+    gate changed this round (they carry an old green row for retired
+    semantics but still must face the driver — the
+    semantic_dedup_clusters case) and minus PROMOTED coverfill picks:
+    once every oracle-gated coverer of a core id has been driver
+    checked, coverfill's documented proven-green fallback keeps the
+    70-id cover through an already-checked name, and that guaranteed
+    slot is by design no longer fresh (first fired after
+    CORRECTNESS_r09 landed: S1/S2/S3/S6 fall back to
+    etl_bronze_crm_cust_info)."""
     checked = _checked()
     remaining_fresh = [n for n in registry if n not in checked]
     window = list(registry)[:WINDOW]
     fresh = [n for n in window if n not in checked]
     regated = [n for n in window if n in spotlight() and n in checked]
-    quota = min(25 - len(regated), len(remaining_fresh))
+    promoted = [n for n in coverfill(_checked())
+                if n in checked and n not in spotlight()]
+    quota = min(25 - len(regated) - len(promoted), len(remaining_fresh))
     assert len(fresh) >= quota, f"only {len(fresh)} fresh names in window"
     # the window itself still covers every core id
     got: set[str] = set()
