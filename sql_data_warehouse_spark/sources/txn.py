@@ -157,10 +157,32 @@ class TxnTable:
         Stats come from one Spark aggregation over the just-written
         files grouped by ``input_file_name()`` — scans only the new
         data, runs distributed, and collects kilobytes to the driver.
+        With no ``stat_cols`` only row counts are needed, and those
+        come straight from the parquet footers (driver-side metadata
+        reads — no Spark job at all; the footer row count is exact by
+        the format spec, unlike min/max stats, which can be truncated
+        for string types and so stay on the Spark-aggregation path).
         """
         commit_dir = os.path.join(_DATA_DIR, uuid.uuid4().hex)
         abs_dir = os.path.join(self.root, commit_dir)
         df.write.mode("errorifexists").parquet(abs_dir)
+
+        if not stat_cols:
+            import pyarrow.parquet as _pq
+
+            entries = []
+            for name in sorted(os.listdir(abs_dir)):
+                if not name.endswith(".parquet"):
+                    continue
+                n_rows = _pq.ParquetFile(
+                    os.path.join(abs_dir, name)).metadata.num_rows
+                entries.append(
+                    FileEntry(os.path.join(commit_dir, name), n_rows, {}))
+            if any(e.rows for e in entries):
+                entries = [e for e in entries if e.rows]
+            # all-empty: keep the part files so the snapshot still
+            # carries the schema (same contract as the Spark path)
+            return entries
 
         written = df.sparkSession.read.parquet(abs_dir)
         aggs = [F.count(F.lit(1)).alias("_rows")]
