@@ -370,6 +370,7 @@ def replay_user_totals(spark: SparkSession, sf_dir: str,
                 spark.readStream.format("events_replay")
                 .option("path", src)
                 .option("batch_rows", str(batch_rows))
+                .option("tz", spark.conf.get("spark.sql.session.timeZone"))
                 .load()
                 .writeStream.format("parquet")
                 .option("path", out_dir)

@@ -290,7 +290,15 @@ def ivf_kmeans_topk(embeddings: DataFrame, queries: DataFrame,
     # norms once per row per side; per-pair work = the dot product
     # (bit-identical to cosine_fixed — vectors.cosine_prenormed)
     probes = probes.withColumn("q_norm", norm_fixed("q_vec", dim))
-    assigned = kmeans_assign(embeddings, centroids, vec_col).withColumn(
+    # Corpus assignment via the Arrow path: the unrolled-SQL assign
+    # inlines k·dim literal terms that blow janino's method limit at
+    # k=8, dim=64 (runs INTERPRETED) and re-parse on every query run
+    # because the centroid literals differ — measured 1.4 s vs 0.8 s
+    # for the same 2000-row assignment at sf0.1. Assignments agree
+    # row-for-row (same argmin tie rule; margins orders above float
+    # noise — see kmeans_assign_arrow), and the gated cosine below
+    # stays the exact SQL fold.
+    assigned = kmeans_assign_arrow(embeddings, centroids, vec_col).withColumn(
         "_e_norm", norm_fixed(vec_col, dim))
     scored = assigned.join(F.broadcast(probes), "cluster_id").select(
         "query_id",

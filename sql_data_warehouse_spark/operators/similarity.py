@@ -464,38 +464,26 @@ def embedding_near_dup_pairs_lsh(embeddings: DataFrame,
     agree, so multi-band duplicates never reach the dot fold and no
     dedup groupBy is needed. Norms are computed once per vector
     (before the band explode) and carried as a double through the
-    (band, bucket) shuffle."""
+    (band, bucket) shuffle.
+
+    Pair generation + verification run inside each (band, bucket)
+    group (:func:`_grouped_pair_verify`): ONE exchange of the banded
+    relation — the previous self-join sorted and shuffled it twice,
+    then shipped both vectors across the Python boundary per PAIR —
+    and the same first-collision + seqfold arithmetic, so the hash
+    gate is unchanged."""
     spark = embeddings.sparkSession
     n_part = spark.sparkContext.defaultParallelism * 2
     e = _banded(embeddings, id_col, vec_col, n_bands, band_bits, dim)
-    # Explicit repartition on the band keys: a one-file local corpus
-    # would otherwise run the whole Σbucket² scoring on one core (and
-    # AQE would coalesce the tiny shuffle right back to one
-    # partition). This is also the write-time clustering key at scale.
+    # Explicit repartition on the group keys: it satisfies the
+    # groupBy's clustered distribution (no second exchange) while a
+    # bare groupBy's shuffle would let AQE coalesce the tiny local
+    # relation to one task and serialize the Σ bucket² scoring. This
+    # is also the write-time clustering key at scale.
     e = e.repartition(n_part, "band", "bucket")
-    a = e.select(
-        F.col("vec_id").alias("vec_id_a"), F.col("vec").alias("vec_a"),
-        F.col("vnorm").alias("norm_a"), F.col("buckets").alias("bk_a"),
-        "band", "bucket",
-    )
-    b = e.select(
-        F.col("vec_id").alias("vec_id_b"), F.col("vec").alias("vec_b"),
-        F.col("vnorm").alias("norm_b"), F.col("buckets").alias("bk_b"),
-        "band", "bucket",
-    )
-    return (
-        a.join(b, ["band", "bucket"])
-        .filter(
-            (F.col("vec_id_a") < F.col("vec_id_b"))
-            & _first_collision("bk_a", "bk_b")
-        )
-        .select(
-            "vec_id_a",
-            "vec_id_b",
-            _cosine_seqfold("vec_a", "vec_b", "norm_a", "norm_b", dim)
-            .alias("cosine_sim"),
-        )
-        .filter(F.col("cosine_sim") >= threshold)
+    return _grouped_pair_verify(
+        e.withColumnRenamed("vnorm", "nrm"), ["band", "bucket"],
+        threshold, dim, with_sim=True, first_collision=True,
     )
 
 
@@ -723,37 +711,23 @@ def _within_cell_semantic_clusters(e: DataFrame, embeddings: DataFrame,
                                    id_col: str) -> DataFrame:
     """Shared SemDeDup core: ``e`` = (_cell, vec_id, vec, nrm) with
     any coarse-quantizer cell id. All pairs within each cell are
-    exact-cosine scored (merge-hinted sort-merge self-join on the
-    cell key — a corpus-sized relation must never be the broadcast
-    side), edges ≥ threshold feed pointer-doubling connected
-    components, and every vector gets (cluster_id, is_kept) with the
-    min-id keeper rule; singletons keep themselves.
-
-    The exact cosine is the Arrow sequential fold
-    (:func:`_cosine_seqfold`) — bit-identical to the unrolled SQL
-    (left-to-right double adds), so the DuckDB hash gate on the
-    bounded label-cell form still holds, at ~0.3 µs/pair instead of
-    the ~16-21 µs/pair the unrolled in-join expression costs once it
-    falls past codegen's hugeMethodLimit (measured, BASELINE.md)."""
+    exact-cosine scored by the grouped verifier
+    (:func:`_grouped_pair_verify`: ONE exchange of the corpus keyed on
+    the cell, pairs enumerated + seqfold-scored in numpy inside each
+    cell — the previous merge-hinted self-join shuffled the relation
+    twice and shipped both 64-dim vectors across the Python boundary
+    per PAIR, ~500 MB of Arrow traffic at sf0.1), edges ≥ threshold
+    feed pointer-doubling connected components, and every vector gets
+    (cluster_id, is_kept) with the min-id keeper rule; singletons keep
+    themselves. The per-pair arithmetic is the identical left-to-right
+    fold, so the DuckDB hash gate on the bounded label-cell form still
+    holds; per-task memory is O(cell·dim) + a bounded pair chunk —
+    cells stay ≈ target size by the SemDeDup invariant."""
     from .dedup import connected_components
 
-    a = e.alias("a")
-    b = e.hint("merge").alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a._cell") == F.col("b._cell"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("src"),
-            F.col("b.vec_id").alias("dst"),
-            _cosine_seqfold("a.vec", "b.vec", "a.nrm", "b.nrm", dim)
-            .alias("sim"),
-        )
-        .filter(F.col("sim") >= threshold)
-        .select("src", "dst")
-    )
+    edges = _grouped_pair_verify(
+        e, ["_cell"], threshold, dim, with_sim=False,
+    ).select(F.col("vec_id_a").alias("src"), F.col("vec_id_b").alias("dst"))
     cc = connected_components(edges, src="src", dst="dst")
     return (
         embeddings.select(F.col(id_col).alias("vec_id"))
@@ -921,6 +895,102 @@ def _bucket_array_seqfold(vec_col: str, n_bands: int, band_bits: int,
     return _buckets(F.col(vec_col))
 
 
+def _grouped_pair_verify(grouped: DataFrame, group_cols: list[str],
+                         threshold: float, dim: int,
+                         with_sim: bool,
+                         first_collision: bool = False) -> DataFrame:
+    """All-pairs generation + exact seqfold-cosine verification INSIDE
+    each group, as one ``applyInPandas`` over ``grouped`` (columns:
+    ``vec_id``, ``vec``, ``nrm`` + the group keys; with
+    ``first_collision`` also the 0-based ``band`` int and the full
+    ``buckets`` array for the first-collision dedup rule).
+
+    Replaces the groupwise self-join + per-pair Arrow cosine: the join
+    shuffled the banded relation TWICE (both sort-merge sides) and then
+    shipped BOTH 64-dim vectors across the Python boundary once per
+    PAIR (Σ bucket² · ~1 KB — measured ~500 MB of Arrow traffic for
+    the 500 k within-cell pairs at sf0.1, 2.7 s of a 4.9 s query).
+    Here each vector crosses once per group membership (Σ bucket ·
+    ~0.5 KB) and the pairs are enumerated in numpy — guide §2.3
+    ("shuffle keys and metadata, move heavy bytes once") + §4.2.
+
+    Bit-identical to the retired join path: the cosine accumulates
+    per-dimension products LEFT-TO-RIGHT exactly like
+    :func:`_cosine_seqfold` (elementwise numpy ops vectorize across
+    pairs; the per-pair IEEE sequence is unchanged), pairs are
+    oriented ``id_a < id_b``, a zero norm product yields NULL→dropped
+    (NaN fails ``>=`` in both engines), and the first-collision rule
+    compares the same bucket-array prefixes the SQL ``zip_with`` did.
+    Pair enumeration is CHUNKED so a skewed group costs bounded
+    memory (the join path's streaming property), and per-group input
+    stays O(group · dim) — bounded by the banding/cell invariant."""
+    thr = float(threshold)
+    d = int(dim)
+    sim_out = bool(with_sim)
+    has_band = bool(first_collision)
+    chunk_pairs = 262144
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        # self-contained closure: the grading driver imports this
+        # package by file path, so workers can only see stdlib/numpy/
+        # pandas — never module globals
+        import numpy as np
+        import pandas as _pd
+
+        cols = (["vec_id_a", "vec_id_b", "cosine_sim"] if sim_out
+                else ["vec_id_a", "vec_id_b"])
+        n = len(pdf)
+        if n < 2:
+            return _pd.DataFrame({c: [] for c in cols})
+        ids = pdf["vec_id"].to_numpy()
+        V = np.vstack([np.asarray(v, dtype=np.float64)
+                       for v in pdf["vec"]])
+        nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+        if has_band:
+            band = int(pdf["band"].iloc[0])
+            B = (np.vstack([np.asarray(b, dtype=np.int64)
+                            for b in pdf["buckets"]])
+                 if band > 0 else None)
+        out_a, out_b, out_s = [], [], []
+        ii, jj = np.triu_indices(n, k=1)
+        for lo in range(0, len(ii), chunk_pairs):
+            ic, jc = ii[lo:lo + chunk_pairs], jj[lo:lo + chunk_pairs]
+            flip = ids[ic] > ids[jc]
+            a = np.where(flip, jc, ic)
+            b = np.where(flip, ic, jc)
+            if has_band and band > 0:
+                keep = ~(B[a, :band] == B[b, :band]).any(axis=1)
+                a, b = a[keep], b[keep]
+                if len(a) == 0:
+                    continue
+            A, Bv = V[a], V[b]
+            acc = A[:, 0] * Bv[:, 0]
+            for i in range(1, d):
+                acc = acc + A[:, i] * Bv[:, i]
+            denom = nrm[a] * nrm[b]
+            sim = acc / np.where(denom == 0.0, np.nan, denom)
+            keep = (denom != 0.0) & (sim >= thr)
+            out_a.append(ids[a][keep])
+            out_b.append(ids[b][keep])
+            if sim_out:
+                out_s.append(sim[keep])
+        if not out_a:
+            return _pd.DataFrame({c: [] for c in cols})
+        data = {"vec_id_a": np.concatenate(out_a),
+                "vec_id_b": np.concatenate(out_b)}
+        if sim_out:
+            data["cosine_sim"] = np.concatenate(out_s)
+        return _pd.DataFrame(data)
+
+    schema = ("vec_id_a long, vec_id_b long, cosine_sim double"
+              if sim_out else "vec_id_a long, vec_id_b long")
+    sel = ["vec_id", "vec", "nrm"] + list(group_cols)
+    if has_band:
+        sel += ["band", "buckets"]
+    grouped = grouped.select(*dict.fromkeys(sel))
+    return grouped.groupBy(*group_cols).applyInPandas(verify, schema)
+
+
 def _cosine_seqfold(va: str, vb: str, na: str, nb_col: str,
                     dim: int) -> Column:
     """Arrow-batched prenormed cosine, bit-identical to
@@ -996,11 +1066,11 @@ def embedding_near_dup_lsh_clusters(embeddings: DataFrame,
         F.col(vec_col).alias("vec"),
         norm_fixed(vec_col, dim).alias("nrm"),
         _bucket_array_seqfold(vec_col, n_bands, band_bits, dim)
-        .alias("bks"),
+        .alias("buckets"),
     )
     bands = pre.select(
-        "vec_id", "vec", "nrm", "bks",
-        F.posexplode("bks").alias("band", "bucket"),
+        "vec_id", "vec", "nrm", "buckets",
+        F.posexplode("buckets").alias("band", "bucket"),
     )
     # All pairs WITHIN each (band, bucket). Candidate volume is
     # linear by construction — adaptive_band_bits keeps buckets
@@ -1019,31 +1089,23 @@ def embedding_near_dup_lsh_clusters(embeddings: DataFrame,
     # The first-collision rule (each pair survives only in the FIRST
     # band where its carried bucket arrays agree) deduplicates
     # multi-band candidates BEFORE the exact-cosine verify — an
-    # 8-element zip_with instead of a 64-dim dot per duplicate, and
-    # it replaces the post-verify distinct() shuffle outright
+    # 8-element prefix compare instead of a 64-dim dot per duplicate,
+    # and it replaces the post-verify distinct() shuffle outright
     # (measured 1.04M → 0.69M scored pairs at sf0.1).
-    a = bands.alias("a")
-    b = bands.hint("merge").alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .filter(F.expr(
-            "NOT exists(zip_with(slice(a.bks, 1, a.band), "
-            "slice(b.bks, 1, a.band), (x, y) -> x = y), p -> p)"
-        ))
-        .select(
-            F.col("a.vec_id").alias("src"),
-            F.col("b.vec_id").alias("dst"),
-            _cosine_seqfold("a.vec", "b.vec", "a.nrm", "b.nrm", dim)
-            .alias("sim"),
-        )
-        .filter(F.col("sim") >= threshold)
-        .select("src", "dst")
-    )
+    #
+    # Pairs are generated + verified inside each (band, bucket) group
+    # (:func:`_grouped_pair_verify`): one exchange of the banded
+    # relation instead of the self-join's two sorted shuffles and a
+    # per-PAIR double-vector Arrow transfer; identical arithmetic, so
+    # the hash gate holds. The repartition satisfies the groupBy's
+    # distribution while keeping AQE from collapsing the tiny local
+    # shuffle to one task.
+    n_part = embeddings.sparkSession.sparkContext.defaultParallelism * 2
+    edges = _grouped_pair_verify(
+        bands.repartition(n_part, "band", "bucket"),
+        ["band", "bucket"], threshold, dim,
+        with_sim=False, first_collision=True,
+    ).select(F.col("vec_id_a").alias("src"), F.col("vec_id_b").alias("dst"))
     cc = connected_components(edges, src="src", dst="dst")
     return (
         embeddings.select(F.col(id_col).alias("vec_id"))
