@@ -600,7 +600,7 @@ def rag_chunk_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     dup = F.col("n_docs_with") >= 2
     return (
-        chunks.join(df_rel.hint("merge"), "chunk_hash")
+        chunks.join(df_rel, "chunk_hash")
         .join(docs, "doc_id")
         .groupBy("source")
         .agg(

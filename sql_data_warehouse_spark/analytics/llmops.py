@@ -1285,7 +1285,7 @@ def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labeled = docs.select("doc_id", split.alias("split"))
     bands = dedup._band_hashes(_sig_index(spark, sf_dir)).join(
-        labeled.hint("merge"), "doc_id")
+        labeled, "doc_id")
     a = bands.filter(F.col("split") == "train").alias("a")
     b = bands.filter(F.col("split") == "test").hint("merge").alias("b")
     cand = (
@@ -1701,14 +1701,14 @@ def split_leakage_repair_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # upstream runs once per consumer (the branch-point lesson;
     # measured ~1.6x at sf10).
     labeled = clusters.join(
-        docs.select("doc_id", "lang").hint("merge"), "doc_id"
+        docs.select("doc_id", "lang"), "doc_id"
     ).select("doc_id", "cluster_id", "lang",
              split.alias("split")).localCheckpoint(eager=True)
     cflags = labeled.groupBy("cluster_id").agg(
         F.max((F.col("split") != "train").cast("int")).alias("has_eval"))
     dropped = (F.col("split") == "train") & (F.col("has_eval") == 1)
     return (
-        labeled.join(cflags.hint("merge"), "cluster_id")
+        labeled.join(cflags, "cluster_id")
         .groupBy("split", "lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -1041,9 +1041,17 @@ def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same floats (rel/sim come from the identical Spark stages; the
     # Python ``rel − msim`` and (−gain, vec_id) tie-order replicate
     # the stage expressions IEEE-exactly).
+    # NULL-rel rows sort last and are never picked (the DataFrame
+    # greedy's NULLS-LAST ordering); a NULL sim is skipped in the max
+    # like SQL MAX ignores NULLs, and a candidate whose every sim to
+    # the chosen set is NULL gets no gain (never best). A shortlist
+    # shorter than _MMR_K emits fewer ranks instead of crashing.
+    # None of these fire on the registered query's data (rel/sim are
+    # non-null cosines, shortlist is the full _MMR_SHORTLIST).
     shortlist = sorted(
         ((r["vec_id"], r["rel"])
-         for r in cand.select("vec_id", "rel").collect()),
+         for r in cand.select("vec_id", "rel").collect()
+         if r["rel"] is not None),
         key=lambda t: (-t[1], t[0]),
     )
     sim: dict[tuple, float] = {
@@ -1056,10 +1064,18 @@ def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         for vid, rel in shortlist:
             if vid in chosen:
                 continue
-            gain = (rel if k == 1
-                    else rel - max(sim[(vid, c)] for c in chosen))
+            if k == 1:
+                gain = rel
+            else:
+                seen = [s for c in chosen
+                        if (s := sim.get((vid, c))) is not None]
+                if not seen:
+                    continue
+                gain = rel - max(seen)
             if best is None or (-gain, vid) < (-best[3], best[1]):
                 best = (k, vid, rel, gain)
+        if best is None:
+            break
         sel_rows.append(best)
         chosen.append(best[1])
     spark_s = emb.sparkSession

@@ -689,6 +689,16 @@ def maintained_near_dup_ingest(spark: SparkSession, src: str,
     )
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        # Spread the batch before the banding projection: the OPH pass
+        # costs ~1000 md5 k-grams + 16 HOF mins per doc, and a
+        # maxFilesPerTrigger-sized batch arrives as 1-2 file
+        # partitions, serializing it on as many cores (measured 2.2 s
+        # -> 0.5 s per micro-batch at sf0.1). Text bytes shuffled once,
+        # same rows; at scale a batch already has enough partitions
+        # and the guard is a no-op.
+        par = spark.sparkContext.defaultParallelism
+        if batch_df.rdd.getNumPartitions() < par:
+            batch_df = batch_df.repartition(par)
         bands = (
             dedup.minhash_band_hashes_inrow(batch_df)
             .select("doc_id", "band_idx", "band_hash")

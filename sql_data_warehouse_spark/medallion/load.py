@@ -49,6 +49,17 @@ def _timed(step: str, fn):
     return out
 
 
+def _timed_stage(stage: str, fn):
+    """Stage-level wall clock around a thread-pooled table batch:
+    per-table ``_timed`` durations OVERLAP under the pool (ADVICE r9),
+    so they no longer sum to stage time — this is the number that
+    does."""
+    start = time.monotonic()
+    out = fn()
+    log.info("%s stage wall: %.2fs", stage, time.monotonic() - start)
+    return out
+
+
 def load_bronze(spark: SparkSession, warehouse_dir: str) -> dict[str, int]:
     """Typed CSV → bronze parquet, one overwrite per table (S1-S3).
     Returns per-table row counts (the reference PRINTs durations; we
@@ -68,8 +79,11 @@ def load_bronze(spark: SparkSession, warehouse_dir: str) -> dict[str, int]:
 
         return _timed(f"bronze.{table}", write)
 
-    with ThreadPoolExecutor(max_workers=len(BRONZE_TABLES)) as pool:
-        results = list(pool.map(run, BRONZE_TABLES))
+    def batch():
+        with ThreadPoolExecutor(max_workers=len(BRONZE_TABLES)) as pool:
+            return list(pool.map(run, BRONZE_TABLES))
+
+    results = _timed_stage("bronze", batch)
     return dict(zip(BRONZE_TABLES, results))
 
 
@@ -95,8 +109,12 @@ def load_silver(spark: SparkSession, warehouse_dir: str) -> dict[str, int]:
     # Independent per-table transforms: thread-pool submission, same
     # back-fill rationale as load_bronze.
     tables = list(_TRANSFORMS)
-    with ThreadPoolExecutor(max_workers=len(tables)) as pool:
-        results = list(pool.map(run, tables))
+
+    def batch():
+        with ThreadPoolExecutor(max_workers=len(tables)) as pool:
+            return list(pool.map(run, tables))
+
+    results = _timed_stage("silver", batch)
     return dict(zip(tables, results))
 
 
@@ -137,8 +155,12 @@ def load_gold(spark: SparkSession, warehouse_dir: str,
         return _timed(f"gold.{view}", work)
 
     views = list(builders)
-    with ThreadPoolExecutor(max_workers=len(views)) as pool:
-        results = list(pool.map(run, views))
+
+    def batch():
+        with ThreadPoolExecutor(max_workers=len(views)) as pool:
+            return list(pool.map(run, views))
+
+    results = _timed_stage("gold", batch)
     return dict(zip(views, results))
 
 

@@ -220,6 +220,10 @@ def winnow_fingerprints(docs: DataFrame, k: int = WINNOW_K,
     # serializes the md5-per-shingle map (the dominant cost — the
     # minhash_signatures lesson, dedup.py): spread it first.
     n_part = docs.sparkSession.sparkContext.defaultParallelism
+    # (Guard caveat, ADVICE r9: an input with enough-but-skewed
+    # partitions skips the round-robin rebalance — acceptable here
+    # because the guard targets the single-row-group LOCAL file case;
+    # a skewed cluster-scale scan is AQE's job, not this spread's.)
     if docs.rdd.getNumPartitions() < n_part:
         docs = docs.repartition(n_part)
     with_norm = docs.select(
@@ -394,6 +398,10 @@ def dsir_importance_topk(docs: DataFrame, target_pred: Column,
     score_micros, rank)."""
     # md5-per-word on the scan stage: spread first (the winnow lesson)
     _par = docs.sparkSession.sparkContext.defaultParallelism
+    # (Guard caveat, ADVICE r9: an input with enough-but-skewed
+    # partitions skips the round-robin rebalance — acceptable here
+    # because the guard targets the single-row-group LOCAL file case;
+    # a skewed cluster-scale scan is AQE's job, not this spread's.)
     if docs.rdd.getNumPartitions() < _par:
         docs = docs.repartition(_par)
     b = (

@@ -115,6 +115,10 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     # Small corpora arrive as one parquet partition; spread the
     # hash-heavy map side across the cluster first (tiny shuffle).
     n_part = df.sparkSession.sparkContext.defaultParallelism
+    # (Guard caveat, ADVICE r9: an input with enough-but-skewed
+    # partitions skips the round-robin rebalance — acceptable here
+    # because the guard targets the single-row-group LOCAL file case;
+    # a skewed cluster-scale scan is AQE's job, not this spread's.)
     if df.rdd.getNumPartitions() < n_part:
         df = df.repartition(n_part)
     norm = df.select(
@@ -520,6 +524,10 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
     # Spread the md5-per-token map first: a single-row-group input
     # otherwise serializes it on one task (the minhash/winnow lesson).
     n_part = df.sparkSession.sparkContext.defaultParallelism
+    # (Guard caveat, ADVICE r9: an input with enough-but-skewed
+    # partitions skips the round-robin rebalance — acceptable here
+    # because the guard targets the single-row-group LOCAL file case;
+    # a skewed cluster-scale scan is AQE's job, not this spread's.)
     if df.rdd.getNumPartitions() < n_part:
         df = df.repartition(n_part)
     toks = df.select(
@@ -813,7 +821,7 @@ def _simhash_clusters_from_sigs(sigs: DataFrame, n_bands: int,
         "rep_id",
         "left",
     ).select("simhash", F.coalesce("cluster_id", "rep_id").alias("cluster_id"))
-    return sigs.join(rep_labels.hint("merge"), "simhash").select(
+    return sigs.join(rep_labels, "simhash").select(
         "doc_id", "cluster_id"
     )
 
@@ -1281,11 +1289,11 @@ def dedup_keep_best_chain(docs: DataFrame, min_jaccard: float = 0.35,
     reps = fp.groupBy("fp").agg(F.min("doc_id").alias("rep_id"))
     rep_ids = reps.select(F.col("rep_id").alias("doc_id"))
     if sigs is None:
-        rep_docs = docs.join(rep_ids.hint("merge"), "doc_id").select(
+        rep_docs = docs.join(rep_ids, "doc_id").select(
             "doc_id", "text")
         rep_sigs = minhash_signatures(rep_docs).localCheckpoint()
     else:
-        rep_sigs = sigs.join(rep_ids.hint("merge"), "doc_id", "left_semi")
+        rep_sigs = sigs.join(rep_ids, "doc_id", "left_semi")
     cands = chain_candidate_pairs_from_bands(
         _band_hashes(rep_sigs)
     ).localCheckpoint()  # candidate-sized; feeds ids + verify
@@ -1306,11 +1314,11 @@ def dedup_keep_best_chain(docs: DataFrame, min_jaccard: float = 0.35,
     cc = connected_components(verified, src="doc_a", dst="doc_b")
     rep_labels = reps.join(
         cc.select(F.col("id").alias("rep_id"),
-                  F.col("label").alias("cluster_id")).hint("merge"),
+                  F.col("label").alias("cluster_id")),
         "rep_id",
         "left",
     ).select("fp", F.coalesce("cluster_id", "rep_id").alias("cluster_id"))
-    labeled = fp.join(rep_labels.hint("merge"), "fp")
+    labeled = fp.join(rep_labels, "fp")
     w = Window.partitionBy("cluster_id").orderBy(
         F.desc("n_chars"), F.asc("doc_id")
     )

@@ -69,6 +69,10 @@ def positioned_grams(docs: DataFrame, n: int = SPAN_GRAM_N,
     # the scan stage, and a single-row-group input would serialize it
     # on one task (the minhash/winnow lesson).
     n_part = docs.sparkSession.sparkContext.defaultParallelism
+    # (Guard caveat, ADVICE r9: an input with enough-but-skewed
+    # partitions skips the round-robin rebalance — acceptable here
+    # because the guard targets the single-row-group LOCAL file case;
+    # a skewed cluster-scale scan is AQE's job, not this spread's.)
     if docs.rdd.getNumPartitions() < n_part:
         docs = docs.repartition(n_part)
     staged = docs.select(
@@ -93,8 +97,11 @@ def exact_substring_spans(docs: DataFrame, n: int = SPAN_GRAM_N,
         .filter(F.col("nd") >= 2)
         .select("gram")
     )
-    # Corpus-sized on both sides: keyed semi join, never broadcast.
-    flagged = grams.join(dup_keys.hint("merge"), "gram", "left_semi")
+    # No join hint: dup_keys is corpus-scale at extreme duplication
+    # density (AQE keeps the keyed sort-merge semi join from runtime
+    # sizes) but tiny for clean corpora, where AQE broadcast-converts
+    # and the gram relation skips its shuffle entirely.
+    flagged = grams.join(dup_keys, "gram", "left_semi")
 
     w = Window.partitionBy("doc_id").orderBy("pos")
     islands = (

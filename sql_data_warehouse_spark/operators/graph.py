@@ -215,9 +215,8 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     deg = edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("long").alias("deg"))
     d = und.join(deg.withColumnRenamed("src", "dst")
-                 .withColumnRenamed("deg", "deg_dst")
-                 .hint("merge"), "dst") \
-           .join(deg.hint("merge"), "src")
+                 .withColumnRenamed("deg", "deg_dst"), "dst") \
+           .join(deg, "src")
     lower_first = (F.col("deg") < F.col("deg_dst")) | (
         (F.col("deg") == F.col("deg_dst")) & (F.col("src") < F.col("dst"))
     )

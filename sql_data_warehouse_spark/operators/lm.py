@@ -61,6 +61,10 @@ def _positioned_bigrams(docs: DataFrame, id_col: str,
     # parallelism partitions, and an unconditional repartition would
     # re-shuffle the whole corpus for nothing.
     n_part = docs.sparkSession.sparkContext.defaultParallelism
+    # (Guard caveat, ADVICE r9: an input with enough-but-skewed
+    # partitions skips the round-robin rebalance — acceptable here
+    # because the guard targets the single-row-group LOCAL file case;
+    # a skewed cluster-scale scan is AQE's job, not this spread's.)
     if docs.rdd.getNumPartitions() < n_part:
         docs = docs.repartition(n_part)
     staged = docs.select(

@@ -214,6 +214,19 @@ def pq_encode(embeddings: DataFrame,
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            # Dimensionality contract, asserted up front (ADVICE r9):
+            # a NULL or wrong-length vector would otherwise raise a
+            # shapeless np.asarray error deep in the fold — and the
+            # retired SQL's out-of-range subscripts yielded NULL
+            # distances with engine-specific NaN tie-breaks, a
+            # divergence this encode refuses to reproduce silently.
+            bad = [v for v in pdf["_v"]
+                   if v is None or len(v) != m * ds]
+            if bad:
+                raise ValueError(
+                    f"pq_encode: embedding must be a non-null length-"
+                    f"{m * ds} vector, got "
+                    f"{'NULL' if bad[0] is None else len(bad[0])}")
             V = np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
             out = {"id": pdf["id"]}

@@ -734,7 +734,7 @@ def _within_cell_semantic_clusters(e: DataFrame, embeddings: DataFrame,
         .join(
             cc.select(
                 F.col("id").alias("vec_id"), F.col("label").alias("cluster_id")
-            ).hint("merge"),
+            ),
             "vec_id",
             "left",
         )
@@ -1111,7 +1111,7 @@ def embedding_near_dup_lsh_clusters(embeddings: DataFrame,
         embeddings.select(F.col(id_col).alias("vec_id"))
         .join(
             cc.select(F.col("id").alias("vec_id"),
-                      F.col("label").alias("cluster_id")).hint("merge"),
+                      F.col("label").alias("cluster_id")),
             "vec_id",
             "left",
         )

@@ -36,13 +36,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     overhead that adds up over hundreds of registered queries.
     Reusing the DataFrame object skips that; it caches NO data
     (every action still scans the parquet files), exactly like the
-    view objects the medallion layer shares."""
+    view objects the medallion layer shares.
+
+    The memo key includes the path's mtime (one os.stat — no Spark
+    work), so a caller that rewrites a testdata table mid-session
+    gets a fresh plan with the new file list/schema instead of a
+    silently stale one (VERDICT r9 #4 hardening; nothing in the
+    registry rewrites testdata — the ``txn_*`` family rewrites its
+    own warehouse roots — so in normal runs the stat never misses)."""
     tune_session(spark)
     cache = getattr(spark, "_wh_table_plans", None)
     if cache is None:
         cache = {}
         spark._wh_table_plans = cache
-    key = (sf_dir, name)
+    import os
+
+    try:
+        mtime = os.stat(f"{sf_dir}/{name}.parquet").st_mtime_ns
+    except OSError:
+        mtime = None
+    key = (sf_dir, name, mtime)
     if key in cache:
         return cache[key]
     if name == "events":
